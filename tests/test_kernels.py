@@ -1,0 +1,189 @@
+"""Unit tests for the pure-numpy kernels (no Spark needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gol_tool_spark.kernels import catalog as K
+from gol_tool_spark.kernels import geometry as G
+from gol_tool_spark.kernels import image as I
+from gol_tool_spark.kernels import mercator as M
+from gol_tool_spark.kernels import tile as T
+
+COORD = st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1)
+
+
+class TestMercator:
+    def test_known_points(self):
+        x, y = M.xy_from_lonlat(np.array([0.0, 180.0, -180.0]), np.array([0.0, 0.0, 0.0]))
+        assert x.tolist() == [0, (1 << 31) - 1, -(1 << 31)]
+        assert y.tolist() == [0, 0, 0]
+
+    def test_max_lat_hits_edge(self):
+        _, y = M.xy_from_lonlat(np.array([0.0]), np.array([M.MAX_LAT_DEG]))
+        assert y[0] == (1 << 31) - 1 or y[0] == (1 << 31) - 2  # rounding edge
+
+    def test_roundtrip(self):
+        lon = np.array([13.3777, -122.4194, 151.2093])
+        lat = np.array([52.5163, 37.7749, -33.8688])
+        x, y = M.xy_from_lonlat(lon, lat)
+        lon2, lat2 = M.lonlat_from_xy(x, y)
+        assert np.allclose(lon, lon2, atol=1e-6)
+        assert np.allclose(lat, lat2, atol=1e-6)
+
+    def test_100nd(self):
+        x1, y1 = M.xy_from_100nd(np.array([133_777_000]), np.array([525_163_000]))
+        x2, y2 = M.xy_from_lonlat(np.array([13.3777]), np.array([52.5163]))
+        assert x1[0] == x2[0] and y1[0] == y2[0]
+
+
+class TestTile:
+    def test_pack_unpack(self):
+        t = T.pack(12, 4095, 0)
+        z, r, c = T.unpack(t)
+        assert (int(z), int(r), int(c)) == (12, 4095, 0)
+
+    def test_world_corners_z1(self):
+        # NW corner of the world is tile (z=1, row=0, col=0)
+        assert int(T.tile_of_point(-(1 << 31), (1 << 31) - 1, 1)) == int(T.pack(1, 0, 0))
+        # SE corner is (1,1)
+        assert int(T.tile_of_point((1 << 31) - 1, -(1 << 31), 1)) == int(T.pack(1, 1, 1))
+
+    @given(x=COORD, y=COORD, z=st.integers(min_value=1, max_value=12))
+    @settings(max_examples=200, deadline=None)
+    def test_tile_contains_point(self, x, y, z):
+        t = int(T.tile_of_point(x, y, z))
+        zz, r, c = (t >> 24), (t >> 12) & 0xFFF, t & 0xFFF
+        size = 1 << (32 - z)
+        minx = (c << (32 - z)) - (1 << 31)
+        maxy = ((1 << 31) - 1) - (r << (32 - z))
+        assert zz == z and minx <= x < minx + size and maxy - size < y <= maxy
+
+    @given(x=COORD, y=COORD)
+    @settings(max_examples=100, deadline=None)
+    def test_zoomed_out_consistent(self, x, y):
+        t12 = T.tile_of_point(x, y, 12)
+        for z in (9, 6, 3, 0):
+            assert int(T.zoomed_out(t12, z)) == int(T.tile_of_point(x, y, z))
+
+    @given(x=COORD, y=COORD)
+    @settings(max_examples=100, deadline=None)
+    def test_point_quad_single_tile(self, x, y):
+        q = int(T.quad_from_bbox(x, y, x, y, 12))
+        tiles = T.quad_tiles(q)
+        assert len(tiles) == 1 and tiles[0] == int(T.tile_of_point(x, y, 12))
+
+    @given(minx=COORD, miny=COORD, w=st.integers(0, 1 << 30), h=st.integers(0, 1 << 30))
+    @settings(max_examples=200, deadline=None)
+    def test_quad_covers_bbox(self, minx, miny, w, h):
+        maxx = min(minx + w, (1 << 31) - 1)
+        maxy = min(miny + h, (1 << 31) - 1)
+        q = int(T.quad_from_bbox(minx, miny, maxx, maxy, 12))
+        tiles = set(T.quad_tiles(q))
+        assert 1 <= len(tiles) <= 4
+        z = (q >> 24) & 0xF
+        # all four bbox corners land in quad tiles
+        for cx in (minx, maxx):
+            for cy in (miny, maxy):
+                assert int(T.tile_of_point(cx, cy, z)) in tiles
+
+    def test_quad_union_covers_both(self):
+        qa = int(T.quad_from_bbox(0, 0, 100, 100, 12))
+        qb = int(T.quad_from_bbox(1 << 28, 1 << 28, (1 << 28) + 5, (1 << 28) + 5, 12))
+        qu = T.quad_union(qa, qb)
+        zu = (qu >> 24) & 0xF
+        for t in T.quad_tiles(qa) + T.quad_tiles(qb):
+            assert int(T.zoomed_out(np.int64(t), zu)) in set(T.quad_tiles(qu))
+
+
+class TestCatalog:
+    def _catalog(self, max_tiles=10, min_density=100):
+        # 3 hot z12 tiles + background
+        rng = np.random.default_rng(7)
+        xs = rng.integers(-(1 << 31), (1 << 31) - 1, 5000)
+        ys = rng.integers(-(1 << 31), (1 << 31) - 1, 5000)
+        t12 = T.tile_of_point(xs, ys, 12)
+        hot = T.tile_of_point(np.array([5, 5, 5]), np.array([5, 6, 7]), 12)
+        t12 = np.concatenate([t12, np.repeat(hot, 400)])
+        uniq, cnt = np.unique(t12, return_counts=True)
+        return K.build_catalog(uniq, cnt, max_tiles=max_tiles, min_density=min_density), uniq, cnt
+
+    def test_root_always_kept(self):
+        cat, _, _ = self._catalog(max_tiles=1)
+        assert int(T.pack(0, 0, 0)) in cat.tiles.tolist()
+
+    def test_piles_dense_from_2(self):
+        cat, _, _ = self._catalog()
+        assert cat.piles.min() == 2 and cat.piles.max() == len(cat) + 1
+
+    def test_pile_lookup_prefers_finest(self):
+        cat, _, _ = self._catalog(max_tiles=50, min_density=100)
+        # the hot z12 tile must be kept and points in it must map to it
+        px, py = np.array([5]), np.array([5])
+        pile = cat.pile_of_point(px, py)[0]
+        assert int(T.tile_of_pile(int(pile)) if False else cat.tile_of_pile(int(pile))) == int(
+            T.tile_of_point(px, py, 12)[0]
+        )
+
+    def test_every_point_resolves(self):
+        cat, _, _ = self._catalog()
+        rng = np.random.default_rng(11)
+        xs = rng.integers(-(1 << 31), (1 << 31) - 1, 1000)
+        ys = rng.integers(-(1 << 31), (1 << 31) - 1, 1000)
+        piles = cat.pile_of_point(xs, ys)
+        assert (piles >= 2).all()  # root catches everything
+
+    def test_max_tiles_cap(self):
+        cat, _, _ = self._catalog(max_tiles=5)
+        assert len(cat) <= 5
+
+
+class TestGeometry:
+    SQUARE = np.array([[0, 0], [10, 0], [10, 10], [0, 10]])
+
+    def test_square(self):
+        inside = G.points_in_ring(np.array([5, 15, -1]), np.array([5, 5, 5]), self.SQUARE)
+        assert inside.tolist() == [True, False, False]
+
+    def test_hole(self):
+        hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]])
+        res = G.points_in_polygon(np.array([5, 2]), np.array([5, 2]), self.SQUARE, [hole])
+        assert res.tolist() == [False, True]
+
+    def test_concave(self):
+        u_shape = np.array([[0, 0], [30, 0], [30, 30], [20, 30], [20, 10], [10, 10], [10, 30], [0, 30]])
+        res = G.points_in_ring(np.array([5, 15, 25]), np.array([20, 20, 20]), u_shape)
+        assert res.tolist() == [True, False, True]
+
+    def test_area_ccw_positive(self):
+        assert G.ring_area2(self.SQUARE) == 200.0
+
+    def test_length(self):
+        assert G.polyline_length(np.array([0, 3, 3]), np.array([0, 4, 8])) == 9.0
+
+
+class TestImage:
+    def test_lossless_roundtrip(self):
+        px = I.generate_pixels(42, 16, 12)
+        for fmt in ("raw", "png"):
+            out = I.decode(I.encode(px, fmt), 16, 12, fmt)
+            assert np.array_equal(px, out)
+            assert I.psnr(px, out) == float("inf")
+
+    def test_lossy_psnr_gate(self):
+        px = I.generate_pixels(7, 32, 32)
+        out = I.decode(I.encode(px, "jpg"), 32, 32, "jpg")
+        assert I.psnr(px, out) >= 25.0  # stand-in codec; gate checked per-fmt
+
+    def test_phash_stability_under_lossy(self):
+        px = I.generate_pixels(9, 64, 64)
+        out = I.decode(I.encode(px, "jpg"), 64, 64, "jpg")
+        assert I.hamming64(I.phash64(px), I.phash64(out)) <= 8
+
+    def test_phash_distinguishes(self):
+        a = I.phash64(I.generate_pixels(1, 32, 32))
+        b = I.phash64(I.generate_pixels(2, 32, 32))
+        assert I.hamming64(a, b) > 8
