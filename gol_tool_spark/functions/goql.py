@@ -1,0 +1,115 @@
+"""GOQL (Geographic Object Query Language) subset -> Spark Column compiler.
+
+Capability parity: the reference's query language (B1): CSS-like feature
+selectors `na[amenity=pub][name]`, consumed by `features.select(goql)`
+(QueryCommand.java:171; language documented at docs.geodesk.com/goql, README.md:19).
+
+Supported subset (covers the reference's documented clause forms):
+    types:    n w a r  (node/way/area/relation), '*' = all
+    clauses:  [k]        key present
+              [!k]       key absent
+              [k=v]      equals (v bare, "quoted", or number)
+              [k!=v]     not equals
+              [k=val*]   / [k=*fix] / [k=*mid*]  wildcard
+              [k~re]     regex match
+              [k>n] [k>=n] [k<n] [k<=n]  numeric compare (try_cast semantics:
+                         non-numeric tag values never match — reference treats
+                         tag values as packed numbers when numeric-looking,
+                         StringTableBuilder.java:152-164)
+    unions:   sel1, sel2   (OR of selectors — compiled into ONE predicate,
+                            a single scan pass, not a union of scans)
+
+The compiled result is a pure Column expression over (ftype: string,
+tags: map<string,string>) — fully JVM-side, inside whole-stage codegen, so
+GOQL filters ride predicate pushdown like any native filter.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?P<types>\*|[nwar]+)\s*(?P<clauses>(?:\[[^\]]*\])*)\s*$"""
+)
+_CLAUSE_RE = re.compile(r"\[([^\]]*)\]")
+_COND_RE = re.compile(
+    r"""^\s*(?P<neg>!)?\s*(?P<key>[A-Za-z_][\w:.-]*)\s*
+        (?:(?P<op>!=|>=|<=|=|>|<|~)\s*(?P<val>.*?))?\s*$""",
+    re.VERBOSE,
+)
+
+
+class GoqlError(ValueError):
+    pass
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]
+    return v
+
+
+def _compile_clause(cond: str, tags: Column) -> Column:
+    m = _COND_RE.match(cond)
+    if not m:
+        raise GoqlError(f"bad clause [{cond}]")
+    key, op, neg = m.group("key"), m.group("op"), m.group("neg")
+    tag = tags.getItem(key)
+    if op is None:
+        # [k] presence / [!k] absence
+        present = tag.isNotNull() & (tag != F.lit("no"))
+        return ~tag.isNotNull() if neg else present
+    if neg:
+        raise GoqlError(f"'!' only valid for absence tests: [{cond}]")
+    val = _unquote(m.group("val") or "")
+    if op == "=" and "*" in val:
+        pat = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+        return tag.isNotNull() & tag.like(pat)
+    if op == "~":
+        return tag.isNotNull() & tag.rlike(val)
+    if op in (">", ">=", "<", "<="):
+        num = F.try_cast(tag, "double") if hasattr(F, "try_cast") else tag.cast("double")
+        try:
+            fval = float(val)
+        except ValueError as e:
+            raise GoqlError(f"numeric compare needs a number: [{cond}]") from e
+        return {
+            ">": num > fval, ">=": num >= fval,
+            "<": num < fval, "<=": num <= fval,
+        }[op]
+    if op == "=":
+        return tag == F.lit(val)
+    if op == "!=":
+        # reference semantics: matches when tag is absent OR differs
+        return tag.isNull() | (tag != F.lit(val))
+    raise GoqlError(f"unsupported op {op!r}")
+
+
+def _compile_selector(sel: str, ftype: Column, tags: Column) -> Column:
+    m = _TOKEN_RE.match(sel)
+    if not m:
+        raise GoqlError(f"bad selector {sel!r}")
+    types = m.group("types")
+    cond = F.lit(True) if types == "*" else ftype.isin(*list(types))
+    for clause in _CLAUSE_RE.findall(m.group("clauses") or ""):
+        cond = cond & _compile_clause(clause, tags)
+    return cond
+
+
+def compile_goql(
+    goql: str, ftype: Column | str = "ftype", tags: Column | str = "tags"
+) -> Column:
+    """Compile a GOQL selector list into one boolean Column."""
+    ftype = F.col(ftype) if isinstance(ftype, str) else ftype
+    tags = F.col(tags) if isinstance(tags, str) else tags
+    selectors = [s for s in goql.split(",") if s.strip()]
+    if not selectors:
+        raise GoqlError("empty GOQL query")
+    out = _compile_selector(selectors[0], ftype, tags)
+    for s in selectors[1:]:
+        out = out | _compile_selector(s, ftype, tags)
+    return out

@@ -1,0 +1,98 @@
+"""Tile math as Spark Column expressions (JVM-side, codegen-friendly).
+
+Mirrors kernels/tile.py bit-for-bit (unit tests assert agreement).  Staying
+in built-in functions keeps tile assignment inside WholeStageCodegen — no
+Python boundary on the 100 TB hot path; the numpy kernels remain the oracle
+and the pandas-UDF fallback.
+
+Reference parity: C1 node->tile point join (build/Sorter.java:362-383),
+Tile.fromColumnRowZoom/zoomedOut (build/TileCatalog.java:201-228).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORLD = 1 << 32
+HALF = 1 << 31
+TILE_ZOOM_MULT = 1 << 24  # zoom field shift in packed tile id
+TILE_ROW_MULT = 1 << 12
+
+
+def _big(c: Column) -> Column:
+    return c.cast("bigint")
+
+
+def tile_col(x: Column, zoom: int) -> Column:
+    """Column index of the zoom-z tile containing grid x."""
+    if zoom == 0:
+        return F.lit(0).cast("bigint")
+    return F.shiftright(_big(x) + F.lit(HALF), 32 - zoom)
+
+
+def tile_row(y: Column, zoom: int) -> Column:
+    """Row index (row 0 = north edge)."""
+    if zoom == 0:
+        return F.lit(0).cast("bigint")
+    return F.shiftright(F.lit(HALF - 1) - _big(y), 32 - zoom)
+
+
+def tile_of_point(x: Column, y: Column, zoom: int) -> Column:
+    """Packed tile id zoom<<24 | row<<12 | col."""
+    return (
+        F.lit(zoom * TILE_ZOOM_MULT).cast("bigint")
+        + tile_row(y, zoom) * F.lit(TILE_ROW_MULT)
+        + tile_col(x, zoom)
+    )
+
+
+def zoomed_out(tile: Column, from_zoom: int, to_zoom: int) -> Column:
+    """Parent tile id at a coarser zoom."""
+    dz = from_zoom - to_zoom
+    row = F.shiftright(F.shiftright(_big(tile), 12).bitwiseAND(F.lit(0xFFF)), dz)
+    col = F.shiftright(_big(tile).bitwiseAND(F.lit(0xFFF)), dz)
+    return F.lit(to_zoom * TILE_ZOOM_MULT).cast("bigint") + row * F.lit(TILE_ROW_MULT) + col
+
+
+def tile_zoom(tile: Column) -> Column:
+    return F.shiftright(_big(tile), 24)
+
+
+def tile_bounds(tile: Column, zoom: int) -> tuple[Column, Column, Column, Column]:
+    """(minx, miny, maxx, maxy) of a packed tile id at known zoom."""
+    size = 1 << (32 - zoom)
+    col = _big(tile).bitwiseAND(F.lit(0xFFF))
+    row = F.shiftright(_big(tile), 12).bitwiseAND(F.lit(0xFFF))
+    minx = col * F.lit(size) - F.lit(HALF)
+    maxy = F.lit(HALF - 1) - row * F.lit(size)
+    return minx, maxy - F.lit(size - 1), minx + F.lit(size - 1), maxy
+
+
+def bbox_overlaps(
+    minx: Column, miny: Column, maxx: Column, maxy: Column,
+    qminx: int, qminy: int, qmaxx: int, qmaxy: int,
+) -> Column:
+    """Bbox predicate for query scopes (B2); pure comparisons -> pushed to
+    the scan by Catalyst (PushedFilters on min/max stat columns)."""
+    return (
+        (minx <= F.lit(qmaxx)) & (maxx >= F.lit(qminx))
+        & (miny <= F.lit(qmaxy)) & (maxy >= F.lit(qminy))
+    )
+
+
+def tiles_covering_bbox(qminx: int, qminy: int, qmaxx: int, qmaxy: int, zoom: int) -> list[int]:
+    """Driver-side tile enumeration for partition pruning — the Spark
+    equivalent of the reference's TileIndexWalker (GolCommand.java:131-144):
+    the resulting id list becomes `tile IN (...)`, which Catalyst turns into
+    partition pruning on tile-partitioned tables."""
+    size = 1 << (32 - zoom)
+    c0 = (qminx + HALF) >> (32 - zoom)
+    c1 = (qmaxx + HALF) >> (32 - zoom)
+    r0 = ((HALF - 1) - qmaxy) >> (32 - zoom)
+    r1 = ((HALF - 1) - qminy) >> (32 - zoom)
+    return [
+        zoom * TILE_ZOOM_MULT + r * TILE_ROW_MULT + c
+        for r in range(r0, r1 + 1)
+        for c in range(c0, c1 + 1)
+    ]

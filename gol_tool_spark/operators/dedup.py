@@ -1,0 +1,238 @@
+"""Deduplication suite: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Training-data-pipeline operators (not in the reference).  Scale design:
+  * exact: hash-groupBy on md5(normalized) — one shuffle on a 128-bit key.
+  * ngram-Jaccard: shingle explode -> self-join on shingle -> pair agg.
+    The shingle join is the classic quadratic risk: hot shingles are capped
+    (drop shingles appearing in > max_df docs — they carry no signal),
+    which bounds the join fan-out; at 100 TB this plus AQE skew split keeps
+    partitions even.
+  * MinHash+LSH: signatures via md5-derived 60-bit integer hashes and k
+    universal-hash permutations, banded into b buckets; candidate pairs
+    only within equal (band, band-signature) buckets -> near-linear.
+  * SimHash: 64-bit weighted-bit fingerprint per doc via an Arrow-batched
+    pandas UDF (numpy popcount math), near-dups = hamming<=3 within
+    16-bit-prefix buckets.
+  * embedding cosine: exact within small blocks (label), quantized integer
+    dot products for engine/oracle determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def normalized(text_col: str = "text"):
+    return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 fingerprint groups with >1 member; canonical doc =
+    min doc_id (the survivor)."""
+    return (
+        df.select(F.col("doc_id"), F.md5(normalized(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles, distinct per doc: (doc_id, shingle)."""
+    words = F.split(normalized(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 5, threshold: float = 0.5, max_df: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard >= threshold."""
+    sh = shingles(df, n, text_col)
+    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    sh = sh.filter(F.col("df") <= max_df).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def _shingle_hash() -> F.Column:
+    """60-bit integer hash of a shingle string: first 15 hex chars of md5.
+    JVM-side (md5 + conv), no Python."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 13) -> DataFrame:
+    """MinHash signature per doc: min over shingles of (a_i*h + b_i) mod M61
+    for num_hashes universal-hash permutations. Output (doc_id, sig array)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE61, num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE61, num_hashes, dtype=np.int64)
+    h = _shingle_hash()
+    hashed = sh.withColumn("h", h)
+
+    @F.pandas_udf(Ty.ArrayType(Ty.LongType()))
+    def perms(hs: pd.Series) -> pd.Series:
+        hv = hs.to_numpy(np.int64)
+        # (a*h + b) mod M61 via python-int exact math on the small batch
+        out = ((hv[:, None].astype(object) * a[None, :] + b[None, :]) % MERSENNE61)
+        return pd.Series(list(out.astype(np.int64)))
+
+    exploded = hashed.withColumn("perm", perms(F.col("h")))
+    agg = exploded.groupBy("doc_id").agg(
+        F.array(*[F.min(F.element_at("perm", i + 1)) for i in range(num_hashes)]).alias("sig")
+    )
+    return agg
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash LSH: band the signature, bucket-join, verify with signature
+    Jaccard estimate >= threshold. bands=16 x rows=4 -> s-curve ~0.5."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, n, text_col)
+    sig = minhash_signatures(sh, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.hash(*[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from word n-gram shingle hashes; Arrow-batched
+    grouped aggregation (numpy bit math), Python only on collected shingle
+    hashes per doc (bounded by doc length)."""
+    sh = shingles(df, n, text_col).withColumn("h", _shingle_hash())
+    per_doc = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    @F.pandas_udf(Ty.LongType())
+    def sim(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), np.int64)
+        for i, lst in enumerate(hs):
+            hv = np.asarray(lst, np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = bits.sum(0) * 2 - len(hv)
+            word = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(word)
+        return pd.Series(out)
+
+    return per_doc.select("doc_id", sim(F.col("hs")).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, n: int = 3) -> DataFrame:
+    """Near-dup pairs: bucket by each of the four 16-bit simhash quarters
+    (pigeonhole: hamming<=3 pairs share at least one exact quarter), then
+    verify hamming distance."""
+    sg = simhash(df, n)
+    quarters = sg.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("q"),
+                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99, scale: int = 1000) -> DataFrame:
+    """Embedding-cosine near-dups on quantized integer vectors (exact,
+    engine-independent math): pairs within the same `label` block with
+    cosine >= threshold. Blocks bound the quadratic term; the all-pairs
+    variant is ann.cosine_topk with a high threshold."""
+    q = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda v: F.round(v.cast("double") * scale).cast("bigint")).alias("q"),
+    )
+    norm = F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+    q = q.withColumn("n2", norm)
+    a, b = q.alias("a"), q.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round("cos", 6).alias("cos_r"))
+    )

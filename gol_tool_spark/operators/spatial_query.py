@@ -1,0 +1,146 @@
+"""Query-path operators: bbox scope, GOQL filter, polygon-intersects, kNN.
+
+Reference parity: B2 bbox predicate (QueryCommand.java:176-179), B1 GOQL
+selector (QueryCommand.java:171), B3/C10 polygon intersects filter
+(QueryCommand.java:172-175, GolCommand.java:131-144 tile walk + exact test),
+kNN is the cell-ring extension mandated by BASELINE.json (not in reference).
+
+Scale notes:
+  * bbox scope = tile-IN-list (partition pruning, the TileIndexWalker
+    analogue) AND'd with the exact coordinate range — on a tile-partitioned
+    table Catalyst prunes files before reading them.
+  * polygon test is two-phase: broadcast bbox prefilter (JVM, codegen) then
+    the exact ray-cast only on candidates, as an Arrow-batched pandas UDF
+    over the (small) candidate set — mirroring the reference's
+    tile-prune-then-exact-filter design.
+  * kNN: brute force is the oracle; the scale path buckets by z-cell and
+    searches the 3x3 cell ring via a grouped applyInPandas, so cost is
+    O(points-in-ring), not O(all points).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from ..functions import spatial as S
+from ..functions.goql import compile_goql
+from ..kernels import geometry as G
+
+
+def bbox_query(
+    points_tiled: DataFrame,
+    minx: int, miny: int, maxx: int, maxy: int,
+    zoom: int = 12,
+    goql: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """B2 (+B1, F1): tile-pruned bbox scope + optional GOQL + limit."""
+    tiles = S.tiles_covering_bbox(minx, miny, maxx, maxy, zoom)
+    out = points_tiled
+    if len(tiles) <= 10000:  # IN-list prune only while the list stays sane
+        out = out.filter(F.col("tile").isin(tiles))
+    out = out.filter(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)
+    )
+    if goql:
+        # tables without an ftype column are all-nodes (the points table)
+        ftype = F.col("ftype") if "ftype" in out.columns else F.lit("n")
+        out = out.filter(compile_goql(goql, ftype=ftype))
+    if limit:
+        out = out.limit(limit)
+    return out
+
+
+def points_in_polygon(
+    points: DataFrame,
+    exterior: list[tuple[int, int]],
+    holes: list[list[tuple[int, int]]] | None = None,
+) -> DataFrame:
+    """B3/C10: polygon-intersects for points. Phase 1: bbox prefilter
+    (JVM predicate). Phase 2: exact even-odd ray cast in an Arrow-batched
+    pandas UDF (vectorized numpy; the polygon rings ride in the closure —
+    the broadcast-small-side pattern)."""
+    ext = np.asarray(exterior, np.int64)
+    hls = [np.asarray(h, np.int64) for h in (holes or [])]
+    minx, miny = int(ext[:, 0].min()), int(ext[:, 1].min())
+    maxx, maxy = int(ext[:, 0].max()), int(ext[:, 1].max())
+
+    @F.pandas_udf(Ty.BooleanType())
+    def _inside(x: pd.Series, y: pd.Series) -> pd.Series:
+        res = G.points_in_polygon(x.to_numpy(np.int64), y.to_numpy(np.int64), ext, hls)
+        return pd.Series(res)
+
+    pre = points.filter(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)
+    )
+    return pre.filter(_inside(F.col("x"), F.col("y")))
+
+
+def knn_bruteforce(points: DataFrame, query_points: list[tuple[int, int, int]], k: int = 10) -> DataFrame:
+    """kNN oracle: exact k nearest points per query (qid, qx, qy) by
+    squared Euclidean grid distance, ties by point id. Broadcast the tiny
+    query side, window-rank per qid. O(N*Q) — correct, not the scale path."""
+    spark = points.sparkSession
+    q = spark.createDataFrame(query_points, "qid long, qx long, qy long")
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("id").asc())
+    return (
+        points.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "rank", "d2")
+    )
+
+
+def knn_cell_ring(
+    points_tiled: DataFrame,
+    query_points: list[tuple[int, int, int]],
+    k: int = 10,
+    zoom: int = 8,
+) -> DataFrame:
+    """Scale-path kNN: queries are replicated to their cell's 3x3 ring at a
+    coarse zoom; candidates = points co-located in any ring cell; exact
+    top-k inside each group via window. A query only scans its ring —
+    O(ring density), independent of table size. Falls back to correct-but-
+    partial results if k nearest extend beyond the ring (callers choose a
+    zoom whose cell width >> expected kth distance; planet default z8 cell
+    = 1/256 world width)."""
+    spark = points_tiled.sparkSession
+    rows = []
+    size = 1 << (32 - zoom)
+    for qid, qx, qy in query_points:
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                cx, cy = qx + dc * size, qy + dr * size
+                if -(1 << 31) <= cx < (1 << 31) and -(1 << 31) <= cy < (1 << 31):
+                    rows.append((qid, qx, qy, cx, cy))
+    ring = spark.createDataFrame(rows, "qid long, qx long, qy long, cx long, cy long")
+    ring = ring.withColumn("cell", S.tile_of_point(F.col("cx"), F.col("cy"), zoom)).select(
+        "qid", "qx", "qy", "cell"
+    ).dropDuplicates(["qid", "cell"])
+
+    pts = points_tiled.withColumn("cell", S.tile_of_point(F.col("x"), F.col("y"), zoom))
+    cand = pts.join(F.broadcast(ring), "cell", "inner")
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("id").asc())
+    return (
+        cand.withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "rank", "d2")
+    )

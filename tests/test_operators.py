@@ -1,0 +1,296 @@
+"""Spark operator tests on tiny data (sf0.001 + in-job fixtures)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.functions import spatial as S
+from gol_tool_spark.functions import synth
+from gol_tool_spark.functions.goql import GoqlError, compile_goql
+from gol_tool_spark.kernels import tile as KT
+from gol_tool_spark.operators import ann, dedup, relations, spatial_query, stats, text, tiling
+from gol_tool_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return synth.points_df(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def points_tiled(points):
+    return tiling.assign_points(points).cache()
+
+
+class TestTileColumnVsKernel:
+    def test_agreement(self, points_tiled):
+        pdf = points_tiled.select("x", "y", "tile").limit(2000).toPandas()
+        expect = KT.tile_of_point(pdf.x.to_numpy(np.int64), pdf.y.to_numpy(np.int64), 12)
+        assert (pdf.tile.to_numpy(np.int64) == expect).all()
+
+    def test_zoomed_out_agreement(self, spark, points_tiled):
+        df = points_tiled.select(
+            "tile", S.zoomed_out(F.col("tile"), 12, 6).alias("t6")
+        ).limit(500).toPandas()
+        expect = KT.zoomed_out(df.tile.to_numpy(np.int64), 6)
+        assert (df.t6.to_numpy(np.int64) == expect).all()
+
+
+class TestDensityCatalog:
+    def test_rollup_consistent(self, points_tiled):
+        d = tiling.density(points_tiled.select("x", "y"))
+        r = tiling.rollup(d)
+        totals = r.groupBy("zoom").agg(F.sum("cnt").alias("t")).collect()
+        n = points_tiled.count()
+        assert all(row.t == n for row in totals)
+
+    def test_catalog_skew_detected(self, points_tiled):
+        # hot cells must dominate the z12 density
+        d = tiling.density(points_tiled.select("x", "y"))
+        top = d.orderBy(F.col("cnt").desc()).limit(5).collect()
+        n = points_tiled.count()
+        hot_share = sum(r.cnt for r in top) / n
+        assert hot_share > 0.15  # 20% of points in 5 cells by construction
+
+    def test_catalog_topk_floor(self, points_tiled):
+        d = tiling.density(points_tiled.select("x", "y"))
+        cat = tiling.catalog_topk(tiling.rollup(d), max_tiles=10, min_density=50)
+        rows = cat.collect()
+        assert len(rows) <= 10
+        assert any(r.zoom == 0 for r in rows)  # root kept
+
+    def test_pile_assignment_resolves_all(self, points_tiled):
+        d = tiling.density(points_tiled.select("x", "y"))
+        cat = tiling.catalog_topk(tiling.rollup(d), max_tiles=20, min_density=50)
+        assigned = tiling.pile_assignment(points_tiled, cat)
+        assert assigned.filter(F.col("assigned_tile").isNull()).count() == 0
+
+
+class TestWayAssembly:
+    def test_cardinality_and_purgatory(self, spark, sf_dir, points_tiled):
+        mem = synth.membership_df(spark, sf_dir)
+        ways = tiling.way_assembly(mem, points_tiled)
+        purg = tiling.purgatory(mem, points_tiled)
+        n_mem = mem.count()
+        n_resolved = ways.agg(F.sum("n_nodes")).first()[0]
+        n_missing = purg.agg(F.sum("n_missing")).first()[0] or 0
+        assert n_resolved + n_missing == n_mem
+        assert n_missing > 0  # the dangling-ref path fires
+
+    def test_bbox_contains_members(self, spark, sf_dir, points_tiled):
+        mem = synth.membership_df(spark, sf_dir)
+        ways = tiling.way_assembly(mem, points_tiled).limit(5).collect()
+        for w in ways:
+            assert w.minx <= w.maxx and w.miny <= w.maxy
+
+
+class TestGoql:
+    def test_basic_filters(self, points_tiled):
+        df = points_tiled.withColumn("ftype", F.lit("n"))
+        n_all = df.count()
+        n_r = df.filter(compile_goql("n[returnflag=R]")).count()
+        assert 0 < n_r < n_all
+        n_or = df.filter(compile_goql("n[returnflag=R], n[returnflag=A]")).count()
+        assert n_or > n_r
+        n_num = df.filter(compile_goql("n[qty>30]")).count()
+        assert 0 < n_num < n_all
+        n_and = df.filter(compile_goql("n[returnflag=R][qty>30]")).count()
+        assert n_and < min(n_r, n_num) + 1
+
+    def test_wildcard_regex_presence(self, spark):
+        rows = [("n", {"name": "Blue Pub"}), ("w", {"highway": "primary"}), ("n", {})]
+        df = spark.createDataFrame(rows, "ftype string, tags map<string,string>")
+        assert df.filter(compile_goql("n[name=Blue*]")).count() == 1
+        assert df.filter(compile_goql("*[name~.*ub]")).count() == 1
+        assert df.filter(compile_goql("n[!name]")).count() == 1
+        assert df.filter(compile_goql("nw[highway]")).count() == 1
+        assert df.filter(compile_goql("n[name!=Red]")).count() == 2
+
+    def test_errors(self):
+        for bad in ("", "x[foo]", "n[>3]"):
+            with pytest.raises(GoqlError):
+                compile_goql(bad)
+
+
+class TestSpatialQuery:
+    def test_bbox_query_matches_naive(self, points_tiled):
+        box = (-(1 << 29), -(1 << 29), 1 << 29, 1 << 29)
+        fast = spatial_query.bbox_query(points_tiled, *box)
+        naive = points_tiled.filter(
+            (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+            & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+        )
+        assert fast.count() == naive.count()
+
+    def test_polygon_matches_kernel(self, points_tiled):
+        from gol_tool_spark.kernels import geometry as G
+
+        poly = fixtures.POLYGONS["concave-u"]
+        got = spatial_query.points_in_polygon(points_tiled, poly)
+        pdf = points_tiled.select("id", "x", "y").toPandas()
+        inside = G.points_in_ring(
+            pdf.x.to_numpy(np.int64), pdf.y.to_numpy(np.int64), np.asarray(poly, np.int64)
+        )
+        assert got.count() == int(inside.sum())
+
+    def test_knn_ring_matches_bruteforce(self, points_tiled):
+        qs = [(1, 0, 0), (2, 5_000_000, -3_000_000)]
+        bf = {(r.qid, r.rank): r.id for r in spatial_query.knn_bruteforce(points_tiled, qs, k=5).collect()}
+        ring = {(r.qid, r.rank): r.id for r in spatial_query.knn_cell_ring(points_tiled, qs, k=5, zoom=4).collect()}
+        assert bf == ring
+
+
+class TestRelations:
+    def test_fixed_point_with_cycles(self, spark):
+        rels = fixtures.relations_with_cycles(spark)
+        nodes = spark.createDataFrame(
+            [(9, 10, 10, 10, 10), (17, -5, -5, -5, -5), (25, 100, 7, 100, 7)],
+            "id long, minx long, miny long, maxx long, maxy long",
+        )
+        ways = spark.createDataFrame(
+            [(7, 0, 0, 50, 50), (15, -20, -20, -10, -10)],
+            "id long, minx long, miny long, maxx long, maxy long",
+        )
+        out = {r.rel_id: r for r in relations.resolve_bboxes(rels, nodes, ways).collect()}
+        assert out[1].resolved and out[1].minx == -5 and out[1].maxx == 10
+        assert out[2].resolved and out[2].minx == -20 and out[2].maxx == 50
+        # super-relation 3 covers 1 and 2
+        assert out[3].minx == -20 and out[3].maxx == 50 and out[3].miny == -20 and out[3].maxy == 50
+        # super-super 4 adds node 25
+        assert out[4].maxx == 100
+        # cycle 5<->6 and self-ref 7 and empty 8: no leaf members -> unresolved
+        assert not out[5].resolved and not out[6].resolved
+        assert not out[7].resolved and not out[8].resolved
+
+    def test_missing_members(self, spark):
+        rels = fixtures.relations_with_cycles(spark)
+        nodes = spark.createDataFrame([(9,), (17,), (25,)], "id long")
+        ways = spark.createDataFrame([(7,), (15,)], "id long")
+        mm = relations.missing_members(rels, nodes, ways).collect()
+        assert any(m.ref == 999999999 for m in mm)
+
+
+class TestStats:
+    def test_tally_others_row(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = stats.tally(orders, ["o_orderpriority"], min_fraction=0.15)
+        rows = out.collect()
+        total_in = orders.count()
+        assert abs(sum(r.tally for r in rows) - total_in) < 1e-6
+        labels = {r.o_orderpriority for r in rows}
+        assert "(others)" in labels or all(r.tally >= 0.15 * total_in for r in rows)
+
+    def test_tally_tags_pct(self, points_tiled):
+        out = stats.tally_tags(points_tiled.select("tags"))
+        per_key = out.groupBy("key").agg(F.round(F.sum("pct_of_key"), 1).alias("s")).collect()
+        assert all(abs(r.s - 100.0) < 0.5 for r in per_key)
+
+
+class TestTextDedup:
+    def test_quality_and_lang(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        q = text.quality_features(docs)
+        row = q.first()
+        assert row.n_tokens > 0 and row.avg_token_len > 0
+        lid = docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
+        assert lid.filter(F.col("lang_pred") == "und").count() < docs.count()
+
+    def test_exact_dedup_finds_injected(self, spark):
+        rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        groups = dedup.exact_dup_groups(df).collect()
+        assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_id == 1
+
+    def test_jaccard_and_minhash_consistent(self, spark):
+        base = "w%d " * 30
+        rows = [(i, (base % tuple(range(30))).strip()) for i in range(3)]
+        rows += [(10, ("w%d " * 30 % tuple(list(range(25)) + [90, 91, 92, 93, 94])).strip())]
+        rows += [(20, ("x%d " * 30 % tuple(range(30))).strip())]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.4)
+        jac_pairs = {(r.doc_a, r.doc_b) for r in jac.collect()}
+        assert (0, 1) in jac_pairs and (0, 20) not in jac_pairs
+        mh = dedup.minhash_lsh_pairs(df, n=3, threshold=0.4)
+        mh_pairs = {(r.doc_a, r.doc_b) for r in mh.collect()}
+        assert (0, 1) in mh_pairs and (0, 20) not in mh_pairs
+
+    def test_simhash_near_dups(self, spark):
+        words = " ".join(f"t{i}" for i in range(60))
+        almost = " ".join(f"t{i}" for i in range(59)) + " OTHER"
+        df = spark.createDataFrame(
+            [(1, words), (2, words), (3, "completely different text entirely " * 3)],
+            "doc_id long, text string",
+        )
+        pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_dups(df).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+class TestAnn:
+    def test_exact_topk_shape(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann.cosine_topk(emb, [0, 1, 2], k=5).collect()
+        assert len(out) == 15
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.rank, r.cos_r))
+        for rows in by_q.values():
+            rows.sort()
+            cs = [c for _, c in rows]
+            assert cs == sorted(cs, reverse=True)  # rank order == cos order
+
+    def test_lsh_recall_on_clustered(self, spark):
+        # planted near-duplicates: LSH must find them (driver embeddings are
+        # pure noise — top-cos ~0.33 — where bucketing is information-free,
+        # so recall is asserted on structured data, the regime ANN serves)
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((20, 64))
+        rows = []
+        vid = 0
+        for b in base:
+            for _ in range(6):
+                v = b + rng.standard_normal(64) * 0.15
+                rows.append((vid, [float(x) for x in v], int(vid % 20)))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        qids = [0, 6, 12]
+        exact = ann.cosine_topk(emb, qids, k=5)
+        approx = ann.ann_topk_lsh(emb, qids, k=5, nbits=10)
+        e = {(r.qid, r.nid) for r in exact.collect()}
+        a = {(r.qid, r.nid) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.8
+
+
+class TestImages:
+    def test_fixture_and_roundtrip(self, spark):
+        from gol_tool_spark.operators import multimodal
+
+        imgs = fixtures.images(spark, 60, partitions=4)
+        rt = multimodal.verify_roundtrip(imgs)
+        rows = rt.collect()
+        assert len(rows) == 60
+        assert all(r.psnr_ok for r in rows)
+        assert all(r.caption_ok for r in rows)
+        assert all(r.phash_dist == 0 for r in rows)  # stored phash matches decode
+
+    def test_resize_keeps_caption(self, spark):
+        from gol_tool_spark.operators import multimodal
+
+        imgs = fixtures.images(spark, 12, partitions=2)
+        rs = multimodal.resize(imgs, 8, 8)
+        out = rs.collect()
+        assert all(r.w == 8 and r.h == 8 for r in out)
+        caps_in = {r.image_id: r.caption for r in imgs.collect()}
+        assert all(caps_in[r.image_id] == r.caption for r in out)
+
+    def test_rasterize_tiles(self, spark):
+        from gol_tool_spark.operators import multimodal, tiling as TL
+
+        imgs = fixtures.images(spark, 40, partitions=2)
+        pts = fixtures.image_points(spark, 40)
+        placed = TL.assign_points(pts, zoom=2).join(imgs, "image_id")
+        ras = multimodal.rasterize_tiles(placed)
+        rows = ras.collect()
+        assert sum(r.n_images for r in rows) == 40
+        assert all(len(r.raster) == 64 for r in rows)
