@@ -122,12 +122,19 @@ FROM lineitem
 """
 
 
-def tile12_sql(x: str, y: str) -> str:
-    """Packed z12 tile id from x/y SQL expressions — exact in both engines
+def tile_sql(x: str, y: str, zoom: int = 12) -> str:
+    """Packed tile id from x/y SQL expressions — exact in both engines
     (operands < 2^53 so FLOOR over double division is exact)."""
-    col = f"CAST(FLOOR((({x}) + {HALF}) / {Z12_DIV}.0) AS BIGINT)"
-    row = f"CAST(FLOOR(({HALF - 1} - ({y})) / {Z12_DIV}.0) AS BIGINT)"
-    return f"(201326592 + {row} * 4096 + {col})"  # 12<<24 = 201326592
+    if zoom == 0:
+        return "0"
+    div = 1 << (32 - zoom)
+    col = f"CAST(FLOOR((({x}) + {HALF}) / {div}.0) AS BIGINT)"
+    row = f"CAST(FLOOR(({HALF - 1} - ({y})) / {div}.0) AS BIGINT)"
+    return f"({zoom * (1 << 24)} + {row} * 4096 + {col})"
+
+
+def tile12_sql(x: str, y: str) -> str:
+    return tile_sql(x, y, 12)
 
 
 def parent_tile_sql(tile: str, from_zoom: int, to_zoom: int) -> str:

@@ -88,9 +88,11 @@ def knn_bruteforce(points: DataFrame, query_points: list[tuple[int, int, int]], 
     query side, window-rank per qid. O(N*Q) — correct, not the scale path."""
     spark = points.sparkSession
     q = spark.createDataFrame(query_points, "qid long, qx long, qy long")
-    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
-        F.col("y") - F.col("qy")
-    ) * (F.col("y") - F.col("qy"))
+    # deltas squared in DOUBLE: |delta| can reach 2^32 whose square overflows
+    # int64; double is exact to 2^53 and bit-stable across engines
+    dx = (F.col("x") - F.col("qx")).cast("double")
+    dy = (F.col("y") - F.col("qy")).cast("double")
+    d2 = dx * dx + dy * dy
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("id").asc())
@@ -132,9 +134,9 @@ def knn_cell_ring(
 
     pts = points_tiled.withColumn("cell", S.tile_of_point(F.col("x"), F.col("y"), zoom))
     cand = pts.join(F.broadcast(ring), "cell", "inner")
-    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
-        F.col("y") - F.col("qy")
-    ) * (F.col("y") - F.col("qy"))
+    dx = (F.col("x") - F.col("qx")).cast("double")
+    dy = (F.col("y") - F.col("qy")).cast("double")
+    d2 = dx * dx + dy * dy
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("id").asc())
