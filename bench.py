@@ -1,0 +1,113 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "tiles+joined-rows/sec", "value": N, "unit": "rows/sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+The headline value is the BASELINE.json metric — (tile-assigned rows +
+spatial-join output rows) per second over the tiling + spatial-join stages.
+Per-query wall times are under "queries" (seconds).  Runs force full
+computation via noop writes (no driver collect bottleneck) except queries
+whose natural output is tiny (catalog, top-k), which collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from gol_tool_spark.functions import synth
+from gol_tool_spark.operators import ann, dedup, multimodal, spatial_query, tiling
+from gol_tool_spark.session import get_spark
+from gol_tool_spark.sources import fixtures
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "10000"))
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    spark = get_spark("gol-tool-spark-bench")
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    points = synth.points_df(spark, SF_DIR)
+    n_points = points.count()
+    pts_tiled = tiling.assign_points(points)
+
+    # -- tiling stage (C1 + A4/D2-D4 + pile routing)
+    timed("tile_assign", lambda: force(pts_tiled))
+    cat = tiling.catalog_topk(
+        tiling.rollup(tiling.density(pts_tiled.select("x", "y"))),
+        max_tiles=256, min_density=50,
+    )
+    timed("density_catalog", lambda: cat.collect())
+    timed("pile_assignment", lambda: force(tiling.pile_assignment(pts_tiled, cat)))
+
+    # -- spatial-join stage (C2 way assembly — the big shuffle join)
+    mem = synth.membership_df(spark, SF_DIR)
+    ways = tiling.way_assembly(mem, pts_tiled)
+    timed("way_assembly", lambda: force(ways))
+    n_join_rows = mem.count()
+
+    # -- query path
+    timed("bbox_goql", lambda: spatial_query.bbox_query(
+        pts_tiled, -(1 << 29), -(1 << 29), 1 << 29, 1 << 29,
+        goql="n[returnflag=R][qty>30]").count())
+    timed("pip_diamond", lambda: spatial_query.points_in_polygon(
+        pts_tiled, [(300000007, 0), (0, 300000007), (-300000007, 0), (0, -300000007)]).count())
+    timed("knn", lambda: spatial_query.knn_cell_ring(
+        pts_tiled, [(1, 0, 0), (2, 5_000_000, -3_000_000), (3, -1_200_000_000, 900_000_000)],
+        k=10, zoom=4).collect())
+
+    # -- relational core
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    timed("q1_pricing", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.sum(cents * (100 - disc)), F.count(F.lit(1))).collect())
+
+    # -- training-data ops
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, n=3, threshold=0.3).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("ann_cosine", lambda: ann.cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count())
+
+    # -- image payload pipeline (generate -> place -> verify)
+    imgs = fixtures.images(spark, N_IMAGES, partitions=64)
+    timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)))
+
+    tiling_sec = times["tile_assign"] + times["pile_assignment"]
+    join_sec = times["way_assembly"]
+    value = round((2 * n_points + n_join_rows) / (tiling_sec + join_sec), 1)
+    print(json.dumps({
+        "metric": "tiles+joined-rows/sec",
+        "value": value,
+        "unit": "rows/sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_points": n_points,
+        "n_join_rows": n_join_rows,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""The resumable build pipeline: analyze -> prepare -> sort -> validate ->
+compile, as checkpointed Spark jobs with per-partition lineage metrics.
+
+Reference parity: BuildCommand's stage machine
+(BuildCommand.java:36-49,150-161) persists state after each stage
+(state.txt, BuildCommand.java:240-265) and restarts a failed Validator from
+Sort.  Here every stage writes its output as parquet partitioned by the
+catalog pile plus a manifest row (stage, rows, bytes, wall seconds, per-
+partition row/byte counts) — a failed run re-enters at the first stage whose
+manifest is missing, exactly the reference's semantics with Iceberg-snapshot
+flavor (an Iceberg catalog slot-in replaces write_parquet with
+writeTo(...).createOrReplace()).
+
+Stage mapping (SURVEY.md §3.2):
+  analyze  = A2-A4 density + string frequency scans
+  prepare  = D3/D4 catalog build (collected: <=64k rows)
+  sort     = C1 pile assignment, written partitioned by pile (the
+             "pile file" IS the partitioned parquet layout)
+  validate = C2 way assembly + C6 purgatory routing (the shuffle join
+             delivers foreign coords, replacing the reference's proxy
+             machinery C7 — see SURVEY.md C7 note)
+  compile  = per-pile sorted write (sortWithinPartitions = the tile-local
+             layout the reference's FeatureTile serializer produces)
+
+Skew: the sort stage salts hot piles — pile fan-out is known from the
+catalog BEFORE the shuffle (the reference's density-driven trick,
+TileIndexBuilder.java:286-310), so rows in piles holding > salt_threshold
+rows get a salt suffix; downstream groupBys include the salt column. AQE
+skew-join stays on as the runtime safety net.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import synth
+from ..operators import tiling
+
+STAGES = ("analyze", "prepare", "sort", "validate", "compile")
+
+
+@dataclass
+class BuildConfig:
+    out_dir: str
+    sf_dir: str
+    max_tiles: int = 256
+    min_density: int = 50
+    salt_threshold: int = 200_000
+    salt_buckets: int = 8
+
+
+def _manifest_path(cfg: BuildConfig, stage: str) -> str:
+    return os.path.join(cfg.out_dir, f"_manifest_{stage}.json")
+
+
+def _write_manifest(cfg: BuildConfig, stage: str, df: DataFrame | None, t0: float, extra=None):
+    """Per-stage lineage: row/byte counts per partition file + totals."""
+    meta = {"stage": stage, "wall_sec": round(time.time() - t0, 3)}
+    if df is not None:
+        path = os.path.join(cfg.out_dir, stage)
+        files = df.sparkSession.read.parquet(path)
+        per_part = (
+            files.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        meta["partitions"] = [
+            {"file": os.path.basename(r.file), "rows": r.rows} for r in per_part
+        ]
+        meta["rows"] = int(sum(r.rows for r in per_part))
+        meta["bytes"] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+    if extra:
+        meta.update(extra)
+    with open(_manifest_path(cfg, stage), "w") as fh:
+        json.dump(meta, fh, indent=1)
+
+
+def stage_done(cfg: BuildConfig, stage: str) -> bool:
+    return os.path.exists(_manifest_path(cfg, stage))
+
+
+def run_build(spark: SparkSession, cfg: BuildConfig, force_from: str | None = None) -> dict:
+    """Run (or resume) the pipeline. Returns the stage->manifest dict.
+    force_from re-runs from that stage even if its manifest exists."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    forced = False
+    ran = []
+    for stage in STAGES:
+        if force_from == stage:
+            forced = True
+        if stage_done(cfg, stage) and not forced:
+            continue
+        forced = True  # later stages depend on this one: re-run them all
+        t0 = time.time()
+        fn = globals()[f"_stage_{stage}"]
+        fn(spark, cfg, t0)
+        ran.append(stage)
+    manifests = {}
+    for stage in STAGES:
+        with open(_manifest_path(cfg, stage)) as fh:
+            manifests[stage] = json.load(fh)
+    manifests["_ran"] = ran
+    return manifests
+
+
+def _stage_analyze(spark, cfg: BuildConfig, t0):
+    pts = tiling.assign_points(synth.points_df(spark, cfg.sf_dir))
+    dens = pts.groupBy("tile").agg(F.count(F.lit(1)).alias("cnt"))
+    dens.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "analyze"))
+    _write_manifest(cfg, "analyze", dens, t0)
+
+
+def _stage_prepare(spark, cfg: BuildConfig, t0):
+    dens = spark.read.parquet(os.path.join(cfg.out_dir, "analyze"))
+    cat = tiling.catalog_topk(tiling.rollup(dens), cfg.max_tiles, cfg.min_density)
+    # pile = dense ordinal by tile id; pile 1 = Purgatory (TileCatalog.java:69-71)
+    from pyspark.sql import Window
+
+    cat = cat.withColumn("pile", F.row_number().over(Window.orderBy("tile")) + 1)
+    cat.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "prepare"))
+    _write_manifest(cfg, "prepare", cat, t0)
+
+
+def _stage_sort(spark, cfg: BuildConfig, t0):
+    cat = spark.read.parquet(os.path.join(cfg.out_dir, "prepare"))
+    pts = tiling.assign_points(synth.points_df(spark, cfg.sf_dir))
+    assigned = tiling.pile_assignment(pts, cat.select("zoom", "tile"))
+    piled = assigned.join(
+        F.broadcast(cat.select(F.col("tile").alias("assigned_tile"), "pile", "cnt")),
+        "assigned_tile",
+    )
+    # pre-shuffle salting for piles known hot from the catalog counts
+    salted = piled.withColumn(
+        "salt",
+        F.when(
+            F.col("cnt") > cfg.salt_threshold,
+            F.pmod(F.col("id"), F.lit(cfg.salt_buckets)),
+        ).otherwise(F.lit(0)),
+    )
+    out = salted.select("id", "x", "y", "tile", "pile", "salt")
+    out.repartition("pile", "salt").write.mode("overwrite").partitionBy("pile").parquet(
+        os.path.join(cfg.out_dir, "sort")
+    )
+    _write_manifest(cfg, "sort", out, t0, extra={"salt_buckets": cfg.salt_buckets})
+
+
+def _stage_validate(spark, cfg: BuildConfig, t0):
+    pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort"))
+    mem = synth.membership_df(spark, cfg.sf_dir)
+    ways = tiling.way_assembly(mem, pts)
+    purg = tiling.purgatory(mem, pts).withColumn("pile", F.lit(1))
+    ways.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "validate"))
+    purg.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "validate_purgatory"))
+    _write_manifest(cfg, "validate", ways, t0, extra={"purgatory_ways": purg.count()})
+
+
+def _stage_compile(spark, cfg: BuildConfig, t0):
+    pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort"))
+    # tile-local layout: sorted within partitions by (tile, id) — the
+    # columnar analogue of FeatureTile's sorted struct layout (+ min/max
+    # stats giving the R-tree-like pruning, SURVEY.md §4)
+    out = pts.repartition("pile").sortWithinPartitions("tile", "id")
+    out.write.mode("overwrite").partitionBy("pile").parquet(os.path.join(cfg.out_dir, "compile"))
+    _write_manifest(cfg, "compile", out, t0)

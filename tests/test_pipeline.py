@@ -1,0 +1,124 @@
+"""Tests: resumable build pipeline, change stream, sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.plans import build_pipeline as BP
+from gol_tool_spark.sinks import writers
+from gol_tool_spark.streaming import changes as CH
+
+
+class TestBuildPipeline:
+    @pytest.fixture()
+    def cfg(self, tmp_path, sf_dir):
+        return BP.BuildConfig(out_dir=str(tmp_path / "gol"), sf_dir=sf_dir,
+                              max_tiles=30, min_density=20, salt_threshold=100)
+
+    def test_full_run_and_resume(self, spark, cfg):
+        m1 = BP.run_build(spark, cfg)
+        assert m1["_ran"] == list(BP.STAGES)
+        assert m1["sort"]["rows"] == m1["compile"]["rows"] > 0
+        assert m1["validate"]["purgatory_ways"] > 0
+        assert all("partitions" in m1[s] for s in ("analyze", "sort", "compile"))
+        # resume: nothing re-runs
+        m2 = BP.run_build(spark, cfg)
+        assert m2["_ran"] == []
+        # force from validate: validate + compile re-run, sort untouched
+        m3 = BP.run_build(spark, cfg, force_from="validate")
+        assert m3["_ran"] == ["validate", "compile"]
+
+    def test_sorted_layout_and_salt(self, spark, cfg):
+        BP.run_build(spark, cfg)
+        comp = spark.read.parquet(os.path.join(cfg.out_dir, "compile"))
+        assert set(comp.columns) >= {"id", "x", "y", "tile", "pile", "salt"}
+        # every point routed to a pile >= 2 (purgatory pile 1 is for features)
+        assert comp.filter(F.col("pile") < 2).count() == 0
+        # hot piles (cnt>threshold) got salted into >1 bucket
+        n_salted = comp.filter(F.col("salt") > 0).count()
+        assert n_salted > 0
+
+    def test_lineage_manifest_shape(self, spark, cfg):
+        BP.run_build(spark, cfg)
+        with open(os.path.join(cfg.out_dir, "_manifest_sort.json")) as fh:
+            m = json.load(fh)
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+        assert m["bytes"] > 0 and m["wall_sec"] > 0
+
+
+class TestChangeStream:
+    def test_upsert_delete_merge(self, spark, tmp_path):
+        changes = tmp_path / "changes"
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        changes.mkdir()
+        (changes / "c1.json").write_text(
+            '{"op": "upsert", "id": 1, "x": 100, "y": 200}\n'
+            '{"op": "upsert", "id": 2, "x": -500, "y": 900}\n'
+        )
+        q = CH.apply_changes(spark, str(changes), store, ckpt)
+        q.awaitTermination(60)
+        got = {r.id: (r.x, r.y) for r in spark.read.parquet(store).collect()}
+        assert got == {1: (100, 200), 2: (-500, 900)}
+        # second batch: modify 1, delete 2, add 3
+        (changes / "c2.json").write_text(
+            '{"op": "upsert", "id": 1, "x": 111, "y": 222}\n'
+            '{"op": "delete", "id": 2, "x": 0, "y": 0}\n'
+            '{"op": "upsert", "id": 3, "x": 7, "y": 8}\n'
+        )
+        q = CH.apply_changes(spark, str(changes), store, ckpt)
+        q.awaitTermination(60)
+        got = {r.id: (r.x, r.y) for r in spark.read.parquet(store).collect()}
+        assert got == {1: (111, 222), 3: (7, 8)}
+        # tiles recomputed on upsert
+        t = {r.id: r.tile for r in spark.read.parquet(store).collect()}
+        from gol_tool_spark.kernels import tile as KT
+
+        assert t[1] == int(KT.tile_of_point(111, 222, 12))
+
+
+class TestSinks:
+    @pytest.fixture(scope="class")
+    def pts(self, spark):
+        return spark.createDataFrame(
+            [(1, 0, 0, "R"), (2, 1 << 30, -(1 << 30), "A")],
+            "id long, x long, y long, flag string",
+        )
+
+    def test_list(self, pts):
+        lines = {r.line for r in writers.list_format(pts).collect()}
+        assert lines == {"node/1", "node/2"}
+
+    def test_csv_lonlat(self, pts):
+        rows = writers.csv_format(pts, ["id", "lon", "lat"]).collect()
+        by_id = {r.id: (r.lon, r.lat) for r in rows}
+        assert by_id[1] == (0.0, 0.0)
+        assert abs(by_id[2][0] - 90.0) < 1e-6  # x = 2^30 = quarter world east
+        assert abs(by_id[2][1] + 66.51326) < 1e-4
+
+    def test_geojson_valid(self, pts):
+        out = [r.feature for r in writers.geojson_format(pts).collect()]
+        feats = [json.loads(s) for s in out]
+        assert all(f["type"] == "Feature" for f in feats)
+        g = {f["id"]: f["geometry"]["coordinates"] for f in feats}
+        assert g[1] == [0.0, 0.0]
+        assert any(abs(c[0] - 90.0) < 1e-6 for c in [g[2]])
+
+    def test_wkt(self, pts):
+        w = {r.wkt for r in writers.wkt_format(pts).collect()}
+        assert "POINT (0.0 0.0)" in w
+
+    def test_count_and_poly(self, spark, pts):
+        assert writers.count_format(pts) == 2
+        ring = spark.createDataFrame(
+            [(0, 0, 0), (1, 1 << 30, 0), (2, 1 << 30, 1 << 30), (3, 0, 1 << 30)],
+            "seq int, x long, y long",
+        )
+        poly = writers.poly_format(ring, "test")
+        assert poly.startswith("test\n1\n") and poly.endswith("END\nEND")
+        assert len(poly.splitlines()) == 8
