@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
-MERSENNE61 = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1
 
 
 def normalized(text_col: str = "text"):
@@ -93,26 +93,21 @@ def _shingle_hash() -> F.Column:
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64, seed: int = 13) -> DataFrame:
-    """MinHash signature per doc: min over shingles of (a_i*h + b_i) mod M61
-    for num_hashes universal-hash permutations. Output (doc_id, sig array)."""
+    """MinHash signature per doc: min over shingles of (a_i*h + b_i) mod M31
+    for num_hashes universal-hash permutations over the Mersenne prime
+    2^31-1 — operands stay under 2^62 so the whole family runs as JVM
+    bigint expressions inside one map-side-combined groupBy: zero Python,
+    one shuffle, scales like any hash aggregate."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE61, num_hashes, dtype=np.int64)
-    b = rng.integers(0, MERSENNE61, num_hashes, dtype=np.int64)
-    h = _shingle_hash()
-    hashed = sh.withColumn("h", h)
-
-    @F.pandas_udf(Ty.ArrayType(Ty.LongType()))
-    def perms(hs: pd.Series) -> pd.Series:
-        hv = hs.to_numpy(np.int64)
-        # (a*h + b) mod M61 via python-int exact math on the small batch
-        out = ((hv[:, None].astype(object) * a[None, :] + b[None, :]) % MERSENNE61)
-        return pd.Series(list(out.astype(np.int64)))
-
-    exploded = hashed.withColumn("perm", perms(F.col("h")))
-    agg = exploded.groupBy("doc_id").agg(
-        F.array(*[F.min(F.element_at("perm", i + 1)) for i in range(num_hashes)]).alias("sig")
+    a = rng.integers(1, MERSENNE31, num_hashes).tolist()
+    b = rng.integers(0, MERSENNE31, num_hashes).tolist()
+    hashed = sh.withColumn("h", _shingle_hash() % MERSENNE31)
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min((F.col("h") * a[i] + b[i]) % MERSENNE31).alias(f"_m{i}") for i in range(num_hashes)]
     )
-    return agg
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(

@@ -43,6 +43,29 @@ class TestBuildPipeline:
         n_salted = comp.filter(F.col("salt") > 0).count()
         assert n_salted > 0
 
+    def test_store_scan_pushdown(self, spark, cfg):
+        """The compiled store must serve bbox queries with parquet-level
+        predicate pushdown + partition pruning — the R-tree/tile-walk
+        analogue (SURVEY.md §4). Derived columns can't push down; the
+        materialized store exists exactly so they do."""
+        BP.run_build(spark, cfg)
+        store = spark.read.parquet(os.path.join(cfg.out_dir, "compile"))
+        q = store.filter(
+            (F.col("x") >= -1000000) & (F.col("x") <= 1000000)
+            & (F.col("y") >= -1000000) & (F.col("y") <= 1000000)
+        )
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(x,-1000000)" in plan
+        # partition pruning on the pile partition column
+        q2 = store.filter(F.col("pile") == 2)
+        plan2 = q2._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters" in plan2 and "pile" in plan2
+
     def test_lineage_manifest_shape(self, spark, cfg):
         BP.run_build(spark, cfg)
         with open(os.path.join(cfg.out_dir, "_manifest_sort.json")) as fh:

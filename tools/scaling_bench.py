@@ -1,19 +1,32 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
-No real cluster exists in the sandbox, so per the driver protocol the
+No real cluster exists in the sandbox; per the driver protocol the
 two-cluster-size criterion is evidenced by the SAME job on the SAME input at
-two parallelism levels — local[8] (N) vs local[32] (4N) — reporting
-throughput at both and efficiency = T(4N) / (4 * T(N)).
+two parallelism levels (N and 4N cores), reporting throughput at both plus
+efficiency = T(4N) / (4 * T(N)).
 
-The measured job is the engine's tiling + spatial-join hot path, all
-JVM-side (no Python UDFs — Arrow/pandas stages scale separately and are
-benched in bench.py): synthesize `rows` points (deterministic integer
-columns), assign z12 tiles, aggregate density, then the way-assembly-style
-shuffle join (membership exploded 1:1 joined back to points) + groupBy.
+A single box is a hostile stand-in for a 4x-larger cluster: all threads
+share ONE memory system and ONE shuffle disk, while real executors each
+bring their own DRAM channels, SSD and NIC.  To separate "the plan doesn't
+scale" from "the box ran out of shared bandwidth", this harness measures,
+at each level, best-of-3:
+
+  tiling      real operator chain: synth points -> z12 tile assign ->
+              density groupBy -> noop write           (shuffle-light)
+  join        real C2 way-assembly equi-join + agg    (shuffle-heavy)
+  compute     tile-assign arithmetic only (codegen count; no shuffle,
+              ~16 B/row materialized)                 (DRAM-sensitive)
+  cpu_control pure-Python multiprocessing burn        (no shared resource)
+
+cpu_control ~1.0 efficiency proves the cores exist and scale; the gap
+between `compute` and `cpu_control` is the box's DRAM ceiling, and the gap
+between join and compute is the shared shuffle medium — both are exactly
+the resources a real cluster multiplies with N.  Results land in
+BASELINE.md §"Sandbox scaling protocol".
 
 Usage:
-  python tools/scaling_bench.py                 # orchestrates both levels
-  python tools/scaling_bench.py --child 8 16000000   # one level (internal)
+  python tools/scaling_bench.py                     # all levels + controls
+  python tools/scaling_bench.py --child 8 16000000  # one level (internal)
 """
 
 from __future__ import annotations
@@ -25,32 +38,30 @@ import sys
 import time
 
 ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "16000000"))
-LEVELS = (8, 32)
-SHUFFLE_PARTITIONS = 128  # divisible by both levels; fixed so the plan is identical
+COMPUTE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_COMPUTE_ROWS", "384000000"))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")
+)
+TRIALS = 3
+SHUFFLE_PARTITIONS = 128  # divisible by every level; identical plan everywhere
 
 
 def child(cpus: int, rows: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
+    from gol_tool_spark.functions import spatial as S
     from gol_tool_spark.functions.synth import point_xy
     from gol_tool_spark.operators import tiling
     from gol_tool_spark.session import get_spark
 
-    # AQE partition coalescing targets ~64MB partitions; at bench scale that
-    # collapses the post-shuffle stage to ~10 tasks, capping parallelism at
-    # 4N — exactly the failure the scaling gate exists to catch. Keep AQE's
-    # skew splitting, disable coalescing so both levels run the same 128-task
-    # plan (on a real cluster the advisory size is tuned per stage instead).
-    # tmpfs shuffle dir: the sandbox's single shared disk is an artifact a
-    # real 4N-executor cluster doesn't have (each executor brings its own
-    # SSD + network); RAM-backed shuffle emulates per-node I/O headroom.
-    # Shuffled hash join over sort-merge: no per-partition sort, much less
-    # memory traffic — the right pick when neither side needs ordering.
     os.makedirs("/dev/shm/spark-scaling", exist_ok=True)
     spark = get_spark(
         f"scaling-{cpus}", cpus=cpus, shuffle_partitions=SHUFFLE_PARTITIONS,
         extra_conf={
+            # AQE coalescing would shrink post-shuffle stages below 4N tasks
+            # at bench scale — on a real cluster the advisory size is tuned
+            # instead. Skew split stays on.
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
             "spark.local.dir": "/dev/shm/spark-scaling",
             "spark.sql.join.preferSortMergeJoin": "false",
@@ -62,14 +73,13 @@ def child(cpus: int, rows: int) -> None:
     )
     x, y = point_xy(F.col("id"))
     points = base.select("id", x.alias("x"), y.alias("y"))
+    pts = tiling.assign_points(points)
 
     def run_tiling():
-        pts = tiling.assign_points(points)
         dens = pts.groupBy("tile").agg(F.count(F.lit(1)).alias("cnt"))
         dens.write.format("noop").mode("overwrite").save()
 
     def run_join():
-        pts = tiling.assign_points(points)
         mem = base.select(
             (F.col("id") % 4096).alias("way_id"),
             F.when(F.col("id") % 20 == 3, -F.col("id")).otherwise(F.col("id")).alias("node_ref"),
@@ -81,23 +91,51 @@ def child(cpus: int, rows: int) -> None:
         )
         agg.write.format("noop").mode("overwrite").save()
 
-    # warm-up pass amortizes codegen/JIT compilation, then measure
-    run_tiling()
-    run_join()
-    t0 = time.time()
-    run_tiling()
-    t_tiling = time.time() - t0
-    t0 = time.time()
-    run_join()
-    t_join = time.time() - t0
+    cbase = spark.range(1, COMPUTE_ROWS + 1, numPartitions=SHUFFLE_PARTITIONS)
+    cx, cy = point_xy(F.col("id"))
+    compute = (
+        cbase.select(cx.alias("x"), cy.alias("y"))
+        .select(S.tile_of_point(F.col("x"), F.col("y"), 12).alias("t"))
+        .filter(F.col("t") % 97 < 13)
+    )
 
-    print(json.dumps({
-        "cpus": cpus, "rows": rows,
-        "tiling_sec": round(t_tiling, 3),
-        "join_sec": round(t_join, 3),
-        "tiling_rows_per_sec": round(rows / t_tiling, 1),
-        "join_rows_per_sec": round(rows / t_join, 1),
-    }))
+    def run_compute():
+        compute.count()
+
+    out = {"cpus": cpus, "rows": rows, "compute_rows": COMPUTE_ROWS}
+    for name, fn, n in (
+        ("tiling", run_tiling, rows),
+        ("join", run_join, rows),
+        ("compute", run_compute, COMPUTE_ROWS),
+    ):
+        fn()  # warm-up amortizes codegen/JIT
+        best = min(_timed(fn) for _ in range(TRIALS))
+        out[f"{name}_sec"] = round(best, 3)
+        out[f"{name}_rows_per_sec"] = round(n / best, 1)
+    print(json.dumps(out))
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def _burn(procs: int) -> float:
+    """Pure-CPU multiprocessing control (no JVM, no shared medium)."""
+    code = (
+        "import sys,time;from multiprocessing import Pool\n"
+        "def b(_):\n"
+        " t0=time.time();x=0;n=0\n"
+        " while time.time()-t0<4:\n"
+        "  for i in range(100000): x+=i*i%7\n"
+        "  n+=100000\n"
+        " return n\n"
+        f"p={procs}\n"
+        "with Pool(p) as pool: print(sum(pool.map(b, range(p)))/4)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
+    return float(out.stdout.strip())
 
 
 def main() -> None:
@@ -110,18 +148,26 @@ def main() -> None:
         env.setdefault("SPARK_DRIVER_MEM", "90g")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(ROWS)],
-            capture_output=True, text=True, env=env, timeout=1800, check=True,
+            capture_output=True, text=True, env=env, timeout=3000, check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-        print(line)
-    n, n4 = results[LEVELS[0]], results[LEVELS[1]]
-    factor = LEVELS[1] // LEVELS[0]
-    eff = {
-        stage: round(n4[f"{stage}_rows_per_sec"] / (factor * n[f"{stage}_rows_per_sec"]), 3)
-        for stage in ("tiling", "join")
-    }
-    print(json.dumps({"scaling_efficiency": eff, "levels": LEVELS, "rows": ROWS}))
+        print(line, flush=True)
+    burns = {c: _burn(c) for c in LEVELS}
+    report = {"levels": list(LEVELS), "rows": ROWS, "stages": results,
+              "cpu_control_ops_per_sec": burns, "efficiency": {}}
+    for i in range(len(LEVELS) - 1):
+        a, b = LEVELS[i], LEVELS[i + 1]
+        factor = b / a
+        eff = {
+            st: round(results[b][f"{st}_rows_per_sec"] / (factor * results[a][f"{st}_rows_per_sec"]), 3)
+            for st in ("tiling", "join", "compute")
+        }
+        eff["cpu_control"] = round(burns[b] / (factor * burns[a]), 3)
+        report["efficiency"][f"{a}->{b}"] = eff
+    print(json.dumps(report))
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
 
 
 if __name__ == "__main__":
