@@ -359,6 +359,77 @@ def q_image_tile_rollup(spark, sf_dir):  # no oracle: payload rasterization
     return multimodal.rasterize_tiles(placed)
 
 
+def q_way_l1_length(spark, sf_dir):
+    mem = synth.membership_df(spark, sf_dir)
+    pts = synth.points_df(spark, sf_dir)
+    from gol_tool_spark.operators import measures
+
+    m = measures.way_measures(mem, pts.select("id", "x", "y"))
+    return m.select("way_id", "n_nodes", "l1_len", "closed")
+
+
+def q_ghost_copies(spark, sf_dir):
+    from gol_tool_spark.operators import classify
+
+    mem = synth.membership_df(spark, sf_dir)
+    pts = _points(spark, sf_dir)
+    gc = classify.ghost_copies(mem, pts)
+    return gc.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum(F.col("is_ghost").cast("bigint")).alias("n_ghosts"),
+    )
+
+
+def q_gst_weighted(spark, sf_dir):
+    from gol_tool_spark.operators import classify
+
+    pts = synth.points_df(spark, sf_dir)
+    keys = pts.select(
+        F.explode(F.array(F.lit("returnflag"), F.lit("linestatus"), F.lit("qty"))).alias("s")
+    ).withColumn("kind", F.lit("key"))
+    vals = pts.select(
+        F.explode(
+            F.array(F.col("returnflag"), F.col("linestatus"), F.col("qty").cast("string"))
+        ).alias("s")
+    ).withColumn("kind", F.lit("value"))
+    roles = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("s"), F.lit("role").alias("kind")
+    )
+    kv = keys.unionByName(vals).unionByName(roles)
+    return classify.gst_strings(kv, max_strings=100, indexed_keys=["returnflag"])
+
+
+def q_area_classify(spark, sf_dir):
+    """B6 through the oracle: way tags synthesized from order status,
+    closed-ness from assembled geometry."""
+    from gol_tool_spark.operators import classify, measures
+
+    mem = synth.membership_df(spark, sf_dir)
+    pts = synth.points_df(spark, sf_dir)
+    m = measures.way_measures(mem, pts.select("id", "x", "y"))
+    orders = _read(spark, sf_dir, "orders")
+    tags = (
+        F.when(F.col("o_orderstatus") == "O", F.create_map(F.lit("building"), F.lit("yes")))
+        .when(F.col("o_orderstatus") == "F", F.create_map(F.lit("natural"), F.lit("coastline")))
+        .otherwise(
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.create_map(F.lit("highway"), F.lit("services"), F.lit("area"), F.lit("no")),
+            ).otherwise(F.create_map(F.lit("highway"), F.lit("services")))
+        )
+    )
+    ways = m.join(
+        orders.select(F.col("o_orderkey").alias("way_id"), tags.alias("tags")), "way_id"
+    )
+    return classify.classify_ways(ways).select("way_id", "closed", "is_area")
+
+
+def q_fab_export(spark, sf_dir):
+    from gol_tool_spark.sinks import writers
+
+    return writers.fab_format(_points(spark, sf_dir)).select("fab")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -409,6 +480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_density": q_image_tile_density,
         "image_roundtrip": q_image_roundtrip,
         "image_tile_rollup": q_image_tile_rollup,
+        "way_l1_length": q_way_l1_length,
+        "ghost_copies": q_ghost_copies,
+        "gst_weighted": q_gst_weighted,
+        "area_classify": q_area_classify,
+        "fab_export": q_fab_export,
     }
 
 
@@ -673,6 +749,72 @@ def oracle_sql() -> dict[str, str]:
             "FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * "
             "sqrt(list_dot_product(b.qv, b.qv))) >= 0.8"
+        ),
+        "way_l1_length": _with_points(
+            f", mem AS ({_MEM}), j AS ("
+            "SELECT m.way_id, m.seq, p.x, p.y FROM mem m JOIN t12 p ON m.node_ref = p.id), "
+            "st AS (SELECT way_id, x, y, "
+            "LAG(x) OVER w AS px, LAG(y) OVER w AS py, "
+            "FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy, "
+            "LAST_VALUE(x) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lx, "
+            "LAST_VALUE(y) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ly "
+            "FROM j WINDOW w AS (PARTITION BY way_id ORDER BY seq, x, y)) "
+            "SELECT way_id, CAST(COUNT(*) AS INT) AS n_nodes, "
+            "COALESCE(CAST(SUM(ABS(x - px) + ABS(y - py)) AS BIGINT), 0) AS l1_len, "
+            "(MAX(fx) = MAX(lx) AND MAX(fy) = MAX(ly) AND COUNT(*) > 2) AS closed "
+            "FROM st GROUP BY way_id"
+        ),
+        "ghost_copies": _with_points(
+            f", mem AS ({_MEM}), wt AS ("
+            "SELECT DISTINCT m.way_id, p.tile FROM mem m JOIN t12 p ON m.node_ref = p.id) "
+            "SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_copies, "
+            "CAST(COUNT(*) - 1 AS BIGINT) AS n_ghosts FROM wt GROUP BY way_id"
+        ),
+        "gst_weighted": _with_points(
+            ", kv AS ("
+            "SELECT 'returnflag' AS s, 'key' AS kind FROM t12 "
+            "UNION ALL SELECT 'linestatus', 'key' FROM t12 "
+            "UNION ALL SELECT 'qty', 'key' FROM t12 "
+            "UNION ALL SELECT returnflag, 'value' FROM t12 "
+            "UNION ALL SELECT linestatus, 'value' FROM t12 "
+            "UNION ALL SELECT CAST(qty AS VARCHAR), 'value' FROM t12 "
+            "UNION ALL SELECT o_orderstatus, 'role' FROM orders), "
+            "cnt AS (SELECT s, "
+            "CAST(SUM(CASE WHEN kind = 'key' THEN 1 ELSE 0 END) AS BIGINT) AS n_key, "
+            "CAST(SUM(CASE WHEN kind = 'value' THEN 1 ELSE 0 END) AS BIGINT) AS n_val, "
+            "CAST(SUM(CASE WHEN kind = 'role' THEN 1 ELSE 0 END) AS BIGINT) AS n_role "
+            "FROM kv GROUP BY s) "
+            "SELECT s, n_key, n_val, n_role, "
+            "CAST(n_key * 5 + n_role * 2 + n_val "
+            "+ CASE WHEN s = 'returnflag' AND n_key > 0 THEN 10000000000000 ELSE 0 END AS BIGINT) AS weight "
+            "FROM cnt ORDER BY weight DESC, s ASC LIMIT 100"
+        ),
+        "area_classify": _with_points(
+            f", mem AS ({_MEM}), j AS ("
+            "SELECT m.way_id, m.seq, p.x, p.y FROM mem m JOIN t12 p ON m.node_ref = p.id), "
+            "st AS (SELECT way_id, x, y, "
+            "FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy, "
+            "LAST_VALUE(x) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lx, "
+            "LAST_VALUE(y) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ly "
+            "FROM j WINDOW w AS (PARTITION BY way_id ORDER BY seq, x, y)), "
+            "ways AS (SELECT way_id, "
+            "(MAX(fx) = MAX(lx) AND MAX(fy) = MAX(ly) AND COUNT(*) > 2) AS closed "
+            "FROM st GROUP BY way_id) "
+            "SELECT w.way_id, w.closed, CASE "
+            "WHEN NOT w.closed THEN FALSE "
+            "WHEN o.o_orderstatus = 'O' THEN TRUE "
+            "WHEN o.o_orderstatus = 'F' THEN FALSE "
+            "WHEN o.o_orderkey % 7 = 0 THEN FALSE "
+            "ELSE TRUE END AS is_area "
+            "FROM ways w JOIN orders o ON w.way_id = o.o_orderkey"
+        ),
+        "fab_export": _with_points(
+            "SELECT 'node/' || CAST(id AS VARCHAR) || ': returnflag=' || returnflag "
+            "|| ', linestatus=' || linestatus || ', qty=' || CAST(qty AS VARCHAR) AS fab FROM t12"
         ),
         "image_tile_density": (
             "WITH seq AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS id FROM documents), "

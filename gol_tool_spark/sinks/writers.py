@@ -107,3 +107,66 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 def write_geojsonl(df: DataFrame, path: str, id_col: str = "id") -> None:
     geojson_format(df, id_col).write.mode("overwrite").text(path)
+
+
+def osm_xml_format(df: DataFrame, id_col: str = "id", precision: int = 7) -> DataFrame:
+    """XML (OSM) sink (OsmXmlFeaturePrinter parity): one <node> element per
+    row with tag children — string building stays distributed."""
+    tag_xml = F.when(
+        F.col("tags").isNotNull() & (F.size("tags") > 0),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.map_entries(F.col("tags")),
+                lambda e: F.concat(
+                    F.lit('  <tag k="'), e["key"], F.lit('" v="'), e["value"], F.lit('"/>\n')
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    return df.select(
+        F.concat(
+            F.lit('<node id="'), F.col(id_col).cast("string"),
+            F.lit('" lon="'), lon_of(F.col("x"), precision).cast("string"),
+            F.lit('" lat="'), lat_of(F.col("y"), precision).cast("string"),
+            F.lit('">\n'), tag_xml, F.lit("</node>"),
+        ).alias("xml")
+    )
+
+
+def fab_format(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """FAB sink: the reference config/feature DSL style `node/<id>: k=v ...`."""
+    kv = F.when(
+        F.col("tags").isNotNull() & (F.size("tags") > 0),
+        F.concat_ws(
+            ", ",
+            F.transform(F.map_entries(F.col("tags")), lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        ),
+    ).otherwise(F.lit(""))
+    return df.select(
+        F.concat(F.lit("node/"), F.col(id_col).cast("string"), F.lit(": "), kv).alias("fab")
+    )
+
+
+def map_html(df: DataFrame, limit: int = 1000, precision: int = 7) -> str:
+    """MAP sink (MapFeaturePrinter parity): a self-contained Leaflet-style
+    HTML page with the (bounded) result markers inlined. Driver-side by
+    design, like the reference (browsers don't render 10^12 markers)."""
+    rows = (
+        df.select(lon_of(F.col("x"), precision).alias("lon"), lat_of(F.col("y"), precision).alias("lat"))
+        .limit(limit)
+        .collect()
+    )
+    markers = ",\n".join(f"[{r.lat},{r.lon}]" for r in rows)
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        "<link rel='stylesheet' href='https://unpkg.com/leaflet/dist/leaflet.css'/>"
+        "<script src='https://unpkg.com/leaflet/dist/leaflet.js'></script></head>"
+        "<body><div id='map' style='height:100vh'></div><script>"
+        "var map=L.map('map').setView([0,0],2);"
+        "L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png').addTo(map);"
+        f"var pts=[{markers}];"
+        "pts.forEach(function(p){L.circleMarker(p,{radius:4}).addTo(map);});"
+        "if(pts.length)map.fitBounds(pts);"
+        "</script></body></html>"
+    )

@@ -1,0 +1,43 @@
+"""Event-time windowed streaming aggregation with watermarks.
+
+The reference has no event-time semantics (SURVEY.md §2-I) — this is part
+of the engine's training-pipeline surface: streaming ingestion of event/
+telemetry tables with late-data handling, the standard Structured Streaming
+shape (readStream -> withWatermark -> window agg -> writeStream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def windowed_counts(
+    spark: SparkSession,
+    path: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window per-type counts over a JSON file stream."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+def run_to_memory(spark: SparkSession, path: str, name: str = "windowed", **kw):
+    """Drain all available files into an in-memory sink (tests/demos)."""
+    q = (
+        windowed_counts(spark, path, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q

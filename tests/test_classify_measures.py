@@ -1,0 +1,183 @@
+"""Tests: tag diff/merge, projection, area rules, problem nodes, ghosts,
+GST weighting, way measures, extra sinks, windowed streaming."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gol_tool_spark.functions import tags as TG
+from gol_tool_spark.operators import classify, measures, projection
+from gol_tool_spark.sinks import writers
+
+TAGMAP = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "name", "highway"]),
+    st.sampled_from(["1", "2", "x", "yes"]),
+    max_size=4,
+)
+
+
+class TestTagDiffMerge:
+    @given(a=TAGMAP, b=TAGMAP)
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip(self, spark_global, a, b):
+        # merge(a, diff(a,b)) == b  (TagTableBuilderTest.java:49-80 parity)
+        df = spark_global.createDataFrame(
+            [(a, b)], "a map<string,string>, b map<string,string>"
+        )
+        out = df.select(
+            TG.tags_merge(F.col("a"), TG.tags_diff(F.col("a"), F.col("b"))).alias("m"),
+            TG.tags_diff(F.col("a"), F.col("a")).alias("selfdiff"),
+        ).first()
+        assert dict(out.m or {}) == b
+        assert dict(out.selfdiff or {}) == {}
+
+    def test_exclude_keys(self, spark_global):
+        df = spark_global.createDataFrame(
+            [({"created_by": "x", "tiger:cfcc": "y", "name": "ok"},)],
+            "tags map<string,string>",
+        )
+        out = df.select(
+            TG.exclude_keys(F.col("tags"), ["created_by"], ["tiger:"]).alias("t")
+        ).first()
+        assert dict(out.t) == {"name": "ok"}
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+class TestProjection:
+    def test_exact_wildcard_computed(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 0, {"name": "n1", "addr:city": "berlin", "addr:street": "x", "other": "y"})],
+            "id long, x long, y long, tags map<string,string>",
+        )
+        out = projection.project_columns(df, ["name", "lon", "lat", "addr:*"]).first()
+        assert out.name == "n1" and out.lon == 0.0 and out.lat == 0.0
+        assert set(out.tags.keys()) == {"addr:city", "addr:street"}
+
+
+class TestAreaRules:
+    def test_rules(self, spark):
+        rows = [
+            (1, {"building": "yes"}, True),
+            (2, {"natural": "coastline"}, True),
+            (3, {"natural": "water"}, True),
+            (4, {"highway": "services"}, True),
+            (5, {"highway": "primary"}, True),
+            (6, {"building": "yes", "area": "no"}, True),
+            (7, {"area": "yes"}, True),
+            (8, {"building": "yes"}, False),  # not closed
+        ]
+        df = spark.createDataFrame(rows, "id long, tags map<string,string>, closed boolean")
+        out = {r.id: r.is_area for r in classify.classify_ways(df).collect()}
+        assert out[1] is True          # building any-value
+        assert out[2] is False         # coastline blacklisted
+        assert out[3] is True          # natural non-blacklisted
+        assert out[4] is True          # highway whitelist
+        assert out[5] is False         # highway non-whitelisted
+        assert out[6] is False         # area=no override
+        assert out[7] is True          # explicit area=yes
+        assert out[8] is False         # open ring never an area
+
+    def test_problem_nodes(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 5, 5, {}), (2, 5, 5, {}), (3, 9, 9, {}), (4, 7, 7, {"name": "x"})],
+            "id long, x long, y long, tags map<string,string>",
+        )
+        mem = spark.createDataFrame([(3,)], "node_ref long")
+        out = {r.id: dict(r.tags) for r in classify.problem_nodes(pts, mem).collect()}
+        assert out[1].get("geodesk:duplicate") == "yes"
+        assert out[2].get("geodesk:duplicate") == "yes"
+        assert out[1].get("geodesk:orphan") == "yes"  # dup AND orphan
+        assert out[3] == {}                            # referenced by a way
+        assert out[4] == {"name": "x"}                 # tagged: exempt
+
+    def test_ghost_copies(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0, 0, 10), (2, 0, 0, 10), (3, 0, 0, 20)],
+            "id long, x long, y long, tile long",
+        )
+        mem = spark.createDataFrame(
+            [(100, 1, 1), (100, 2, 2), (100, 3, 3), (200, 1, 1)],
+            "way_id long, seq int, node_ref long",
+        )
+        out = classify.ghost_copies(mem, pts).collect()
+        g = {(r.way_id, r.tile): r.is_ghost for r in out}
+        assert g == {(100, 10): False, (100, 20): True, (200, 10): False}
+
+    def test_gst_weighting(self, spark):
+        kv = spark.createDataFrame(
+            [("highway", "key")] * 3 + [("primary", "value")] * 10 + [("outer", "role")] * 4,
+            "s string, kind string",
+        )
+        out = {r.s: r.weight for r in classify.gst_strings(kv, indexed_keys=["highway"]).collect()}
+        assert out["highway"] == 15 + 10_000_000_000_000
+        assert out["primary"] == 10
+        assert out["outer"] == 8
+
+
+class TestMeasures:
+    def test_lengths_and_closed(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0, 0), (2, 3, 4), (3, 3, 0), (4, 0, 0)], "id long, x long, y long"
+        )
+        mem = spark.createDataFrame(
+            [(1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 4), (2, 1, 1), (2, 2, 2)],
+            "way_id long, seq int, node_ref long",
+        )
+        out = {r.way_id: r for r in measures.way_measures(mem, pts).collect()}
+        assert out[1].l1_len == 7 + 4 + 3
+        assert abs(out[1].l2_len - (5.0 + 4.0 + 3.0)) < 1e-9
+        assert out[1].closed is True
+        assert out[2].closed is False
+        assert out[2].l1_len == 7
+
+    def test_ring_area(self, spark):
+        df = measures.assemble_coords(
+            spark.createDataFrame(
+                [(1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 4)],
+                "way_id long, seq int, node_ref long",
+            ),
+            spark.createDataFrame(
+                [(1, 0, 0), (2, 10, 0), (3, 10, 10), (4, 0, 10)], "id long, x long, y long"
+            ),
+        )
+        area2 = df.select(measures.ring_area2(F.col("coords")).alias("a")).first().a
+        assert area2 == 200.0
+
+
+class TestExtraSinks:
+    def test_xml_fab_map(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 0, {"name": "pub"})], "id long, x long, y long, tags map<string,string>"
+        )
+        xml = writers.osm_xml_format(df).first().xml
+        assert '<node id="1"' in xml and '<tag k="name" v="pub"/>' in xml
+        fab = writers.fab_format(df).first().fab
+        assert fab == "node/1: name=pub"
+        html = writers.map_html(df)
+        assert html.startswith("<!DOCTYPE html>") and "[0.0,0.0]" in html
+
+
+class TestWindowedStreaming:
+    def test_tumbling_counts(self, spark, tmp_path):
+        from gol_tool_spark.streaming import windowed
+
+        src = tmp_path / "events"
+        src.mkdir()
+        (src / "e1.json").write_text(
+            '{"event_id":1,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.0}\n'
+            '{"event_id":2,"ts":"2024-01-01T00:05:00Z","user_id":1,"event_type":"click","value":2.0}\n'
+            '{"event_id":3,"ts":"2024-01-01T00:15:00Z","user_id":2,"event_type":"view","value":3.0}\n'
+        )
+        q = windowed.run_to_memory(spark, str(src), name="w1")
+        q.awaitTermination(60)
+        rows = spark.sql("SELECT * FROM w1").collect()
+        got = {(str(r.w_start), r.event_type): r.n for r in rows}
+        assert got[("2024-01-01 00:00:00", "click")] == 2
+        assert got[("2024-01-01 00:10:00", "view")] == 1
