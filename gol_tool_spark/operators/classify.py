@@ -52,8 +52,9 @@ def is_area(tags: Column, closed: Column, rules=None) -> Column:
         elif mode == "never":
             cond = cond | (v.isNotNull() & ~v.isin(*values))
     # explicit area=yes opts in, area=no always wins (AreaClassifier.java:85-118)
-    return closed & F.when(area_tag == "no", F.lit(False)).otherwise(
-        cond | (area_tag == "yes")
+    # eqNullSafe: absent tag compares false, not NULL (3-valued-logic trap)
+    return closed & F.when(area_tag.eqNullSafe("no"), F.lit(False)).otherwise(
+        cond | area_tag.eqNullSafe("yes")
     )
 
 
