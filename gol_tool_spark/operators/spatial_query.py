@@ -132,7 +132,12 @@ def knn_cell_ring(
         "qid", "qx", "qy", "cell"
     ).dropDuplicates(["qid", "cell"])
 
+    # enumerate the ring cells driver-side: the IN-list becomes partition
+    # pruning on a cell-partitioned store (TileIndexWalker analogue) and a
+    # cheap prefilter here
+    ring_cells = [r.cell for r in ring.select("cell").distinct().collect()]
     pts = points_tiled.withColumn("cell", S.tile_of_point(F.col("x"), F.col("y"), zoom))
+    pts = pts.filter(F.col("cell").isin(ring_cells))
     cand = pts.join(F.broadcast(ring), "cell", "inner")
     dx = (F.col("x") - F.col("qx")).cast("double")
     dy = (F.col("y") - F.col("qy")).cast("double")
