@@ -145,3 +145,31 @@ class TestSinks:
         poly = writers.poly_format(ring, "test")
         assert poly.startswith("test\n1\n") and poly.endswith("END\nEND")
         assert len(poly.splitlines()) == 8
+
+
+class TestStatefulDedup:
+    def test_first_seen_dedup_across_batches(self, spark, tmp_path):
+        from gol_tool_spark.streaming import stateful
+
+        src = tmp_path / "docs"
+        ckpt = str(tmp_path / "ck")
+        out = str(tmp_path / "out")
+        src.mkdir()
+        (src / "b1.json").write_text(
+            '{"doc_id": 1, "text": "alpha beta"}\n'
+            '{"doc_id": 2, "text": "alpha beta"}\n'
+            '{"doc_id": 3, "text": "gamma"}\n'
+        )
+        q = stateful.run_dedup(spark, str(src), ckpt, out)
+        q.awaitTermination(90)
+        first = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert first == {1, 3}  # doc 2 is a duplicate of doc 1
+        # second batch after restart: replay doc 1's text, new doc 5
+        (src / "b2.json").write_text(
+            '{"doc_id": 4, "text": "alpha beta"}\n'
+            '{"doc_id": 5, "text": "delta"}\n'
+        )
+        q = stateful.run_dedup(spark, str(src), ckpt, out)
+        q.awaitTermination(90)
+        second = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert 5 in second and 4 not in second  # state survived the restart
