@@ -96,3 +96,28 @@ def tiles_covering_bbox(qminx: int, qminy: int, qmaxx: int, qmaxy: int, zoom: in
         for r in range(r0, r1 + 1)
         for c in range(c0, c1 + 1)
     ]
+
+
+def _spread_bits16(v: Column) -> Column:
+    """Interleave-ready bit spread: 16-bit value -> even bit positions of a
+    32-bit lane (classic magic-number expansion, 4 rounds)."""
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def morton_cell(x: Column, y: Column, zoom: int = 16) -> Column:
+    """Z-order (Morton) cell id at the given zoom: interleaved (col,row)
+    bits, int64. The S2-like locality key — sorting the tile store by this
+    puts spatially-near features in the same parquet row groups, so bbox
+    min/max stats prune like the reference's per-tile R-trees
+    (compiler/SIndexTree.java:361-425; SURVEY.md §1.4 "Hilbert/Z-order").
+    Pure JVM bit arithmetic (whole-stage codegen)."""
+    if not 1 <= zoom <= 16:
+        raise ValueError("morton_cell supports zoom 1..16")
+    col = tile_col(x, zoom)
+    row = tile_row(y, zoom)
+    return F.shiftleft(_spread_bits16(row), 1) + _spread_bits16(col)

@@ -129,3 +129,19 @@ def quad_union(qa: int, qb: int) -> int:
     za = (qa >> 24) & 0xF
     zb = (qb >> 24) & 0xF
     return int(quad_from_bbox(min(xs), min(ys), max(xs), max(ys), min(za, zb)))
+
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, np.int64) & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def morton_cell(x, y, zoom: int = 16) -> np.ndarray:
+    """Z-order cell id (numpy twin of functions/spatial.morton_cell)."""
+    c = tile_col(x, zoom)
+    r = tile_row(y, zoom)
+    return (_spread16(r) << 1) + _spread16(c)

@@ -105,25 +105,20 @@ def knn_bruteforce(points: DataFrame, query_points: list[tuple[int, int, int]], 
     )
 
 
-def knn_cell_ring(
+def _knn_ring_pass(
     points_tiled: DataFrame,
     query_points: list[tuple[int, int, int]],
-    k: int = 10,
-    zoom: int = 8,
+    k: int,
+    zoom: int,
+    radius: int,
 ) -> DataFrame:
-    """Scale-path kNN: queries are replicated to their cell's 3x3 ring at a
-    coarse zoom; candidates = points co-located in any ring cell; exact
-    top-k inside each group via window. A query only scans its ring —
-    O(ring density), independent of table size. Falls back to correct-but-
-    partial results if k nearest extend beyond the ring (callers choose a
-    zoom whose cell width >> expected kth distance; planet default z8 cell
-    = 1/256 world width)."""
     spark = points_tiled.sparkSession
     rows = []
     size = 1 << (32 - zoom)
+    span = range(-radius, radius + 1)
     for qid, qx, qy in query_points:
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
+        for dr in span:
+            for dc in span:
                 cx, cy = qx + dc * size, qy + dr * size
                 if -(1 << 31) <= cx < (1 << 31) and -(1 << 31) <= cy < (1 << 31):
                     rows.append((qid, qx, qy, cx, cy))
@@ -151,3 +146,52 @@ def knn_cell_ring(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "rank", "d2")
     )
+
+
+def knn_cell_ring(
+    points_tiled: DataFrame,
+    query_points: list[tuple[int, int, int]],
+    k: int = 10,
+    zoom: int = 8,
+    max_expansions: int = 3,
+) -> DataFrame:
+    """Scale-path kNN: queries are replicated to their cell's (2r+1)^2 ring
+    at a coarse zoom; candidates = points co-located in a ring cell; exact
+    top-k per query via window. A query only scans its ring — O(ring
+    density), independent of table size.
+
+    Adaptive: queries that found < k neighbors (or whose kth distance
+    exceeds the guaranteed-complete radius (r*cell)^2, meaning a closer
+    point could hide outside the ring) are retried with a doubled radius,
+    up to max_expansions — the cell-ring expansion mandated by the north
+    star. Sparse regions cost extra passes; the common case is one."""
+    remaining = list(query_points)
+    results: list[DataFrame] = []
+    radius = 1
+    size = 1 << (32 - zoom)
+    for _ in range(max_expansions + 1):
+        out = _knn_ring_pass(points_tiled, remaining, k, zoom, radius).cache()
+        # complete iff k found AND kth distance within the safe radius
+        safe_d2 = float(radius * size) ** 2
+        stats = {
+            r.qid: (r.n, r.maxd)
+            for r in out.groupBy("qid").agg(
+                F.count(F.lit(1)).alias("n"), F.max("d2").alias("maxd")
+            ).collect()
+        }
+        done = [
+            q for q in remaining
+            if stats.get(q[0], (0, 0.0))[0] >= k and stats[q[0]][1] <= safe_d2
+        ]
+        done_ids = {q[0] for q in done}
+        retry = [q for q in remaining if q[0] not in done_ids]
+        if not retry or radius >= (1 << zoom) or _ == max_expansions:
+            results.append(out)
+            break
+        results.append(out.filter(F.col("qid").isin([q[0] for q in done])))
+        remaining = retry
+        radius *= 2
+    final = results[0]
+    for r in results[1:]:
+        final = final.unionByName(r)
+    return final

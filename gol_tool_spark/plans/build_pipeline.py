@@ -164,10 +164,18 @@ def _stage_validate(spark, cfg: BuildConfig, t0):
 
 
 def _stage_compile(spark, cfg: BuildConfig, t0):
+    from ..functions.spatial import morton_cell
+
     pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort"))
-    # tile-local layout: sorted within partitions by (tile, id) — the
-    # columnar analogue of FeatureTile's sorted struct layout (+ min/max
-    # stats giving the R-tree-like pruning, SURVEY.md §4)
-    out = pts.repartition("pile").sortWithinPartitions("tile", "id")
+    # tile-local layout: sorted within partitions by Z-order (Morton) cell
+    # then id — spatially-near rows share parquet row groups, so x/y
+    # min/max stats prune bbox scans like the reference's per-tile R-trees
+    # (SURVEY.md §4; compiler/SIndexTree.java:361-425 analogue)
+    out = (
+        pts.withColumn("zorder", morton_cell(F.col("x"), F.col("y"), 16))
+        .repartition("pile")
+        .sortWithinPartitions("zorder", "id")
+        .drop("zorder")
+    )
     out.write.mode("overwrite").partitionBy("pile").parquet(os.path.join(cfg.out_dir, "compile"))
     _write_manifest(cfg, "compile", out, t0)

@@ -294,3 +294,38 @@ class TestImages:
         rows = ras.collect()
         assert sum(r.n_images for r in rows) == 40
         assert all(len(r.raster) == 64 for r in rows)
+
+
+class TestMorton:
+    def test_jvm_matches_kernel(self, spark, points_tiled):
+        from gol_tool_spark.functions.spatial import morton_cell as m_jvm
+        from gol_tool_spark.kernels.tile import morton_cell as m_np
+
+        pdf = points_tiled.select(
+            "x", "y", m_jvm(F.col("x"), F.col("y"), 16).alias("m")
+        ).limit(1000).toPandas()
+        expect = m_np(pdf.x.to_numpy(np.int64), pdf.y.to_numpy(np.int64), 16)
+        assert (pdf.m.to_numpy(np.int64) == expect).all()
+
+    def test_locality(self):
+        from gol_tool_spark.kernels.tile import morton_cell as m_np
+
+        # two points in the same z16 cell share the morton id
+        a = m_np(np.array([1000]), np.array([1000]), 16)
+        b = m_np(np.array([1001]), np.array([1001]), 16)
+        assert a[0] == b[0]
+
+
+class TestAdaptiveKnn:
+    def test_ring_expands_in_sparse_regions(self, spark):
+        # neighbors live 3 cells away at zoom 8 — a radius-1 ring misses
+        # them; adaptive expansion must still return the exact top-k
+        size = 1 << (32 - 8)
+        rows = [(i, 3 * size + i * 10, 0) for i in range(6)]
+        pts = spark.createDataFrame(rows, "id long, x long, y long")
+        pts = pts.withColumn("tile", F.lit(0))
+        got = spatial_query.knn_cell_ring(pts, [(1, 0, 0)], k=5, zoom=8)
+        bf = spatial_query.knn_bruteforce(pts, [(1, 0, 0)], k=5)
+        assert {(r.qid, r.rank, r.id) for r in got.collect()} == {
+            (r.qid, r.rank, r.id) for r in bf.collect()
+        }
