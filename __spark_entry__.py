@@ -174,9 +174,12 @@ def q_q1_pricing(spark, sf_dir):
 
 
 def q_q3_top_orders(spark, sf_dir):
+    # driver timestamps are TIMESTAMP_NTZ (naive): compare against an NTZ
+    # literal so session timezone can never shift the cutoff vs the oracle
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     rev = (_cents("l_extendedprice") * (100 - _cents("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -238,10 +241,14 @@ def q_sessionize(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # NTZ timestamps: exact interval comparison is session-TZ-independent
+    # AND free of epoch rounding/truncation mismatches vs the oracle
+    ev2 = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_gap", F.expr("prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND")
+    )
+    new_s = F.when(F.col("new_gap"), 1).otherwise(0)
     return (
-        ev.withColumn("new_s", new_s)
+        ev2.withColumn("new_s", new_s)
         .groupBy("user_id")
         .agg(F.sum("new_s").cast("bigint").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
@@ -655,9 +662,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": (
             "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
             "CAST(COUNT(*) AS BIGINT) AS n_events FROM ("
-            "SELECT user_id, CASE WHEN prev_e IS NULL OR e - prev_e > 1800 THEN 1 ELSE 0 END AS new_s "
-            "FROM (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS e, "
-            "LAG(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_e "
+            "SELECT user_id, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND "
+            "THEN 1 ELSE 0 END AS new_s "
+            "FROM (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
             "FROM events)) GROUP BY user_id"
         ),
         "token_stats": (
