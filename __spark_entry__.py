@@ -437,6 +437,23 @@ def q_fab_export(spark, sf_dir):
     return writers.fab_format(_points(spark, sf_dir)).select("fab")
 
 
+def q_events_json(spark, sf_dir):
+    """JSON prop extraction over the events stream table (H: JSON ops)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
+
+
+def q_way_quads(spark, sf_dir):  # no oracle: data-dependent zoom-out loop
+    """C2 -> packed tile quads (the tile_assignments golden-table shape)."""
+    return tiling.way_quads(_ways(spark, sf_dir)).select("way_id", "n_tiles", "quad")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -492,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gst_weighted": q_gst_weighted,
         "area_classify": q_area_classify,
         "fab_export": q_fab_export,
+        "events_json": q_events_json,
+        "way_quads": q_way_quads,
     }
 
 
@@ -823,6 +842,13 @@ def oracle_sql() -> dict[str, str]:
         "fab_export": _with_points(
             "SELECT 'node/' || CAST(id AS VARCHAR) || ': returnflag=' || returnflag "
             "|| ', linestatus=' || linestatus || ', qty=' || CAST(qty AS VARCHAR) AS fab FROM t12"
+        ),
+        "events_json": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, "
+            "CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k "
+            "FROM events GROUP BY event_type"
         ),
         "image_tile_density": (
             "WITH seq AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS id FROM documents), "

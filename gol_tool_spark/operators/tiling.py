@@ -156,3 +156,32 @@ def duplicate_coords(points: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup"), F.min("id").alias("min_id"))
         .filter(F.col("n_dup") > 1)
     )
+
+
+def way_quads(way_bboxes: DataFrame, zoom: int = 12) -> DataFrame:
+    """C2 output -> packed tile quads: the 1/2/4-sibling-tile footprint of
+    each way (TileQuad semantics, build/Sorter.java:465-475). The zoom-out
+    loop is data-dependent, so this runs the numpy kernel as an
+    Arrow-batched pandas UDF rather than a Column expression."""
+    import pandas as pd
+    from pyspark.sql import types as Ty
+
+    from ..kernels import tile as KT
+
+    def _quad_fn(minx, miny, maxx, maxy):
+        import numpy as np
+
+        q = KT.quad_from_bbox(
+            minx.to_numpy(np.int64), miny.to_numpy(np.int64),
+            maxx.to_numpy(np.int64), maxy.to_numpy(np.int64), zoom,
+        )
+        return pd.Series(q)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't infer — set real ones at runtime
+    _quad_fn.__annotations__ = {c: pd.Series for c in ("minx", "miny", "maxx", "maxy", "return")}
+    quad = F.pandas_udf(_quad_fn, Ty.LongType())
+
+    return way_bboxes.withColumn(
+        "quad", quad(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"))
+    )

@@ -329,3 +329,20 @@ class TestAdaptiveKnn:
         assert {(r.qid, r.rank, r.id) for r in got.collect()} == {
             (r.qid, r.rank, r.id) for r in bf.collect()
         }
+
+
+class TestWayQuads:
+    def test_quad_covers_member_tiles(self, spark, sf_dir, points_tiled):
+        from gol_tool_spark.kernels import tile as KT
+
+        mem = synth.membership_df(spark, sf_dir)
+        ways = tiling.way_assembly(mem, points_tiled)
+        wq = tiling.way_quads(ways).limit(200).collect()
+        for w in wq:
+            zq = (w.quad >> 24) & 0xF
+            tiles = set(KT.quad_tiles(w.quad))
+            assert 1 <= len(tiles) <= 4
+            # bbox corners land inside the quad at its zoom
+            for cx in (w.minx, w.maxx):
+                for cy in (w.miny, w.maxy):
+                    assert int(KT.tile_of_point(cx, cy, zq)) in tiles
