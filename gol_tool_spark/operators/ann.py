@@ -101,3 +101,58 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("vec_id").alias("nid"), "rank", F.round("cos", 6).alias("cos_r"))
     )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 64, stride: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = a deterministic sample of the
+    vectors themselves (vec_id-stride sampling — seeded, training-free; a
+    Lloyd refinement can replace it without changing the plan shape).
+    Returns (centroids(cid, cq, cn2), assigned(vec_id, q, n2, cid)) where
+    each vector joins its nearest centroid — broadcast cross join + window
+    min, the classic IVF list assignment."""
+    q = quantize(emb)
+    if stride is None:
+        total = q.count()
+        stride = max(total // n_centroids, 1)
+    cents = (
+        q.filter(F.col("vec_id") % stride == 0)
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2"))
+    )
+    pairs = q.crossJoin(F.broadcast(cents))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    assigned = (
+        pairs.withColumn("cos", _cos("q", "cq", "n2", "cn2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "q", "n2", "cid")
+    )
+    return cents, assigned
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_ids: list[int], k: int = 10,
+    n_centroids: int = 64, nprobe: int = 8,
+) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest centroid lists per query, exact
+    rerank inside. Candidates ~ N * nprobe / n_centroids per query."""
+    cents, assigned = ivf_assign(emb, n_centroids)
+    queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
+    )
+    qc = queries.crossJoin(F.broadcast(cents))
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        qc.withColumn("cos", _cos("qq", "cq", "qn2", "cn2"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("qid", "qq", "qn2", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", _cos("qq", "q", "qn2", "n2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("nid"), "rank", F.round("cos", 6).alias("cos_r"))
+    )

@@ -179,3 +179,34 @@ def _stage_compile(spark, cfg: BuildConfig, t0):
     )
     out.write.mode("overwrite").partitionBy("pile").parquet(os.path.join(cfg.out_dir, "compile"))
     _write_manifest(cfg, "compile", out, t0)
+
+
+def verify_build(spark: SparkSession, cfg: BuildConfig) -> dict:
+    """`gol check` analogue (CheckCommand.java:15-32 / §3.3 checker job):
+    re-derive per-stage row counts from the store and compare with the
+    lineage manifests; report mismatches. Returns {stage: {expected,
+    actual, ok}} plus an overall flag."""
+    report: dict = {}
+    ok_all = True
+    for stage in ("analyze", "prepare", "sort", "compile"):
+        path = os.path.join(cfg.out_dir, stage)
+        mpath = _manifest_path(cfg, stage)
+        if not (os.path.exists(path) and os.path.exists(mpath)):
+            report[stage] = {"ok": False, "missing": True}
+            ok_all = False
+            continue
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        actual = spark.read.parquet(path).count()
+        ok = actual == manifest.get("rows")
+        report[stage] = {"expected": manifest.get("rows"), "actual": actual, "ok": ok}
+        ok_all &= ok
+    # cross-stage invariant: sort and compile carry the same feature set
+    if report.get("sort", {}).get("ok") and report.get("compile", {}).get("ok"):
+        s = spark.read.parquet(os.path.join(cfg.out_dir, "sort")).select("id")
+        c = spark.read.parquet(os.path.join(cfg.out_dir, "compile")).select("id")
+        diff = s.exceptAll(c).count() + c.exceptAll(s).count()
+        report["sort_vs_compile"] = {"id_set_diff": diff, "ok": diff == 0}
+        ok_all &= diff == 0
+    report["ok"] = bool(ok_all)
+    return report

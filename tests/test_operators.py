@@ -346,3 +346,23 @@ class TestWayQuads:
             for cx in (w.minx, w.maxx):
                 for cy in (w.miny, w.maxy):
                     assert int(KT.tile_of_point(cx, cy, zq)) in tiles
+
+
+class TestIvf:
+    def test_ivf_recall_on_clustered(self, spark):
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((12, 64))
+        rows = []
+        vid = 0
+        for b in base:
+            for _ in range(8):
+                v = b + rng.standard_normal(64) * 0.12
+                rows.append((vid, [float(x) for x in v], int(vid % 12)))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        qids = [0, 8, 16]
+        exact = ann.cosine_topk(emb, qids, k=5)
+        approx = ann.ann_topk_ivf(emb, qids, k=5, n_centroids=12, nprobe=4)
+        e = {(r.qid, r.nid) for r in exact.collect()}
+        a = {(r.qid, r.nid) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.8

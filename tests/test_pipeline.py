@@ -173,3 +173,19 @@ class TestStatefulDedup:
         q.awaitTermination(90)
         second = {r.doc_id for r in spark.read.parquet(out).collect()}
         assert 5 in second and 4 not in second  # state survived the restart
+
+
+class TestVerifyBuild:
+    def test_checker_green_then_detects_tamper(self, spark, tmp_path, sf_dir):
+        cfg = BP.BuildConfig(out_dir=str(tmp_path / "g2"), sf_dir=sf_dir,
+                             max_tiles=30, min_density=20)
+        BP.run_build(spark, cfg)
+        rep = BP.verify_build(spark, cfg)
+        assert rep["ok"] and rep["sort_vs_compile"]["ok"]
+        # tamper: delete a compile parquet file -> checker must flag it
+        import glob
+        victim = glob.glob(os.path.join(cfg.out_dir, "compile", "**", "*.parquet"),
+                           recursive=True)[0]
+        os.remove(victim)
+        rep2 = BP.verify_build(spark, cfg)
+        assert not rep2["ok"] and not rep2["compile"]["ok"]

@@ -10,6 +10,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -34,7 +35,12 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("correctness-check", cpus=8, shuffle_partitions=16)
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+        # driver-like hostile config: non-UTC session TZ — queries must be
+        # timezone-independent to pass
+        extra = {"spark.sql.session.timeZone": "America/New_York"}
+    spark = get_spark("correctness-check", cpus=8, shuffle_partitions=16, extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
