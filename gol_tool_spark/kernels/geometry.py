@@ -70,3 +70,64 @@ def bbox_intersects(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
         & (np.asarray(aminy) <= np.asarray(bmaxy))
         & (np.asarray(amaxy) >= np.asarray(bminy))
     )
+
+
+def _orient(ox, oy, ax, ay, bx, by):
+    """Sign of the cross product (o->a) x (o->b); vectorized, float64."""
+    return np.sign(
+        (np.asarray(ax, np.float64) - ox) * (np.asarray(by, np.float64) - oy)
+        - (np.asarray(ay, np.float64) - oy) * (np.asarray(bx, np.float64) - ox)
+    )
+
+
+def segment_crosses_ring(ax, ay, bx, by, ring: np.ndarray) -> bool:
+    """True if segment (a,b) properly intersects any edge of the ring
+    (shared endpoints / collinear touches count as crossing — conservative,
+    matching an 'intersects' predicate). Vectorized over ring edges."""
+    cx = np.asarray(ring[:, 0], np.float64)
+    cy = np.asarray(ring[:, 1], np.float64)
+    dx = np.roll(cx, -1)
+    dy = np.roll(cy, -1)
+    d1 = _orient(ax, ay, bx, by, cx, cy)
+    d2 = _orient(ax, ay, bx, by, dx, dy)
+    d3 = _orient(cx, cy, dx, dy, np.full_like(cx, ax), np.full_like(cy, ay))
+    d4 = _orient(cx, cy, dx, dy, np.full_like(cx, bx), np.full_like(cy, by))
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    # collinear/touch cases: the zero-orientation point must lie ON the
+    # other segment (bbox containment suffices once collinear)
+    minx, maxx = min(ax, bx), max(ax, bx)
+    miny, maxy = min(ay, by), max(ay, by)
+
+    def on_seg(px, py, lox, hix, loy, hiy):
+        return (px >= lox) & (px <= hix) & (py >= loy) & (py <= hiy)
+
+    eminx, emaxx = np.minimum(cx, dx), np.maximum(cx, dx)
+    eminy, emaxy = np.minimum(cy, dy), np.maximum(cy, dy)
+    touch = (
+        ((d1 == 0) & on_seg(cx, cy, minx, maxx, miny, maxy))
+        | ((d2 == 0) & on_seg(dx, dy, minx, maxx, miny, maxy))
+        | ((d3 == 0) & on_seg(ax, ay, eminx, emaxx, eminy, emaxy))
+        | ((d4 == 0) & on_seg(bx, by, eminx, emaxx, eminy, emaxy))
+    )
+    return bool(np.any(proper | touch))
+
+
+def polyline_intersects_polygon(
+    xs: np.ndarray, ys: np.ndarray, exterior: np.ndarray,
+    holes: list[np.ndarray] | None = None,
+) -> bool:
+    """C10 for line features: a polyline intersects a polygon iff any
+    vertex lies inside, or any segment crosses the exterior (a line fully
+    inside a hole does NOT intersect the polygon; crossing the hole
+    boundary does)."""
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    inside = points_in_polygon(xs, ys, exterior, holes)
+    if bool(np.any(inside)):
+        return True
+    rings = [exterior] + list(holes or [])
+    for i in range(len(xs) - 1):
+        for ring in rings:
+            if segment_crosses_ring(int(xs[i]), int(ys[i]), int(xs[i + 1]), int(ys[i + 1]), ring):
+                return True
+    return False

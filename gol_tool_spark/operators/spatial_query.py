@@ -195,3 +195,41 @@ def knn_cell_ring(
     for r in results[1:]:
         final = final.unionByName(r)
     return final
+
+
+def ways_intersect_polygon(
+    way_coords: DataFrame,
+    exterior: list[tuple[int, int]],
+    holes: list[list[tuple[int, int]]] | None = None,
+) -> DataFrame:
+    """C10 for line features (the 'segment intersection for lines' path):
+    bbox prefilter from the assembled coords, exact vertex-in-polygon +
+    segment-edge-crossing test in an Arrow-batched mapInPandas.
+    way_coords: output of measures.assemble_coords (way_id, coords)."""
+    ext = np.asarray(exterior, np.int64)
+    hls = [np.asarray(h, np.int64) for h in (holes or [])]
+    minx, miny = int(ext[:, 0].min()), int(ext[:, 1].min())
+    maxx, maxy = int(ext[:, 0].max()), int(ext[:, 1].max())
+
+    pre = way_coords.filter(
+        (F.expr("aggregate(coords, cast(-9223372036854775808 as bigint), (m, c) -> greatest(m, cast(c.x as bigint)))") >= minx)
+        & (F.expr("aggregate(coords, cast(9223372036854775807 as bigint), (m, c) -> least(m, cast(c.x as bigint)))") <= maxx)
+        & (F.expr("aggregate(coords, cast(-9223372036854775808 as bigint), (m, c) -> greatest(m, cast(c.y as bigint)))") >= miny)
+        & (F.expr("aggregate(coords, cast(9223372036854775807 as bigint), (m, c) -> least(m, cast(c.y as bigint)))") <= maxy)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..kernels import geometry as G
+
+        for pdf in batches:
+            keep = []
+            for r in pdf.itertuples(index=False):
+                xs = np.array([c["x"] for c in r.coords], np.int64)
+                ys = np.array([c["y"] for c in r.coords], np.int64)
+                if G.polyline_intersects_polygon(xs, ys, ext, hls):
+                    keep.append((r.way_id,))
+            yield pd.DataFrame(keep, columns=["way_id"])
+
+    return pre.mapInPandas(run, "way_id long")

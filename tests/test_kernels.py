@@ -187,3 +187,35 @@ class TestImage:
         a = I.phash64(I.generate_pixels(1, 32, 32))
         b = I.phash64(I.generate_pixels(2, 32, 32))
         assert I.hamming64(a, b) > 8
+
+
+class TestSegmentIntersect:
+    SQ = np.array([[0, 0], [100, 0], [100, 100], [0, 100]])
+
+    def test_cases(self):
+        from gol_tool_spark.kernels.geometry import (
+            polyline_intersects_polygon,
+            segment_crosses_ring,
+        )
+
+        # proper crossing
+        assert segment_crosses_ring(-10, 50, 110, 50, self.SQ)
+        # disjoint
+        assert not segment_crosses_ring(-10, -10, -5, -5, self.SQ)
+        # collinear with an edge's line but beyond the edge: no intersection
+        assert not segment_crosses_ring(150, 0, 200, 0, self.SQ)
+        # touch at a corner counts
+        assert segment_crosses_ring(100, 100, 150, 150, self.SQ)
+        # polyline fully inside (no crossing) still intersects
+        assert polyline_intersects_polygon(
+            np.array([10, 20]), np.array([10, 20]), self.SQ
+        )
+        # polyline crossing with no vertex inside
+        assert polyline_intersects_polygon(
+            np.array([-10, 110]), np.array([50, 50]), self.SQ
+        )
+        # polyline fully inside a hole does not intersect
+        hole = np.array([[20, 20], [80, 20], [80, 80], [20, 80]])
+        assert not polyline_intersects_polygon(
+            np.array([40, 60]), np.array([40, 60]), self.SQ, [hole]
+        )

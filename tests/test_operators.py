@@ -366,3 +366,27 @@ class TestIvf:
         e = {(r.qid, r.nid) for r in exact.collect()}
         a = {(r.qid, r.nid) for r in approx.collect()}
         assert len(e & a) / len(e) >= 0.8
+
+
+class TestWayPolygonIntersect:
+    def test_crossing_and_inside_and_outside(self, spark):
+        from gol_tool_spark.operators import measures
+
+        square = [(0, 0), (100, 0), (100, 100), (0, 100)]
+        pts = spark.createDataFrame(
+            [
+                (1, 50, 50), (2, 60, 60),          # way 10: fully inside
+                (3, -50, 50), (4, 150, 50),        # way 20: crosses, no vertex inside
+                (5, -50, -50), (6, -60, -60),      # way 30: fully outside
+                (7, -10, 120), (8, 120, -10),      # way 40: diagonal cutting corner
+            ],
+            "id long, x long, y long",
+        )
+        mem = spark.createDataFrame(
+            [(10, 1, 1), (10, 2, 2), (20, 1, 3), (20, 2, 4),
+             (30, 1, 5), (30, 2, 6), (40, 1, 7), (40, 2, 8)],
+            "way_id long, seq int, node_ref long",
+        )
+        coords = measures.assemble_coords(mem, pts)
+        got = {r.way_id for r in spatial_query.ways_intersect_polygon(coords, square).collect()}
+        assert got == {10, 20, 40}
