@@ -437,6 +437,20 @@ def q_fab_export(spark, sf_dir):
     return writers.fab_format(_points(spark, sf_dir)).select("fab")
 
 
+PIP_EXT = (-400000001, -300000003, 500000007, 350000001)
+PIP_HOLE = (-100000001, -50000003, 150000007, 100000001)
+
+
+def q_pip_holes(spark, sf_dir):
+    """B3 with interior ring: rectangle-with-hole through the REAL ray-cast
+    operator; the oracle mirrors it with exact range predicates."""
+    ex = PIP_EXT
+    hl = PIP_HOLE
+    exterior = [(ex[0], ex[1]), (ex[2], ex[1]), (ex[2], ex[3]), (ex[0], ex[3])]
+    hole = [(hl[0], hl[1]), (hl[2], hl[1]), (hl[2], hl[3]), (hl[0], hl[3])]
+    return spatial_query.points_in_polygon(_points(spark, sf_dir), exterior, [hole]).select("id")
+
+
 def q_events_json(spark, sf_dir):
     """JSON prop extraction over the events stream table (H: JSON ops)."""
     ev = _read(spark, sf_dir, "events")
@@ -511,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fab_export": q_fab_export,
         "events_json": q_events_json,
         "way_quads": q_way_quads,
+        "pip_holes": q_pip_holes,
     }
 
 
@@ -842,6 +857,12 @@ def oracle_sql() -> dict[str, str]:
         "fab_export": _with_points(
             "SELECT 'node/' || CAST(id AS VARCHAR) || ': returnflag=' || returnflag "
             "|| ', linestatus=' || linestatus || ', qty=' || CAST(qty AS VARCHAR) AS fab FROM t12"
+        ),
+        "pip_holes": _with_points(
+            f"SELECT id FROM t12 WHERE x > {PIP_EXT[0]} AND x < {PIP_EXT[2]} "
+            f"AND y > {PIP_EXT[1]} AND y < {PIP_EXT[3]} "
+            f"AND NOT (x > {PIP_HOLE[0]} AND x < {PIP_HOLE[2]} "
+            f"AND y > {PIP_HOLE[1]} AND y < {PIP_HOLE[3]})"
         ),
         "events_json": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "

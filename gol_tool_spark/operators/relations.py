@@ -126,3 +126,25 @@ def missing_members(relations: DataFrame, node_ids: DataFrame, way_ids: DataFram
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("rel_id", "seq", "mtype", "ref", "role")
+
+
+def resolve_quads(
+    relations: DataFrame,
+    node_bboxes: DataFrame,
+    way_bboxes: DataFrame,
+    zoom: int = 12,
+    max_iters: int = 25,
+) -> DataFrame:
+    """C5 at tile-quad granularity: resolve relation bboxes to the fixed
+    point, then pack each into a tile quad (the reference resolves quads
+    directly; bbox-then-quad yields the same footprint because quad packing
+    is monotone in the bbox — the quad of the union bbox covers the union
+    of member quads)."""
+    from .tiling import way_quads
+
+    boxes = resolve_bboxes(relations, node_bboxes, way_bboxes, max_iters)
+    resolved = boxes.filter(F.col("resolved"))
+    quads = way_quads(
+        resolved.select(F.col("rel_id").alias("way_id"), *BBOX_COLS), zoom
+    ).select(F.col("way_id").alias("rel_id"), "quad")
+    return boxes.join(quads, "rel_id", "left")

@@ -60,24 +60,31 @@ def _manifest_path(cfg: BuildConfig, stage: str) -> str:
 
 
 def _write_manifest(cfg: BuildConfig, stage: str, df: DataFrame | None, t0: float, extra=None):
-    """Per-stage lineage: row/byte counts per partition file + totals."""
+    """Per-stage lineage: row/byte counts per partition file + totals.
+    Counts come from parquet FOOTER metadata (pyarrow, driver-side) — no
+    re-scan of the data; on Iceberg this is the `files` metadata table."""
     meta = {"stage": stage, "wall_sec": round(time.time() - t0, 3)}
     if df is not None:
+        import pyarrow.parquet as pq
+
         path = os.path.join(cfg.out_dir, stage)
-        files = df.sparkSession.read.parquet(path)
-        per_part = (
-            files.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        meta["partitions"] = [
-            {"file": os.path.basename(r.file), "rows": r.rows} for r in per_part
-        ]
-        meta["rows"] = int(sum(r.rows for r in per_part))
-        meta["bytes"] = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
-        )
+        parts = []
+        total_rows = 0
+        total_bytes = 0
+        for dp, _, fs in os.walk(path):
+            for f in sorted(fs):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dp, f)
+                nrows = pq.ParquetFile(full).metadata.num_rows
+                nbytes = os.path.getsize(full)
+                rel = os.path.relpath(full, path)
+                parts.append({"file": rel, "rows": int(nrows), "bytes": nbytes})
+                total_rows += nrows
+                total_bytes += nbytes
+        meta["partitions"] = parts
+        meta["rows"] = int(total_rows)
+        meta["bytes"] = int(total_bytes)
     if extra:
         meta.update(extra)
     with open(_manifest_path(cfg, stage), "w") as fh:

@@ -390,3 +390,30 @@ class TestWayPolygonIntersect:
         coords = measures.assemble_coords(mem, pts)
         got = {r.way_id for r in spatial_query.ways_intersect_polygon(coords, square).collect()}
         assert got == {10, 20, 40}
+
+
+class TestRelationQuads:
+    def test_quads_cover_member_footprint(self, spark):
+        from gol_tool_spark.kernels import tile as KT
+
+        rels = fixtures.relations_with_cycles(spark)
+        nodes = spark.createDataFrame(
+            [(9, 10, 10, 10, 10), (17, -5, -5, -5, -5), (25, 100, 7, 100, 7)],
+            "id long, minx long, miny long, maxx long, maxy long",
+        )
+        ways = spark.createDataFrame(
+            [(7, 0, 0, 50, 50), (15, -20, -20, -10, -10)],
+            "id long, minx long, miny long, maxx long, maxy long",
+        )
+        out = {r.rel_id: r for r in relations.resolve_quads(rels, nodes, ways).collect()}
+        # resolved relations carry a quad covering their bbox corners
+        for rid in (1, 2, 3, 4):
+            r = out[rid]
+            assert r.quad is not None
+            z = (r.quad >> 24) & 0xF
+            tiles = set(KT.quad_tiles(r.quad))
+            for cx in (r.minx, r.maxx):
+                for cy in (r.miny, r.maxy):
+                    assert int(KT.tile_of_point(cx, cy, z)) in tiles
+        # unresolved (cycles/empties) have no quad
+        assert out[5].quad is None and out[8].quad is None
