@@ -189,3 +189,35 @@ class TestVerifyBuild:
         os.remove(victim)
         rep2 = BP.verify_build(spark, cfg)
         assert not rep2["ok"] and not rep2["compile"]["ok"]
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        from gol_tool_spark.functions import synth
+        from gol_tool_spark.operators import tiling
+        from gol_tool_spark.plans import bucketed as B
+
+        mem = synth.membership_df(spark, sf_dir)
+        pts = tiling.assign_points(synth.points_df(spark, sf_dir))
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a non-broadcast join so the shuffle question is real
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            mem_t, nodes_t = B.prepare_colocated(spark, mem, pts, buckets=8, prefix="tb")
+            ways = B.way_assembly_colocated(spark, mem_t, nodes_t)
+            # same results as the shuffling C2
+            base = tiling.way_assembly(mem, pts)
+            got = {(r.way_id, r.n_nodes, r.minx, r.maxy) for r in ways.collect()}
+            exp = {(r.way_id, r.n_nodes, r.minx, r.maxy) for r in base.collect()}
+            assert got == exp
+            # and the join itself is shuffle-free (bucketed co-location)
+            assert B.join_exchange_count(ways) == 0
+            # the unbucketed plan DOES shuffle on the key — the contrast
+            assert B.join_exchange_count(
+                mem.join(pts.select(F.col("id").alias("node_ref"), "x", "y", "tile"),
+                         "node_ref").groupBy("way_id").agg(F.count(F.lit(1)).alias("n"))
+            ) >= 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            spark.sql("DROP TABLE IF EXISTS tb_membership")
+            spark.sql("DROP TABLE IF EXISTS tb_nodes")
