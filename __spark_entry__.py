@@ -10,8 +10,11 @@ query uses EXACT arithmetic that both engines compute bit-identically —
 64-bit integer tile math, integer-cents money, md5 fingerprints, quantized
 integer dot products — so value hashes match without float-order luck.
 Queries whose Spark plan is not SQL-expressible (image payload roundtrip,
-LSH banding, SRP buckets, cell-ring kNN) carry no oracle entry and get the
-driver's rows-only check; their correctness lives in tests/.
+LSH banding, SRP buckets) carry no oracle entry and get the driver's
+rows-only check; their correctness lives in tests/.  Tile quads are oracle-
+checked against an independent recursive-CTE SQL implementation of the
+zoom-out semantics; adaptive cell-ring kNN is exact by construction and
+shares the brute-force oracle.
 """
 
 from __future__ import annotations
@@ -147,7 +150,10 @@ def q_knn_grid(spark, sf_dir):
     return spatial_query.knn_bruteforce(_points(spark, sf_dir), KNN_QUERIES, k=10)
 
 
-def q_knn_cell_ring(spark, sf_dir):  # no oracle: validated vs brute force in tests
+def q_knn_cell_ring(spark, sf_dir):
+    """Adaptive cell-ring kNN — exact by construction (ring expands until
+    the kth distance is ring-guaranteed), so it shares the brute-force
+    oracle."""
     return spatial_query.knn_cell_ring(_points(spark, sf_dir), KNN_QUERIES, k=10, zoom=4)
 
 
@@ -655,6 +661,49 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pip_diamond": _with_points(
             f"SELECT id FROM t12 WHERE abs(x) + abs(y) <= {DIAMOND_R}"
+        ),
+        "knn_cell_ring": _with_points(
+            f", q(qid, qx, qy) AS (SELECT CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(c AS BIGINT) "
+            f"FROM (VALUES {', '.join(f'({q}, {x}, {y})' for q, x, y in KNN_QUERIES)}) v(a, b, c)) "
+            "SELECT qid, id, rank, d2 FROM ("
+            "  SELECT q.qid, p.id, "
+            "  CAST(p.x - q.qx AS DOUBLE) * CAST(p.x - q.qx AS DOUBLE) "
+            "  + CAST(p.y - q.qy AS DOUBLE) * CAST(p.y - q.qy AS DOUBLE) AS d2, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "    CAST(p.x - q.qx AS DOUBLE) * CAST(p.x - q.qx AS DOUBLE) "
+            "    + CAST(p.y - q.qy AS DOUBLE) * CAST(p.y - q.qy AS DOUBLE) ASC, p.id ASC) AS rank "
+            "  FROM t12 p CROSS JOIN q) WHERE rank <= 10"
+        ),
+        "way_quads": (
+            f"WITH RECURSIVE pts AS ({_PTS}), t12 AS ({_T12}) "
+            f", mem AS ({_MEM}), j AS ("
+            "SELECT m.way_id, p.x, p.y, p.tile FROM mem m JOIN t12 p ON m.node_ref = p.id), "
+            "start AS (SELECT way_id, "
+            f"CAST(FLOOR((MIN(x) + {_HALF}) / 1048576.0) AS BIGINT) AS c0, "
+            f"CAST(FLOOR((MAX(x) + {_HALF}) / 1048576.0) AS BIGINT) AS c1, "
+            f"CAST(FLOOR(({_HALF - 1} - MAX(y)) / 1048576.0) AS BIGINT) AS r0, "
+            f"CAST(FLOOR(({_HALF - 1} - MIN(y)) / 1048576.0) AS BIGINT) AS r1, "
+            "CAST(COUNT(DISTINCT tile) AS BIGINT) AS n_tiles "
+            "FROM j GROUP BY way_id), "
+            # recursive zoom-out until the col/row ranges fit one aligned
+            # sibling pair — the independent SQL twin of kernels/tile.quad_from_bbox
+            "rec AS (SELECT way_id, 12 AS z, c0, c1, r0, r1 FROM start "
+            "UNION ALL SELECT way_id, z - 1, "
+            "CAST(FLOOR(c0 / 2.0) AS BIGINT), CAST(FLOOR(c1 / 2.0) AS BIGINT), "
+            "CAST(FLOOR(r0 / 2.0) AS BIGINT), CAST(FLOOR(r1 / 2.0) AS BIGINT) FROM rec "
+            "WHERE z > 0 AND NOT (CAST(FLOOR(c0 / 2.0) AS BIGINT) = CAST(FLOOR(c1 / 2.0) AS BIGINT) "
+            "AND CAST(FLOOR(r0 / 2.0) AS BIGINT) = CAST(FLOOR(r1 / 2.0) AS BIGINT))), "
+            "term AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY z ASC) AS rn FROM rec), "
+            "anch AS (SELECT way_id, z, c0, c1, r0, r1, "
+            "CAST(FLOOR(c0 / 2.0) AS BIGINT) * 2 AS ac, CAST(FLOOR(r0 / 2.0) AS BIGINT) * 2 AS ar "
+            "FROM term WHERE rn = 1) "
+            "SELECT a.way_id, s.n_tiles, "
+            "CAST(((CASE WHEN a.c0 <= a.ac AND a.ac <= a.c1 AND a.r0 <= a.ar AND a.ar <= a.r1 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN a.c0 <= a.ac + 1 AND a.ac + 1 <= a.c1 AND a.r0 <= a.ar AND a.ar <= a.r1 THEN 2 ELSE 0 END) "
+            "+ (CASE WHEN a.c0 <= a.ac AND a.ac <= a.c1 AND a.r0 <= a.ar + 1 AND a.ar + 1 <= a.r1 THEN 4 ELSE 0 END) "
+            "+ (CASE WHEN a.c0 <= a.ac + 1 AND a.ac + 1 <= a.c1 AND a.r0 <= a.ar + 1 AND a.ar + 1 <= a.r1 THEN 8 ELSE 0 END)"
+            ") AS BIGINT) * 268435456 + a.z * 16777216 + a.ar * 4096 + a.ac AS quad "
+            "FROM anch a JOIN start s ON a.way_id = s.way_id"
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
