@@ -296,8 +296,18 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b", "inter", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
-def q_minhash_lsh(spark, sf_dir):  # no oracle: hash permutations not SQL-portable
+def q_minhash_lsh(spark, sf_dir):  # no oracle: Spark-hash banding; sigs checked below
     return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.3)
+
+
+def q_minhash_sigs(spark, sf_dir):
+    """MinHash signatures flattened to columns — full oracle parity of the
+    md5-derived universal-hash permutations."""
+    sh = dedup.shingles(_read(spark, sf_dir, "documents"), n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    return sig.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(64)]
+    )
 
 
 def q_simhash(spark, sf_dir):  # no oracle: bit-vote aggregation not SQL-portable
@@ -513,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
         "string_freq": q_string_freq,
         "tally_priority": q_tally_priority,
@@ -582,7 +593,63 @@ def oracle_sql() -> dict[str, str]:
     }
     qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+    # md5-hex -> 60-bit int, the SQL twin of dedup._shingle_hash()
+    hex2int = (
+        "list_reduce(list_transform(regexp_extract_all(substr(md5(shingle), 1, 15), '.'), "
+        "ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)), (x, y) -> x * 16 + y)"
+    )
+    shingle3 = (
+        "docs_n AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS words FROM documents), "
+        "w AS (SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS pos FROM docs_n), "
+        "sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle "
+        "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+        f"h AS (SELECT doc_id, {hex2int} AS h FROM sh)"
+    )
+    import numpy as _np
+
+    _rng = _np.random.default_rng(13)  # same seed as dedup.minhash_signatures
+    _a = _rng.integers(1, (1 << 31) - 1, 64).tolist()
+    _b = _rng.integers(0, (1 << 31) - 1, 64).tolist()
+    M31 = (1 << 31) - 1
+    minhash_cols = ", ".join(
+        f"MIN(((h % {M31}) * {_a[i]} + {_b[i]}) % {M31}) AS m{i}" for i in range(64)
+    )
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+    )
+    simhash_word = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+
+    def _band_hash_sql(i: int) -> str:
+        acc = "0"
+        for j in range(4):  # rows_per_band = 64 // 16
+            acc = f"((({acc}) * 65599 + m{i * 4 + j}) % {M31})"
+        return acc
+
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, {_band_hash_sql(i)} AS bh FROM sig" for i in range(16)
+    )
+    est_sum = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(64))
+
     return {
+        "minhash_sigs": (
+            f"WITH {shingle3} SELECT doc_id, {minhash_cols} FROM h GROUP BY doc_id"
+        ),
+        "minhash_lsh": (
+            f"WITH {shingle3}, "
+            f"sig AS (SELECT doc_id, {minhash_cols} FROM h GROUP BY doc_id), "
+            f"bands AS ({bands_sql}), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh "
+            "AND a.doc_id < b.doc_id) "
+            f"SELECT c.doc_a, c.doc_b, ({est_sum}) / 64.0 AS jaccard_est "
+            "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b "
+            f"WHERE ({est_sum}) / 64.0 >= 0.3"
+        ),
+        "simhash": (
+            f"WITH {shingle3}, v AS (SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id) "
+            f"SELECT doc_id, CAST({simhash_word} AS BIGINT) AS simhash FROM v"
+        ),
         "tile_assign": _with_points("SELECT id, x, y, tile FROM t12"),
         "tile_density": _with_points(f"SELECT tile, CAST(cnt AS BIGINT) AS cnt FROM ({dens})"),
         "density_rollup": _with_points(f", dens AS ({dens}) SELECT * FROM ({_rollup_cte()})"),

@@ -123,15 +123,21 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = shingles(df, n, text_col)
     sig = minhash_signatures(sh, num_hashes)
+
+    def band_hash(i: int) -> F.Column:
+        # polynomial chain mod M31 — engine-independent (Spark's hash() is
+        # Murmur3, which no oracle can reproduce); operands stay < 2^48
+        acc = F.lit(0).cast("bigint")
+        for j in range(rows_per_band):
+            acc = (acc * 65599 + F.element_at("sig", i * rows_per_band + j + 1)) % MERSENNE31
+        return acc
+
     banded = sig.select(
         "doc_id",
         "sig",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.hash(*[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bh"),
-                )
+                F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh"))
                 for i in range(bands)
             ])
         ).alias("bk"),
