@@ -221,3 +221,38 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
             spark.sql("DROP TABLE IF EXISTS tb_membership")
             spark.sql("DROP TABLE IF EXISTS tb_nodes")
+
+
+class TestAqeSkewJoin:
+    def test_skew_split_fires_on_hot_key(self, spark):
+        """Runtime skew handling (SURVEY §4 'we must add'): a 60%-hot-key
+        join must show SortMergeJoin(skew=true) in the final AQE plan.
+        Thresholds are lowered to make the tiny fixture 'skewed'."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            left = spark.range(2_000_000).select(
+                F.when(F.col("id") % 10 < 6, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+                F.col("id").alias("v"),
+            )
+            right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+            j = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+            j.collect()
+            plan = j._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            assert "skew=true" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
