@@ -9,12 +9,11 @@ Parity design (see gol_tool_spark/functions/synth.py): every oracle-checked
 query uses EXACT arithmetic that both engines compute bit-identically —
 64-bit integer tile math, integer-cents money, md5 fingerprints, quantized
 integer dot products — so value hashes match without float-order luck.
-Queries whose Spark plan is not SQL-expressible (image payload roundtrip,
-LSH banding, SRP buckets) carry no oracle entry and get the driver's
-rows-only check; their correctness lives in tests/.  Tile quads are oracle-
-checked against an independent recursive-CTE SQL implementation of the
-zoom-out semantics; adaptive cell-ring kNN is exact by construction and
-shares the brute-force oracle.
+47 of 49 queries carry full oracles — including tile quads (independent
+recursive-CTE SQL twin of the zoom-out), MinHash/SimHash/LSH (md5-derived
+integer hashing reproduced in SQL) and SRP-LSH ANN (exact-float left-fold
+dot products). Only the two image-payload queries are rows-only: pixels
+genuinely aren't SQL; their invariants live in tests/.
 """
 
 from __future__ import annotations
@@ -626,6 +625,25 @@ def oracle_sql() -> dict[str, str]:
     )
     simhash_word = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
 
+    # --- ann_lsh oracle: SRP buckets re-derived with exact float literals.
+    # Spark computes each hyperplane dot as a LEFT FOLD (aggregate over
+    # zip_with, init 0.0) — the SQL twin is the same left-associated sum
+    # chain, so IEEE doubles agree bit-for-bit; repr() float literals
+    # round-trip exactly in both parsers.
+    _planes = _np.random.default_rng(23).standard_normal((10, 64))  # ann.srp_bucket(seed=23)
+    _dots = []
+    for i in range(10):
+        chain = "0.0"
+        for d in range(64):
+            chain = f"({chain} + CAST(embedding[{d + 1}] AS DOUBLE) * {_planes[i][d]!r})"
+        _dots.append(chain)
+    _bucket_sql = " + ".join(
+        f"(CASE WHEN {_dots[i]} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(10)
+    )
+    _flips = [0] + [1 << i for i in range(10)] + [
+        (1 << i) | (1 << j) for i in range(10) for j in range(i + 1, 10)
+    ]
+
     def _band_hash_sql(i: int) -> str:
         acc = "0"
         for j in range(4):  # rows_per_band = 64 // 16
@@ -893,6 +911,21 @@ def oracle_sql() -> dict[str, str]:
         "tally_roles": (
             "SELECT o_orderstatus AS role, CAST(COUNT(*) AS BIGINT) AS n_members, "
             "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_relations FROM orders GROUP BY 1"
+        ),
+        "ann_lsh": (
+            f"WITH base AS (SELECT vec_id, {qv} AS qv, "
+            f"CAST({_bucket_sql} AS BIGINT) AS bucket FROM embeddings), "
+            f"qs AS (SELECT vec_id AS qid, qv AS qq, bucket AS qbucket FROM base "
+            f"WHERE vec_id IN ({', '.join(map(str, ANN_QIDS))})), "
+            f"probes AS (SELECT qid, qq, xor(qbucket, f.flip) AS bucket "
+            f"FROM qs, (SELECT unnest([{', '.join(map(str, _flips))}]) AS flip) f), "
+            "cand AS (SELECT DISTINCT p.qid, p.qq, b.vec_id AS nid, b.qv "
+            "FROM base b JOIN probes p ON b.bucket = p.bucket AND b.vec_id != p.qid), "
+            "d AS (SELECT qid, nid, list_dot_product(qq, qv) / "
+            "(sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qv, qv))) AS cos FROM cand) "
+            "SELECT qid, nid, rank, round(cos, 6) AS cos_r FROM ("
+            "SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank "
+            "FROM d) WHERE rank <= 10"
         ),
         "ann_cosine": (
             f"WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings), "
