@@ -417,3 +417,18 @@ class TestRelationQuads:
                     assert int(KT.tile_of_point(cx, cy, z)) in tiles
         # unresolved (cycles/empties) have no quad
         assert out[5].quad is None and out[8].quad is None
+
+
+class TestGoqlEdges:
+    def test_quoted_values_and_nonnumeric(self, spark):
+        rows = [
+            ("n", {"name": "St. John's", "maxspeed": "50"}),
+            ("n", {"name": "plain", "maxspeed": "none"}),
+        ]
+        df = spark.createDataFrame(rows, "ftype string, tags map<string,string>")
+        # quoted value with special chars
+        assert df.filter(compile_goql("n[name=\"St. John's\"]")).count() == 1
+        # numeric compare: non-numeric tag values never match (narrow-number
+        # semantics, StringTableBuilder.java:152-164)
+        assert df.filter(compile_goql("n[maxspeed>30]")).count() == 1
+        assert df.filter(compile_goql("n[maxspeed<30]")).count() == 0

@@ -256,3 +256,33 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestTileset:
+    def test_save_load_roundtrip_and_corruption(self, spark, tmp_path, sf_dir):
+        from gol_tool_spark.plans import tileset as TS
+
+        cfg = BP.BuildConfig(out_dir=str(tmp_path / "g3"), sf_dir=sf_dir,
+                             max_tiles=30, min_density=20)
+        BP.run_build(spark, cfg)
+        store = os.path.join(cfg.out_dir, "compile")
+        ts = str(tmp_path / "tileset")
+        m = TS.save_tileset(store, ts)
+        assert m["piles"] and "guid" in m
+        # load into a fresh store: everything fetched, data identical
+        store2 = str(tmp_path / "restored")
+        rep = TS.load_tileset(ts, store2)
+        assert sorted(rep["loaded"]) == sorted(m["piles"]) and not rep["skipped"]
+        a = spark.read.parquet(store).orderBy("id").collect()
+        b = spark.read.parquet(store2).orderBy("id").collect()
+        assert a == b
+        # second load skips everything (incremental semantics)
+        rep2 = TS.load_tileset(ts, store2)
+        assert not rep2["loaded"] and sorted(rep2["skipped"]) == sorted(m["piles"])
+        # corruption detected
+        import glob
+        victim = glob.glob(os.path.join(ts, "pile=*", "*.parquet"))[0]
+        with open(victim, "ab") as fh:
+            fh.write(b"junk")
+        with pytest.raises(ValueError, match="checksum mismatch"):
+            TS.load_tileset(ts, str(tmp_path / "r2"))
