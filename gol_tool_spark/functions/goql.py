@@ -72,7 +72,9 @@ def _compile_clause(cond: str, tags: Column) -> Column:
     if op == "~":
         return tag.isNotNull() & tag.rlike(val)
     if op in (">", ">=", "<", "<="):
-        num = F.try_cast(tag, "double") if hasattr(F, "try_cast") else tag.cast("double")
+        # try_cast: non-numeric tag values never match instead of erroring
+        # under ANSI mode (narrow-number semantics)
+        num = tag.try_cast("double") if hasattr(tag, "try_cast") else tag.cast("double")
         try:
             fval = float(val)
         except ValueError as e:
