@@ -45,12 +45,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
-    """Word n-gram shingles, distinct per doc: (doc_id, shingle)."""
+    """Word n-gram shingles, distinct per doc: (doc_id, shingle).
+    Docs shorter than n words produce no shingles (guarded: F.sequence
+    with start > stop yields a DESCENDING range, not an empty one)."""
     words = F.split(normalized(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select("doc_id", F.explode(sh).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])

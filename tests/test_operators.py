@@ -432,3 +432,19 @@ class TestGoqlEdges:
         # semantics, StringTableBuilder.java:152-164)
         assert df.filter(compile_goql("n[maxspeed>30]")).count() == 1
         assert df.filter(compile_goql("n[maxspeed<30]")).count() == 0
+
+
+class TestShortDocEdges:
+    def test_short_docs_dont_crash_dedup(self, spark):
+        # docs shorter than the shingle width: no shingles, no crash
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "single"), (3, "a full length document with many words")],
+            "doc_id long, text string",
+        )
+        assert dedup.shingles(df, n=5).filter(F.col("doc_id") != 3).count() == 0
+        pairs = dedup.ngram_jaccard_pairs(df, n=5, threshold=0.1)
+        assert pairs.count() == 0
+        sigs = {r.doc_id for r in dedup.minhash_signatures(dedup.shingles(df, n=5)).collect()}
+        assert sigs == {3}
+        sh = {r.doc_id: r.simhash for r in dedup.simhash(df, n=5).collect()}
+        assert set(sh) == {3}
