@@ -72,7 +72,7 @@ def ring_area2(coords: Column) -> Column:
     Doubles (can exceed int64) — deterministic sequential aggregation."""
     n = F.size(coords)
     idx = F.sequence(F.lit(0), n - 1)
-    return F.aggregate(
+    agg = F.aggregate(
         F.transform(
             idx,
             lambda i: F.element_at(coords, i + 1)["x"].cast("double")
@@ -83,6 +83,8 @@ def ring_area2(coords: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # empty coord arrays: F.sequence(0, -1) would be a descending range
+    return F.when(n > 0, agg).otherwise(F.lit(0.0))
 
 
 def way_measures(membership: DataFrame, points: DataFrame) -> DataFrame:
