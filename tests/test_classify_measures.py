@@ -181,3 +181,38 @@ class TestWindowedStreaming:
         got = {(str(r.w_start), r.event_type): r.n for r in rows}
         assert got[("2024-01-01 00:00:00", "click")] == 2
         assert got[("2024-01-01 00:10:00", "view")] == 1
+
+
+class TestRingAssembly:
+    def test_stitch_square_from_pieces_with_hole(self, spark):
+        from gol_tool_spark.operators import rings
+
+        # outer square 0..100 split into two open ways (one reversed),
+        # inner hole 20..40 as a single closed way
+        def coords(pts):
+            return [{"seq": i, "x": x, "y": y} for i, (x, y) in enumerate(pts)]
+
+        rows = [
+            (1, "outer", coords([(0, 0), (100, 0), (100, 100)])),
+            (1, "outer", coords([(0, 0), (0, 100), (100, 100)])),  # reversed join
+            (1, "inner", coords([(20, 20), (40, 20), (40, 40), (20, 40), (20, 20)])),
+            (2, "outer", coords([(0, 0), (50, 0)])),  # dangling: can't close
+        ]
+        df = spark.createDataFrame(
+            rows, "rel_id long, role string, coords array<struct<seq:int,x:long,y:long>>"
+        )
+        out = rings.assemble_rings(df)
+        r1 = {(r.role, r.ring_idx): r for r in out.filter(F.col("rel_id") == 1).collect()}
+        outer = r1[("outer", 0)]
+        assert outer.closed and outer.n_points == 5
+        assert abs(outer.area2) == 2 * 100 * 100
+        inner = r1[("inner", 0)]
+        assert inner.closed and abs(inner.area2) == 2 * 20 * 20
+        # multipolygon area = outer - inner
+        mp = {r.rel_id: r for r in rings.multipolygon_area2(out).collect()}
+        assert mp[1].area2 == 2 * (100 * 100 - 20 * 20)
+        assert mp[1].n_rings == 2 and mp[1].n_inner == 1
+        # rel 2: single open chain, not closed, excluded from area
+        r2 = out.filter(F.col("rel_id") == 2).collect()
+        assert len(r2) == 1 and not r2[0].closed
+        assert 2 not in mp
