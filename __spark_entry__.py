@@ -472,6 +472,17 @@ def q_pip_holes(spark, sf_dir):
     return spatial_query.points_in_polygon(_points(spark, sf_dir), exterior, [hole]).select("id")
 
 
+def q_tally_length(spark, sf_dir):
+    """D6 tally=length through the stats engine: total L1 way length per
+    closed/open class (exact integer lengths -> exact double tallies)."""
+    from gol_tool_spark.operators import measures
+
+    m = measures.way_measures(
+        synth.membership_df(spark, sf_dir), synth.points_df(spark, sf_dir).select("id", "x", "y")
+    )
+    return stats.tally(m, ["closed"], tally_col=F.col("l1_len"))
+
+
 def q_events_json(spark, sf_dir):
     """JSON prop extraction over the events stream table (H: JSON ops)."""
     ev = _read(spark, sf_dir, "events")
@@ -548,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "way_quads": q_way_quads,
         "pip_holes": q_pip_holes,
+        "tally_length": q_tally_length,
     }
 
 
@@ -1012,6 +1024,23 @@ def oracle_sql() -> dict[str, str]:
         "fab_export": _with_points(
             "SELECT 'node/' || CAST(id AS VARCHAR) || ': returnflag=' || returnflag "
             "|| ', linestatus=' || linestatus || ', qty=' || CAST(qty AS VARCHAR) AS fab FROM t12"
+        ),
+        "tally_length": _with_points(
+            f", mem AS ({_MEM}), j AS ("
+            "SELECT m.way_id, m.seq, p.x, p.y FROM mem m JOIN t12 p ON m.node_ref = p.id), "
+            "st AS (SELECT way_id, x, y, LAG(x) OVER w AS px, LAG(y) OVER w AS py, "
+            "FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy, "
+            "LAST_VALUE(x) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lx, "
+            "LAST_VALUE(y) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ly "
+            "FROM j WINDOW w AS (PARTITION BY way_id ORDER BY seq, x, y)), "
+            "ways AS (SELECT way_id, "
+            "COALESCE(CAST(SUM(ABS(x - px) + ABS(y - py)) AS BIGINT), 0) AS l1_len, "
+            "(MAX(fx) = MAX(lx) AND MAX(fy) = MAX(ly) AND COUNT(*) > 2) AS closed "
+            "FROM st GROUP BY way_id) "
+            "SELECT closed, CAST(CAST(SUM(l1_len) AS BIGINT) AS DOUBLE) AS tally "
+            "FROM ways GROUP BY closed"
         ),
         "pip_holes": _with_points(
             f"SELECT id FROM t12 WHERE x > {PIP_EXT[0]} AND x < {PIP_EXT[2]} "
