@@ -448,3 +448,82 @@ class TestShortDocEdges:
         assert sigs == {3}
         sh = {r.doc_id: r.simhash for r in dedup.simhash(df, n=5).collect()}
         assert set(sh) == {3}
+
+
+class TestGoqlProperty:
+    """GOQL compiler vs an independent Python evaluator on random rows."""
+
+    SELECTORS = [
+        "n", "w", "nw", "*",
+        "n[highway]", "n[!highway]",
+        "n[highway=primary]", "n[highway!=primary]",
+        "n[name=Alpha*]", "n[name=*Ave]", "n[name~^B.*a$]",
+        "n[maxspeed>30]", "n[maxspeed<=50]",
+        "n[highway][maxspeed>30]",
+        "n[highway=primary], w[name=Alpha*]",
+        "nw[highway=primary][maxspeed<50], n[!name]",
+    ]
+
+    @staticmethod
+    def _eval_one(sel: str, ftype: str, tags: dict) -> bool:
+        import re as _re
+
+        m = _re.match(r"\s*(\*|[nwar]+)\s*((?:\[[^\]]*\])*)\s*$", sel)
+        types, clauses = m.group(1), _re.findall(r"\[([^\]]*)\]", m.group(2) or "")
+        if types != "*" and ftype not in types:
+            return False
+        for c in clauses:
+            cm = _re.match(
+                r"^\s*(!)?\s*([A-Za-z_][\w:.-]*)\s*(?:(!=|>=|<=|=|>|<|~)\s*(.*?))?\s*$", c)
+            neg, key, op, val = cm.groups()
+            tv = tags.get(key)
+            if op is None:
+                ok = (tv is None) if neg else (tv is not None and tv != "no")
+            elif op == "=" and "*" in val:
+                if val.endswith("*"):
+                    ok = tv is not None and tv.startswith(val[:-1])
+                elif val.startswith("*"):
+                    ok = tv is not None and tv.endswith(val[1:])
+                else:
+                    ok = False
+            elif op == "~":
+                ok = tv is not None and _re.search(val, tv) is not None
+            elif op in (">", ">=", "<", "<="):
+                try:
+                    fv = float(tv)
+                except (TypeError, ValueError):
+                    ok = False
+                else:
+                    ok = {">": fv > float(val), ">=": fv >= float(val),
+                          "<": fv < float(val), "<=": fv <= float(val)}[op]
+            elif op == "=":
+                ok = tv == val
+            else:  # !=
+                ok = tv is None or tv != val
+            if not ok:
+                return False
+        return True
+
+    def _eval(self, goql: str, ftype: str, tags: dict) -> bool:
+        return any(self._eval_one(s, ftype, tags) for s in goql.split(",") if s.strip())
+
+    def test_compiler_matches_reference_evaluator(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(17)
+        names = ["Alpha Ave", "Beta", "Alpha", "Broadway", "Bna", None]
+        highways = ["primary", "secondary", None]
+        speeds = ["30", "50", "70", "none", None]
+        rows = []
+        rid = 0
+        for ft, nm, hw, sp in itertools.product("nwr", names, highways, speeds):
+            tags = {k: v for k, v in (("name", nm), ("highway", hw), ("maxspeed", sp)) if v}
+            rows.append((rid, ft, tags))
+            rid += 1
+        df = spark.createDataFrame(rows, "rid long, ftype string, tags map<string,string>").cache()
+        pyrows = {r[0]: (r[1], r[2]) for r in rows}
+        for sel in self.SELECTORS:
+            got = {r.rid for r in df.filter(compile_goql(sel)).collect()}
+            want = {rid for rid, (ft, tg) in pyrows.items() if self._eval(sel, ft, tg)}
+            assert got == want, f"selector {sel!r}: spark={sorted(got)[:5]}... python={sorted(want)[:5]}..."
