@@ -63,11 +63,11 @@ def project_columns(
         else:
             out.append(F.col(tags_col).getItem(spec).alias(spec))
     if wildcard_patterns:
-        cond = None
-        for p in wildcard_patterns:
-            def mk(pat):
-                return lambda k, v: _wildcard_cond(pat, k)
-            c = mk(p)
-            cond = c if cond is None else (lambda k, v, a=cond, b=c: a(k, v) | b(k, v))
-        out.append(F.map_filter(F.col(tags_col), cond).alias("tags"))
+        def keep(k: Column, _v: Column) -> Column:
+            cond = _wildcard_cond(wildcard_patterns[0], k)
+            for p in wildcard_patterns[1:]:
+                cond = cond | _wildcard_cond(p, k)
+            return cond
+
+        out.append(F.map_filter(F.col(tags_col), keep).alias("tags"))
     return df.select(*out)

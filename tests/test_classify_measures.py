@@ -216,3 +216,15 @@ class TestRingAssembly:
         r2 = out.filter(F.col("rel_id") == 2).collect()
         assert len(r2) == 1 and not r2[0].closed
         assert 2 not in mp
+
+
+class TestProjectionMultiWildcard:
+    def test_two_patterns_and_star(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 0, {"addr:city": "b", "name:en": "x", "other": "y", "name": "z"})],
+            "id long, x long, y long, tags map<string,string>",
+        )
+        out = projection.project_columns(df, ["addr:*", "*:en"]).first()
+        assert set(out.tags.keys()) == {"addr:city", "name:en"}
+        all_out = projection.project_columns(df, ["*"]).first()
+        assert set(all_out.tags.keys()) == {"addr:city", "name:en", "other", "name"}
