@@ -81,12 +81,21 @@ def bbox_overlaps(
     )
 
 
+def count_tiles_covering_bbox(qminx: int, qminy: int, qmaxx: int, qmaxy: int, zoom: int) -> int:
+    """Tile count of the covering rectangle without enumerating it."""
+    c0 = (qminx + HALF) >> (32 - zoom)
+    c1 = (qmaxx + HALF) >> (32 - zoom)
+    r0 = ((HALF - 1) - qmaxy) >> (32 - zoom)
+    r1 = ((HALF - 1) - qminy) >> (32 - zoom)
+    return (r1 - r0 + 1) * (c1 - c0 + 1)
+
+
 def tiles_covering_bbox(qminx: int, qminy: int, qmaxx: int, qmaxy: int, zoom: int) -> list[int]:
     """Driver-side tile enumeration for partition pruning — the Spark
     equivalent of the reference's TileIndexWalker (GolCommand.java:131-144):
     the resulting id list becomes `tile IN (...)`, which Catalyst turns into
-    partition pruning on tile-partitioned tables."""
-    size = 1 << (32 - zoom)
+    partition pruning on tile-partitioned tables. Callers must check
+    count_tiles_covering_bbox first — a world bbox at z12 is 16.7M tiles."""
     c0 = (qminx + HALF) >> (32 - zoom)
     c1 = (qmaxx + HALF) >> (32 - zoom)
     r0 = ((HALF - 1) - qmaxy) >> (32 - zoom)

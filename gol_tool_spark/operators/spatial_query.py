@@ -39,9 +39,11 @@ def bbox_query(
     limit: int | None = None,
 ) -> DataFrame:
     """B2 (+B1, F1): tile-pruned bbox scope + optional GOQL + limit."""
-    tiles = S.tiles_covering_bbox(minx, miny, maxx, maxy, zoom)
     out = points_tiled
-    if len(tiles) <= 10000:  # IN-list prune only while the list stays sane
+    # IN-list prune only while the list stays sane — and COUNT before
+    # enumerating (a world bbox at z12 is a 16.7M-element list)
+    if S.count_tiles_covering_bbox(minx, miny, maxx, maxy, zoom) <= 10000:
+        tiles = S.tiles_covering_bbox(minx, miny, maxx, maxy, zoom)
         out = out.filter(F.col("tile").isin(tiles))
     out = out.filter(
         (F.col("x") >= minx) & (F.col("x") <= maxx)
