@@ -286,3 +286,32 @@ class TestTileset:
             fh.write(b"junk")
         with pytest.raises(ValueError, match="checksum mismatch"):
             TS.load_tileset(ts, str(tmp_path / "r2"))
+
+
+class TestSinkWrites:
+    def test_csv_and_geojsonl_files(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 0, 0, {"name": "pub"})], "id long, x long, y long, tags map<string,string>"
+        )
+        csv_path = str(tmp_path / "out_csv")
+        writers.write_csv(writers.csv_format(df, ["id", "lon", "lat"]), csv_path)
+        back = spark.read.option("header", True).csv(csv_path).collect()
+        assert len(back) == 1 and back[0].id == "1"
+        gj_path = str(tmp_path / "out_gj")
+        writers.write_geojsonl(df, gj_path)
+        lines = spark.read.text(gj_path).collect()
+        assert len(lines) == 1 and '"type":"Feature"' in lines[0].value
+
+
+class TestChangeStreamEdge:
+    def test_only_deletes_batch(self, spark, tmp_path):
+        changes = tmp_path / "ch"
+        store = str(tmp_path / "st")
+        changes.mkdir()
+        (changes / "a.json").write_text('{"op": "upsert", "id": 1, "x": 1, "y": 2}\n')
+        q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ck"))
+        q.awaitTermination(60)
+        (changes / "b.json").write_text('{"op": "delete", "id": 1, "x": 0, "y": 0}\n')
+        q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ck"))
+        q.awaitTermination(60)
+        assert spark.read.parquet(store).count() == 0
