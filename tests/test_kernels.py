@@ -219,3 +219,25 @@ class TestSegmentIntersect:
         assert not polyline_intersects_polygon(
             np.array([40, 60]), np.array([40, 60]), self.SQ, [hole]
         )
+
+
+class TestMortonInvariants:
+    @given(x=COORD, y=COORD)
+    @settings(max_examples=150, deadline=None)
+    def test_parent_prefix(self, x, y):
+        # zooming out one level drops exactly the two low interleaved bits
+        for z in (16, 12, 8):
+            m = int(T.morton_cell(np.array([x]), np.array([y]), z)[0])
+            mp = int(T.morton_cell(np.array([x]), np.array([y]), z - 1)[0])
+            assert mp == m >> 2
+
+    @given(x=COORD, y=COORD)
+    @settings(max_examples=100, deadline=None)
+    def test_same_cell_same_id(self, x, y):
+        size = 1 << (32 - 16)
+        # clamp the neighbor inside the same z16 cell
+        nx = min(x | (size - 1), (1 << 31) - 1)
+        m1 = int(T.morton_cell(np.array([x]), np.array([y]), 16)[0])
+        m2 = int(T.morton_cell(np.array([nx]), np.array([y]), 16)[0])
+        if (x + (1 << 31)) >> 16 == (nx + (1 << 31)) >> 16:
+            assert m1 == m2

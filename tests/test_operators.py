@@ -527,3 +527,19 @@ class TestGoqlProperty:
             got = {r.rid for r in df.filter(compile_goql(sel)).collect()}
             want = {rid for rid, (ft, tg) in pyrows.items() if self._eval(sel, ft, tg)}
             assert got == want, f"selector {sel!r}: spark={sorted(got)[:5]}... python={sorted(want)[:5]}..."
+
+
+class TestKernelOperatorCatalogAgreement:
+    def test_same_kept_tiles(self, spark, points_tiled):
+        from gol_tool_spark.kernels import catalog as KC
+
+        dens = tiling.density(points_tiled.select("x", "y"))
+        pdf = dens.toPandas()
+        kcat = KC.build_catalog(
+            pdf.tile.to_numpy(np.int64), pdf.cnt.to_numpy(np.int64),
+            max_tiles=50, min_density=30,
+        )
+        scat = tiling.catalog_topk(tiling.rollup(dens), max_tiles=50, min_density=30)
+        kernel_tiles = set(kcat.tiles.tolist())
+        spark_tiles = {r.tile for r in scat.collect()}
+        assert kernel_tiles == spark_tiles
