@@ -170,3 +170,34 @@ def map_html(df: DataFrame, limit: int = 1000, precision: int = 7) -> str:
         "if(pts.length)map.fitBounds(pts);"
         "</script></body></html>"
     )
+
+
+def parse_poly(text: str) -> list[list[tuple[int, int]]]:
+    """POLY-format reader — the `-a=file` input path (GolCommand.java:96-105
+    PolyReader parity): returns rings as int-Mercator (x, y) vertex lists.
+    Inverse of poly_format (lon/lat floats re-projected onto the grid)."""
+    import math
+
+    rings: list[list[tuple[int, int]]] = []
+    current: list[tuple[int, int]] | None = None
+    for line in text.splitlines()[1:]:  # first line = polygon name
+        s = line.strip()
+        if not s:
+            continue
+        if s == "END":
+            if current is not None:
+                rings.append(current)
+                current = None
+            continue
+        parts = s.split()
+        if len(parts) == 1:  # ring header (ring number / '!' for holes)
+            current = []
+            continue
+        lon, lat = float(parts[0]), float(parts[1])
+        x = int(round(lon / 360.0 * 4294967296.0))
+        lat = max(min(lat, 85.0511287798066), -85.0511287798066)
+        y = int(round(math.asinh(math.tan(math.radians(lat))) / (2.0 * math.pi) * 4294967296.0))
+        if current is None:
+            current = []
+        current.append((x, y))
+    return rings

@@ -315,3 +315,30 @@ class TestChangeStreamEdge:
         q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ck"))
         q.awaitTermination(60)
         assert spark.read.parquet(store).count() == 0
+
+
+class TestTwoStepSpatialJoin:
+    def test_poly_roundtrip_drives_pip(self, spark):
+        """C11 CLI idiom (README.md:100-110): query 1 exports a polygon with
+        -f=poly; query 2 consumes it with -a=file. Round-trip the POLY text
+        and verify the PIP result matches using the original ring directly."""
+        from gol_tool_spark.operators import spatial_query
+        from gol_tool_spark.sources import fixtures as FX
+
+        ring = FX.POLYGONS["concave-u"]
+        ring_df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(ring)], "seq int, x long, y long"
+        )
+        poly_text = writers.poly_format(ring_df, "region-x")      # query 1: -f=poly
+        parsed = writers.parse_poly(poly_text)                     # query 2: -a=file
+        assert len(parsed) == 1 and len(parsed[0]) == len(ring)
+        # lon/lat 7-decimal round trip keeps vertices within a few grid units
+        for (x0, y0), (x1, y1) in zip(ring, parsed[0]):
+            assert abs(x0 - x1) <= 5000 and abs(y0 - y1) <= 5000
+        pts = spark.createDataFrame(
+            [(1, 1 << 26, 1 << 26), (2, 3 << 26, 1 << 28), (3, -(1 << 28), -(1 << 28))],
+            "id long, x long, y long",
+        )
+        direct = {r.id for r in spatial_query.points_in_polygon(pts, ring).collect()}
+        via_poly = {r.id for r in spatial_query.points_in_polygon(pts, parsed[0]).collect()}
+        assert direct == via_poly == {1}
