@@ -41,3 +41,36 @@ def run_to_memory(spark: SparkSession, path: str, name: str = "windowed", **kw):
         .start()
     )
     return q
+
+
+def session_counts(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows: per-user event sessions closed after `gap` of
+    inactivity (F.session_window — the streaming twin of the batch
+    sessionize query in __spark_entry__)."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
+def run_sessions_to_memory(spark: SparkSession, path: str, name: str = "sessions", **kw):
+    q = (
+        session_counts(spark, path, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q

@@ -342,3 +342,25 @@ class TestTwoStepSpatialJoin:
         direct = {r.id for r in spatial_query.points_in_polygon(pts, ring).collect()}
         via_poly = {r.id for r in spatial_query.points_in_polygon(pts, parsed[0]).collect()}
         assert direct == via_poly == {1}
+
+
+class TestSessionWindows:
+    def test_gap_splits_sessions(self, spark, tmp_path):
+        from gol_tool_spark.streaming import windowed
+
+        src = tmp_path / "sev"
+        src.mkdir()
+        (src / "e.json").write_text(
+            '{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"c","value":1.0}\n'
+            '{"event_id":2,"ts":"2024-01-01T00:10:00Z","user_id":1,"event_type":"c","value":1.0}\n'
+            '{"event_id":3,"ts":"2024-01-01T02:00:00Z","user_id":1,"event_type":"c","value":1.0}\n'
+            '{"event_id":4,"ts":"2024-01-01T00:05:00Z","user_id":2,"event_type":"c","value":1.0}\n'
+        )
+        q = windowed.run_sessions_to_memory(spark, str(src), name="sess1")
+        q.awaitTermination(90)
+        rows = spark.sql("SELECT * FROM sess1").collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r.n_events)
+        assert sorted(by_user[1]) == [1, 2]  # two sessions: events 1+2, then 3
+        assert by_user[2] == [1]
