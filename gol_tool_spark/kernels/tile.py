@@ -145,3 +145,34 @@ def morton_cell(x, y, zoom: int = 16) -> np.ndarray:
     c = tile_col(x, zoom)
     r = tile_row(y, zoom)
     return (_spread16(r) << 1) + _spread16(c)
+
+
+def hilbert_d(x, y, zoom: int = 16) -> np.ndarray:
+    """Hilbert-curve distance of the zoom-z cell containing (x, y) —
+    the locality key with better neighbor preservation than Morton
+    (adjacent curve positions are always adjacent cells). Vectorized
+    iterative xy->d (the classic quadrant-fold algorithm). Foundation for
+    a round-2 compile-layout upgrade; Morton stays the JVM-side default
+    because Hilbert's data-dependent rotations don't reduce to a few
+    codegen-friendly bit ops."""
+    cx = tile_col(x, zoom).astype(np.int64)
+    # Hilbert operates on a y-up grid; tile_row is y-down — flip
+    cy = ((1 << zoom) - 1) - tile_row(y, zoom).astype(np.int64)
+    d = np.zeros_like(cx)
+    s = np.int64(1 << (zoom - 1))
+    rx = np.zeros_like(cx)
+    ry = np.zeros_like(cy)
+    while s > 0:
+        rx = ((cx & s) > 0).astype(np.int64)
+        ry = ((cy & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        cx_f = np.where(flip, s - 1 - cx, cx)
+        cy_f = np.where(flip, s - 1 - cy, cy)
+        cx_new = np.where(swap, cy_f, cx_f)
+        cy_new = np.where(swap, cx_f, cy_f)
+        cx, cy = cx_new, cy_new
+        s >>= 1
+    return d

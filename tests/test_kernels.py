@@ -241,3 +241,31 @@ class TestMortonInvariants:
         m2 = int(T.morton_cell(np.array([nx]), np.array([y]), 16)[0])
         if (x + (1 << 31)) >> 16 == (nx + (1 << 31)) >> 16:
             assert m1 == m2
+
+
+class TestHilbert:
+    def test_bijective_at_small_zoom(self):
+        # all 16 cells of a zoom-2 grid get distinct curve positions 0..15
+        size = 1 << 30  # cell size at zoom 2
+        xs, ys = [], []
+        for r in range(4):
+            for c in range(4):
+                xs.append(-(1 << 31) + c * size + 5)
+                ys.append((1 << 31) - 1 - r * size - 5)
+        d = T.hilbert_d(np.array(xs), np.array(ys), 2)
+        assert sorted(d.tolist()) == list(range(16))
+
+    def test_curve_adjacency(self):
+        # consecutive curve positions are edge-adjacent cells (the Hilbert
+        # property Morton lacks)
+        size = 1 << 30
+        cells = {}
+        for r in range(4):
+            for c in range(4):
+                x = -(1 << 31) + c * size + 5
+                y = (1 << 31) - 1 - r * size - 5
+                d = int(T.hilbert_d(np.array([x]), np.array([y]), 2)[0])
+                cells[d] = (r, c)
+        for d in range(15):
+            (r1, c1), (r2, c2) = cells[d], cells[d + 1]
+            assert abs(r1 - r2) + abs(c1 - c2) == 1
