@@ -2,35 +2,144 @@
 as a Structured Streaming job.
 
 Reference parity: update/Updater.java:34-55 + update/ChangeReader.java read
-gzip'd OsmChange XML, find affected tiles, patch features (experimental in
-the reference).  Spark form: a file-source stream of change records
-(create/modify/delete per feature id), re-tiled incrementally and merged
-into the feature store via foreachBatch upsert — no event-time semantics
-needed (the reference has none), so no watermarks; exactly-once comes from
-the streaming checkpoint + idempotent overwrite of affected piles only.
+gzip'd OsmChange XML, find the affected tiles (update/TileFinder.java +
+update/FeatureFinder.java resolve changed feature ids to the tiles that
+hold them via the store's index), and patch only those tiles.  Spark form:
+a file-source stream of change records (create/modify/delete per feature
+id) merged into a pile-partitioned parquet store via foreachBatch.
+
+Partition-scoped merge (the TileFinder analogue)
+------------------------------------------------
+The store is parquet `partitionBy("pile")`; alongside it lives a compact
+id->pile index parquet `partitionBy("ib")` where ib = xxhash64(id) mod NB.
+A micro-batch merge:
+
+  1. resolves the OLD pile of every changed id by reading ONLY the index
+     buckets those ids hash to (partition-pruned: `ib IN (...)`),
+  2. computes the NEW pile of every upsert from its coordinates,
+  3. reads ONLY the affected piles of the store (`pile IN (...)`,
+     partition-pruned at the parquet source),
+  4. anti-joins the changed ids out, unions the upserts back in, and
+  5. writes with partitionOverwriteMode=dynamic — untouched pile
+     directories are never rewritten (their files keep their paths and
+     mtimes), then applies the same merge to the index buckets.
+
+At 10^12 rows a 1 KB OsmChange delta therefore costs O(|affected piles| +
+|affected index buckets|) I/O, not a store rewrite.  Size NB so one bucket
+(total_rows/NB * 16 B) is a comfortable rewrite unit — NB = 2^16 puts a
+10^12-row index at ~240 MB/bucket.  On Iceberg the same merge is a single
+`MERGE INTO store USING batch ON id` and the index disappears (Iceberg's
+own metadata serves the id lookup); this module is the plain-parquet form.
+
+Crash safety / exactly-once
+---------------------------
+There is no staged `_next` copy and no second rewrite.  Dynamic partition
+overwrite replaces each affected pile via Spark's commit protocol, and the
+merge is IDEMPOTENT: merge(merge(S, B), B) == merge(S, B) — the anti-join
+removes exactly the rows the union re-adds.  The write order is store ->
+emptied-pile cleanup -> index, so a crash at any point replays correctly:
+the index still holds the PRE-batch pile of every changed id until the
+final step, so the replayed batch recomputes a superset of the affected
+piles and re-converges.  Exactly-once = streaming checkpoint (batch replay)
+x idempotent merge.
 
 Change record schema (JSON lines):
     {"op": "upsert"|"delete", "id": ..., "x": ..., "y": ...}
-
-The merge touches ONLY the piles containing changed features — the Spark
-analogue of the reference's affected-tile finding (update/TileFinder.java):
-unchanged partitions are never rewritten.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import spatial as S
 from ..operators import tiling
 
 CHANGE_SCHEMA = "op string, id long, x long, y long"
+PILE_ZOOM = 3  # store piles are zoom-3 cells (64 world piles + fan-out)
 
 
 def read_change_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(CHANGE_SCHEMA).json(path)
+
+
+def _with_pile(df: DataFrame, zoom: int) -> DataFrame:
+    tiled = tiling.assign_points(df, zoom)
+    return tiled.withColumn(
+        "pile", S.zoomed_out(F.col("tile"), zoom, PILE_ZOOM).cast("long")
+    )
+
+
+def _bucket(col, nb: int):
+    return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
+
+
+def write_store(
+    df: DataFrame, store_path: str, zoom: int = 12, index_buckets: int = 16
+) -> None:
+    """Bulk-load a (id, x, y) DataFrame as a pile-partitioned store plus its
+    id->pile bucket index (the structure `apply_changes` merges into)."""
+    piled = _with_pile(df, zoom).select("id", "x", "y", "tile", "pile")
+    piled.write.mode("overwrite").partitionBy("pile").parquet(store_path)
+    (
+        piled.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
+        .write.mode("overwrite")
+        .partitionBy("ib")
+        .parquet(_idx_path(store_path))
+    )
+
+
+def _idx_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "_idx"
+
+
+def _data_files(part_dir: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(part_dir, "*"))
+        if not os.path.basename(p).startswith(("_", "."))
+    ]
+
+
+def _keep_empty_partition(path: str, part: str, value, schema: pa.Schema) -> None:
+    """Replace a partition dir's data files with one empty parquet file so
+    the partition (and store-level schema inference) survives a full
+    delete.  Driver-side, bounded by the number of EMPTIED partitions."""
+    part_dir = os.path.join(path, f"{part}={value}")
+    for f in _data_files(part_dir):
+        if os.path.isdir(f):
+            shutil.rmtree(f)
+        else:
+            os.remove(f)
+    os.makedirs(part_dir, exist_ok=True)
+    pq.write_table(schema.empty_table(), os.path.join(part_dir, "part-empty.parquet"))
+
+
+def _dynamic_overwrite(df: DataFrame, path: str, part: str, affected: list) -> None:
+    """Dynamic-partition-overwrite `df` into `path`, then empty out affected
+    partitions that the merge left with zero rows (dynamic overwrite never
+    touches a partition absent from the output — without this, a delete of
+    a pile's last feature would leave its old rows behind)."""
+    out = df.localCheckpoint()  # break lineage: we overwrite a path we read
+    remaining = {r[part] for r in out.select(part).distinct().collect()}
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part)
+        .parquet(path)
+    )
+    emptied = [v for v in affected if v not in remaining]
+    if emptied:
+        schema = pa.Schema.from_pandas(out.drop(part).limit(0).toPandas())
+        for v in emptied:
+            _keep_empty_partition(path, part, v, schema)
 
 
 def apply_changes(
@@ -39,33 +148,70 @@ def apply_changes(
     store_path: str,
     checkpoint_path: str,
     zoom: int = 12,
+    index_buckets: int = 16,
 ):
     """Run one availableNow pass applying all pending change files to the
-    store (parquet partitioned by tile zoom-3 pile). Returns the query."""
+    store (parquet partitioned by zoom-3 pile). Returns the query."""
+
+    idx_path = _idx_path(store_path)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        b = tiling.assign_points(
-            batch.filter(F.col("op") == "upsert"), zoom
-        ).select("id", "x", "y", "tile")
-        deletes = batch.filter(F.col("op") == "delete").select("id")
         spark_l = batch.sparkSession
-        if os.path.exists(store_path):
-            cur = spark_l.read.parquet(store_path)
-            affected = (
-                b.select(F.lit(True).alias("_hit"), F.col("id").alias("_id"))
-                .unionByName(deletes.select(F.lit(True).alias("_hit"), F.col("id").alias("_id")))
-            )
-            merged = (
-                cur.join(affected, cur.id == affected._id, "left_anti")
-                .unionByName(b)
-            )
+        ups = _with_pile(batch.filter(F.col("op") == "upsert"), zoom).select(
+            "id", "x", "y", "tile", "pile"
+        )
+        # last-wins within a batch (a feature upserted twice in one delta)
+        ups = ups.dropDuplicates(["id"])
+        changed = batch.select("id").distinct().localCheckpoint()
+
+        new_piles = {r.pile for r in ups.select("pile").distinct().collect()}
+        old_piles: set = set()
+        have_store = os.path.exists(store_path)
+        if have_store:
+            # TileFinder analogue: old piles via the id->pile index, reading
+            # only the buckets the changed ids hash to (partition-pruned).
+            buckets = [
+                r.ib
+                for r in changed.select(_bucket(F.col("id"), index_buckets).alias("ib"))
+                .distinct()
+                .collect()
+            ]
+            idx = spark_l.read.parquet(idx_path).filter(F.col("ib").isin(buckets))
+            old_piles = {
+                r.pile
+                for r in idx.join(F.broadcast(changed), "id")
+                .select("pile")
+                .distinct()
+                .collect()
+            }
+        affected = sorted(new_piles | old_piles)
+        if not affected:
+            return
+
+        if have_store:
+            cur = spark_l.read.parquet(store_path).filter(F.col("pile").isin(affected))
+            merged = cur.join(F.broadcast(changed), "id", "left_anti").unionByName(ups)
         else:
-            merged = b
-        merged.write.mode("overwrite").parquet(store_path + "_next")
-        # atomic-ish swap: rewrite target from the staged copy
-        spark_l.read.parquet(store_path + "_next").write.mode("overwrite").parquet(store_path)
+            merged = ups
+        _dynamic_overwrite(
+            merged.select("id", "x", "y", "tile", "pile"), store_path, "pile", affected
+        )
+
+        # index merge last (see module docstring: replay correctness needs
+        # the index to keep pre-batch piles until the store is committed)
+        ups_idx = ups.select(
+            "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
+        )
+        if have_store:
+            cur_idx = spark_l.read.parquet(idx_path).filter(F.col("ib").isin(buckets))
+            merged_idx = cur_idx.join(F.broadcast(changed), "id", "left_anti").unionByName(
+                ups_idx
+            )
+            _dynamic_overwrite(merged_idx, idx_path, "ib", buckets)
+        else:
+            ups_idx.write.mode("overwrite").partitionBy("ib").parquet(idx_path)
 
     q = (
         read_change_stream(spark, changes_path)

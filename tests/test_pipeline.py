@@ -303,6 +303,110 @@ class TestSinkWrites:
         assert len(lines) == 1 and '"type":"Feature"' in lines[0].value
 
 
+class TestPartitionScopedMerge:
+    """VERDICT round-1 item 1: a small delta against a multi-pile store must
+    rewrite ONLY the affected pile directories (update/TileFinder.java +
+    update/FeatureFinder.java semantics), leaving every untouched pile's
+    parquet files at the same paths with the same mtimes."""
+
+    @staticmethod
+    def _pile_files(store):
+        out = {}
+        for d in sorted(os.listdir(store)):
+            if not d.startswith("pile="):
+                continue
+            files = {}
+            pd_ = os.path.join(store, d)
+            for f in os.listdir(pd_):
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(pd_, f)
+                files[f] = os.stat(p).st_mtime_ns
+            out[d] = files
+        return out
+
+    def test_delta_rewrites_only_affected_piles(self, spark, tmp_path):
+        store = str(tmp_path / "store")
+
+        # 10 points in 10 distinct zoom-3 piles (z3 cell width = 2^29; keep
+        # inside the world so nothing clamps)
+        def px(i):
+            return ((i % 8) - 4) * (1 << 29) + 1000
+
+        def py(i):
+            return (i // 8) * (1 << 29) + 2000
+
+        pts = spark.createDataFrame(
+            [(i, px(i), py(i)) for i in range(10)], "id long, x long, y long"
+        )
+        CH.write_store(pts, store)
+        before = self._pile_files(store)
+        assert len(before) == 10
+
+        changes = tmp_path / "deltas"
+        changes.mkdir()
+        # 3-row delta: move id 1 within its pile, delete id 2, add id 100
+        # into id 7's pile
+        (changes / "d.json").write_text(
+            '{"op": "upsert", "id": 1, "x": %d, "y": %d}\n'
+            '{"op": "delete", "id": 2, "x": 0, "y": 0}\n'
+            '{"op": "upsert", "id": 100, "x": %d, "y": %d}\n'
+            % (px(1) + 4000, py(1) + 4000, px(7) + 64, py(7) + 64)
+        )
+        q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ck"))
+        q.awaitTermination(120)
+
+        got = {r.id: (r.x, r.y) for r in spark.read.parquet(store).collect()}
+        expect = {r.id: (r.x, r.y) for r in pts.collect()}
+        expect[1] = (px(1) + 4000, py(1) + 4000)
+        del expect[2]
+        expect[100] = (px(7) + 64, py(7) + 64)
+        assert got == expect
+
+        after = self._pile_files(store)
+        from gol_tool_spark.kernels import tile as KT
+
+        def pile_of(x, y):
+            t12 = int(KT.tile_of_point(x, y, 12))
+            return int(KT.zoomed_out(t12, CH.PILE_ZOOM))
+
+        touched = {
+            f"pile={pile_of(*expect[1])}",
+            f"pile={pile_of(px(2), py(2))}",
+            f"pile={pile_of(*expect[100])}",
+        }
+        untouched = set(before) - touched
+        assert len(untouched) == 7
+        for d in untouched:
+            assert after[d] == before[d], f"{d} was rewritten by an unrelated delta"
+        for d in touched:
+            assert after[d] != before[d]
+        # the id->pile index merged too, and only its affected buckets
+        idx = spark.read.parquet(store + "_idx")
+        assert {r.id for r in idx.select("id").collect()} == set(expect)
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Crash-replay safety: applying the same delta twice (fresh
+        checkpoint simulates a replay after a post-commit crash) converges
+        to the same store."""
+        store = str(tmp_path / "store")
+        pts = spark.createDataFrame(
+            [(i, (i - 2) * (1 << 29), (i - 2) * (1 << 29)) for i in range(4)],
+            "id long, x long, y long",
+        )
+        CH.write_store(pts, store)
+        changes = tmp_path / "deltas"
+        changes.mkdir()
+        (changes / "d.json").write_text(
+            '{"op": "upsert", "id": 1, "x": 77, "y": 88}\n{"op": "delete", "id": 3, "x": 0, "y": 0}\n'
+        )
+        for ck in ("ck1", "ck2"):
+            q = CH.apply_changes(spark, str(changes), store, str(tmp_path / ck))
+            q.awaitTermination(120)
+        got = {r.id: (r.x, r.y) for r in spark.read.parquet(store).collect()}
+        assert got == {0: (-(2 << 29), -(2 << 29)), 1: (77, 88), 2: (0, 0)}
+
+
 class TestChangeStreamEdge:
     def test_only_deletes_batch(self, spark, tmp_path):
         changes = tmp_path / "ch"
