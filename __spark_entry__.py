@@ -495,7 +495,29 @@ def q_events_json(spark, sf_dir):
     )
 
 
-def q_way_quads(spark, sf_dir):  # no oracle: data-dependent zoom-out loop
+def q_ways_geojson(spark, sf_dir):
+    """A9 non-point sink: LineString Features from assembled way coords
+    (GeoJsonFeaturePrinter.java:101-143 way branch; oracle string-builds the
+    identical JSON from the same coord arrays — decimal(11,7) rendering is
+    bit-identical between Spark and DuckDB, verified over all sf0.01 ys)."""
+    from gol_tool_spark.operators import measures
+    from gol_tool_spark.sinks import writers
+
+    coords = measures.assemble_coords(
+        synth.membership_df(spark, sf_dir), _points(spark, sf_dir)
+    )
+    return writers.geojson_way_format(coords, id_col="way_id")
+
+
+def q_ways_xml(spark, sf_dir):
+    """A9 non-point sink: <way> XML with ordered <nd> children
+    (OsmXmlFeaturePrinter way branch)."""
+    from gol_tool_spark.sinks import writers
+
+    return writers.osm_xml_way_format(synth.membership_df(spark, sf_dir))
+
+
+def q_way_quads(spark, sf_dir):  # oracle: recursive-CTE zoom-out in oracle_sql()
     """C2 -> packed tile quads (the tile_assignments golden-table shape)."""
     return tiling.way_quads(_ways(spark, sf_dir)).select("way_id", "n_tiles", "quad")
 
@@ -516,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_topk": q_catalog_topk,
         "pile_assignment": q_pile_assignment,
         "way_assembly": q_way_assembly,
+        "ways_geojson": q_ways_geojson,
+        "ways_xml": q_ways_xml,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
@@ -709,6 +733,27 @@ def oracle_sql() -> dict[str, str]:
             "MIN(p.x) AS minx, MIN(p.y) AS miny, MAX(p.x) AS maxx, MAX(p.y) AS maxy, "
             "CAST(COUNT(DISTINCT p.tile) AS BIGINT) AS n_tiles "
             "FROM mem m JOIN t12 p ON m.node_ref = p.id GROUP BY m.way_id"
+        ),
+        "ways_geojson": _with_points(
+            f", mem AS ({_MEM}), cj AS ("
+            "SELECT m.way_id, m.seq, p.x, p.y, "
+            "CAST(round(p.x/4294967296.0*360.0, 7) AS DECIMAL(11,7))::VARCHAR AS lon, "
+            "CAST(round(degrees(atan((exp(p.y/4294967296.0*(2*pi())) "
+            "- exp(-(p.y/4294967296.0*(2*pi()))))/2)), 7) AS DECIMAL(11,7))::VARCHAR AS lat "
+            "FROM mem m JOIN pts p ON m.node_ref = p.id), "
+            "agg AS (SELECT way_id, "
+            "string_agg('[' || lon || ',' || lat || ']', ',' ORDER BY seq, x, y) AS cs "
+            "FROM cj GROUP BY way_id) "
+            "SELECT '{\"type\":\"Feature\",\"id\":' || way_id "
+            "|| ',\"geometry\":{\"type\":\"LineString\",\"coordinates\":[' || cs "
+            "|| ']},\"properties\":{}}' AS feature FROM agg"
+        ),
+        "ways_xml": (
+            f"WITH mem AS ({_MEM}), nds AS ("
+            "SELECT way_id, string_agg('  <nd ref=\"' || node_ref || '\"/>' || chr(10), "
+            "'' ORDER BY seq, CAST(node_ref AS VARCHAR)) AS nds FROM mem GROUP BY way_id) "
+            "SELECT '<way id=\"' || way_id || '\">' || chr(10) || nds || '</way>' AS xml "
+            "FROM nds"
         ),
         "purgatory": _with_points(
             f", mem AS ({_MEM}) "

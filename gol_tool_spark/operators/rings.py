@@ -87,6 +87,53 @@ def assemble_rings(rel_way_coords: DataFrame) -> DataFrame:
     return rel_way_coords.groupBy("rel_id").applyInPandas(per_rel, OUT_SCHEMA)
 
 
+POLY_SCHEMA = (
+    "rel_id long, poly_idx int, is_hole boolean, ring_idx int, "
+    "xs array<long>, ys array<long>"
+)
+
+
+def polygons_of(rings: DataFrame) -> DataFrame:
+    """Group a relation's closed rings into polygons: each inner ring is
+    assigned to the outer ring that contains it (ray-cast on the hole's
+    first vertex — the JTS polygonization step behind
+    GeoJsonFeaturePrinter.java:87-143's Polygon/MultiPolygon output).
+    Output one row per ring: (rel_id, poly_idx, is_hole, ring_idx, xs, ys);
+    outers get poly_idx by descending |area| (largest outer first, like the
+    reference's shell ordering); holes not inside any outer are dropped
+    (invalid geometry, strict building).  Unclosed rings are excluded.
+
+    Scale shape: per-relation applyInPandas — ring counts per relation are
+    bounded, so this scales with relation count."""
+    from ..kernels import geometry as G
+
+    def per_rel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = int(key[0])
+        closed = pdf[pdf["closed"]]
+        outers = closed[closed["role"] != "inner"].sort_values(
+            "area2", key=lambda s: -s.abs()
+        )
+        inners = closed[closed["role"] == "inner"]
+        out = []
+        rings_np = []
+        for pidx, r in enumerate(outers.itertuples(index=False)):
+            xs, ys = list(r.xs), list(r.ys)
+            rings_np.append(np.column_stack([np.asarray(xs, np.int64), np.asarray(ys, np.int64)]))
+            out.append((rel_id, pidx, False, 0, xs, ys))
+        for h in inners.itertuples(index=False):
+            hx, hy = np.int64(h.xs[0]), np.int64(h.ys[0])
+            for pidx, ring_np in enumerate(rings_np):
+                if G.points_in_ring(np.array([hx]), np.array([hy]), ring_np)[0]:
+                    nholes = sum(1 for o in out if o[1] == pidx and o[2])
+                    out.append((rel_id, pidx, True, nholes + 1, list(h.xs), list(h.ys)))
+                    break
+        return pd.DataFrame(
+            out, columns=["rel_id", "poly_idx", "is_hole", "ring_idx", "xs", "ys"]
+        )
+
+    return rings.groupBy("rel_id").applyInPandas(per_rel, POLY_SCHEMA)
+
+
 def multipolygon_area2(rings: DataFrame) -> DataFrame:
     """Per relation: 2*area of the multipolygon = sum |outer| - sum |inner|
     over closed rings (role-based; unclosed rings are invalid geometry and

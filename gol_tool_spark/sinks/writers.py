@@ -172,26 +172,30 @@ def map_html(df: DataFrame, limit: int = 1000, precision: int = 7) -> str:
     )
 
 
-def parse_poly(text: str) -> list[list[tuple[int, int]]]:
+def parse_poly(text: str) -> list[tuple[list[tuple[int, int]], bool]]:
     """POLY-format reader — the `-a=file` input path (GolCommand.java:96-105
-    PolyReader parity): returns rings as int-Mercator (x, y) vertex lists.
+    PolyReader parity): returns (ring, is_hole) pairs, ring vertices as
+    int-Mercator (x, y).  A ring header starting with '!' marks a hole
+    (osmosis POLY convention, honoured by the reference's PolyReader).
     Inverse of poly_format (lon/lat floats re-projected onto the grid)."""
     import math
 
-    rings: list[list[tuple[int, int]]] = []
+    rings: list[tuple[list[tuple[int, int]], bool]] = []
     current: list[tuple[int, int]] | None = None
+    is_hole = False
     for line in text.splitlines()[1:]:  # first line = polygon name
         s = line.strip()
         if not s:
             continue
         if s == "END":
             if current is not None:
-                rings.append(current)
+                rings.append((current, is_hole))
                 current = None
             continue
         parts = s.split()
-        if len(parts) == 1:  # ring header (ring number / '!' for holes)
+        if len(parts) == 1:  # ring header (ring number; leading '!' = hole)
             current = []
+            is_hole = parts[0].startswith("!")
             continue
         lon, lat = float(parts[0]), float(parts[1])
         x = int(round(lon / 360.0 * 4294967296.0))
@@ -201,3 +205,252 @@ def parse_poly(text: str) -> list[list[tuple[int, int]]]:
             current = []
         current.append((x, y))
     return rings
+
+
+def poly_rings(text: str) -> tuple[list[tuple[int, int]], list[list[tuple[int, int]]]]:
+    """parse_poly split into the (exterior, holes) shape that
+    spatial_query.points_in_polygon takes (first outer ring + all holes)."""
+    parsed = parse_poly(text)
+    outers = [r for r, h in parsed if not h]
+    holes = [r for r, h in parsed if h]
+    if not outers:
+        raise ValueError("POLY file has no outer ring")
+    return outers[0], holes
+
+
+# --------------- non-point geometry (GeoJsonFeaturePrinter.java:101-143,
+# WktFeaturePrinter.java, OsmXmlFeaturePrinter.java way/relation elements) ---
+
+# Fixed-scale decimal rendering: CAST(round(v, p) AS DECIMAL(11, p)) prints
+# identically in Spark and DuckDB ("-0.1000000"), making geometry strings
+# oracle-hashable.  precision 7 is the reference's default (-p=7).
+
+
+def _lon_str(x: Column, precision: int = 7) -> Column:
+    return lon_of(x, precision).cast(f"decimal(11,{precision})").cast("string")
+
+
+def _lat_str(y: Column, precision: int = 7) -> Column:
+    return lat_of(y, precision).cast(f"decimal(11,{precision})").cast("string")
+
+
+def _coords_json(coords: Column, precision: int = 7) -> Column:
+    """array<struct<seq,x,y>> -> '[lon,lat],[lon,lat],...'"""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            coords,
+            lambda c: F.concat(
+                F.lit("["), _lon_str(c["x"], precision), F.lit(","),
+                _lat_str(c["y"], precision), F.lit("]"),
+            ),
+        ),
+    )
+
+
+def _coords_wkt(coords: Column, precision: int = 7) -> Column:
+    return F.concat_ws(
+        ", ",
+        F.transform(
+            coords,
+            lambda c: F.concat(_lon_str(c["x"], precision), F.lit(" "), _lat_str(c["y"], precision)),
+        ),
+    )
+
+
+def _ring_closed(coords: Column) -> Column:
+    first, last = F.element_at(coords, 1), F.element_at(coords, -1)
+    return (
+        (F.size(coords) >= 4) & (first["x"] == last["x"]) & (first["y"] == last["y"])
+    )
+
+
+def geojson_way_format(
+    df: DataFrame,
+    id_col: str = "way_id",
+    coords_col: str = "coords",
+    precision: int = 7,
+    as_area: bool = False,
+) -> DataFrame:
+    """GEOJSONL for assembled ways (measures.assemble_coords output):
+    LineString, or Polygon when `as_area` and the ring is closed —
+    GeoJsonFeaturePrinter.java:101-143 way branch.  Pure column expressions:
+    a 100 TB way export stays a distributed write."""
+    cj = _coords_json(F.col(coords_col), precision)
+    geom_ls = F.concat(F.lit('{"type":"LineString","coordinates":['), cj, F.lit("]}"))
+    geom_pg = F.concat(F.lit('{"type":"Polygon","coordinates":[['), cj, F.lit("]]}"))
+    geom = (
+        F.when(_ring_closed(F.col(coords_col)), geom_pg).otherwise(geom_ls)
+        if as_area
+        else geom_ls
+    )
+    props = [c for c in df.columns if c not in (id_col, coords_col)]
+    pstruct = F.to_json(F.struct(*[F.col(c) for c in props])) if props else F.lit("{}")
+    return df.select(
+        F.concat(
+            F.lit('{"type":"Feature","id":'), F.col(id_col).cast("string"),
+            F.lit(',"geometry":'), geom,
+            F.lit(',"properties":'), pstruct, F.lit("}"),
+        ).alias("feature")
+    )
+
+
+def wkt_way_format(
+    df: DataFrame,
+    coords_col: str = "coords",
+    precision: int = 7,
+    as_area: bool = False,
+) -> DataFrame:
+    """WKT LINESTRING / POLYGON for assembled ways (WktFeaturePrinter parity)."""
+    cw = _coords_wkt(F.col(coords_col), precision)
+    ls = F.concat(F.lit("LINESTRING ("), cw, F.lit(")"))
+    pg = F.concat(F.lit("POLYGON (("), cw, F.lit("))"))
+    wkt = F.when(_ring_closed(F.col(coords_col)), pg).otherwise(ls) if as_area else ls
+    return df.select(wkt.alias("wkt"))
+
+
+def _xy_pairs_json(xs: Column, ys: Column, precision: int = 7) -> Column:
+    return F.concat_ws(
+        ",",
+        F.zip_with(
+            xs,
+            ys,
+            lambda x, y: F.concat(
+                F.lit("["), _lon_str(x, precision), F.lit(","), _lat_str(y, precision), F.lit("]")
+            ),
+        ),
+    )
+
+
+def geojson_polygon_format(polys: DataFrame, precision: int = 7) -> DataFrame:
+    """GEOJSONL for relation multipolygons.  Input is rings.polygons_of
+    output — one row per ring: (rel_id, poly_idx, is_hole, ring_idx, xs, ys).
+    Emits Polygon when a relation has one outer ring, MultiPolygon otherwise,
+    holes nested inside their containing outer (GeoJsonFeaturePrinter
+    relation branch).  All string building is JVM-side; per-relation ring
+    counts are bounded, so the collect_list aggregates stay small."""
+    ring = polys.select(
+        "rel_id",
+        "poly_idx",
+        F.struct(
+            F.col("is_hole"), F.col("ring_idx"),
+            F.concat(F.lit("["), _xy_pairs_json(F.col("xs"), F.col("ys"), precision), F.lit("]")).alias("s"),
+        ).alias("r"),
+    )
+    per_poly = ring.groupBy("rel_id", "poly_idx").agg(
+        F.concat(
+            F.lit("["),
+            F.concat_ws(",", F.transform(F.array_sort(F.collect_list("r")), lambda r: r["s"])),
+            F.lit("]"),
+        ).alias("poly_s")
+    )
+    per_rel = per_poly.groupBy("rel_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("poly_idx"), F.col("poly_s")))),
+            lambda p: p["poly_s"],
+        ).alias("ps")
+    )
+    geom = F.when(
+        F.size("ps") == 1,
+        F.concat(F.lit('{"type":"Polygon","coordinates":'), F.element_at("ps", 1), F.lit("}")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"type":"MultiPolygon","coordinates":['), F.concat_ws(",", F.col("ps")), F.lit("]}")
+        )
+    )
+    return per_rel.select(
+        F.concat(
+            F.lit('{"type":"Feature","id":'), F.col("rel_id").cast("string"),
+            F.lit(',"geometry":'), geom, F.lit(',"properties":{}}'),
+        ).alias("feature")
+    )
+
+
+def wkt_polygon_format(polys: DataFrame, precision: int = 7) -> DataFrame:
+    """WKT POLYGON / MULTIPOLYGON from rings.polygons_of output."""
+    ring = polys.select(
+        "rel_id",
+        "poly_idx",
+        F.struct(
+            F.col("is_hole"), F.col("ring_idx"),
+            F.concat(
+                F.lit("("),
+                F.concat_ws(
+                    ", ",
+                    F.zip_with(
+                        F.col("xs"), F.col("ys"),
+                        lambda x, y: F.concat(_lon_str(x, precision), F.lit(" "), _lat_str(y, precision)),
+                    ),
+                ),
+                F.lit(")"),
+            ).alias("s"),
+        ).alias("r"),
+    )
+    per_poly = ring.groupBy("rel_id", "poly_idx").agg(
+        F.concat(
+            F.lit("("),
+            F.concat_ws(", ", F.transform(F.array_sort(F.collect_list("r")), lambda r: r["s"])),
+            F.lit(")"),
+        ).alias("poly_s")
+    )
+    per_rel = per_poly.groupBy("rel_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("poly_idx"), F.col("poly_s")))),
+            lambda p: p["poly_s"],
+        ).alias("ps")
+    )
+    wkt = F.when(
+        F.size("ps") == 1, F.concat(F.lit("POLYGON "), F.element_at("ps", 1))
+    ).otherwise(F.concat(F.lit("MULTIPOLYGON ("), F.concat_ws(", ", F.col("ps")), F.lit(")")))
+    return per_rel.select("rel_id", wkt.alias("wkt"))
+
+
+def osm_xml_way_format(membership: DataFrame, id_col: str = "way_id") -> DataFrame:
+    """XML <way> elements with ordered <nd ref=...> children
+    (OsmXmlFeaturePrinter way branch).  membership: (way_id, seq, node_ref)."""
+    nd = F.struct(
+        F.col("seq"),
+        F.concat(F.lit('  <nd ref="'), F.col("node_ref").cast("string"), F.lit('"/>\n')).alias("s"),
+    )
+    return (
+        membership.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(nd)), lambda e: e["s"])
+            ).alias("nds")
+        )
+        .select(
+            F.concat(
+                F.lit('<way id="'), F.col(id_col).cast("string"), F.lit('">\n'),
+                F.col("nds"), F.lit("</way>"),
+            ).alias("xml")
+        )
+    )
+
+
+def osm_xml_relation_format(members: DataFrame, id_col: str = "rel_id") -> DataFrame:
+    """XML <relation> elements with ordered <member> children
+    (OsmXmlFeaturePrinter relation branch).  members: (rel_id, seq, mtype,
+    ref, role) — relations.split_members output."""
+    me = F.struct(
+        F.col("seq"),
+        F.concat(
+            F.lit('  <member type="'), F.col("mtype"),
+            F.lit('" ref="'), F.col("ref").cast("string"),
+            F.lit('" role="'), F.coalesce(F.col("role"), F.lit("")), F.lit('"/>\n'),
+        ).alias("s"),
+    )
+    return (
+        members.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(me)), lambda e: e["s"])
+            ).alias("ms")
+        )
+        .select(
+            F.concat(
+                F.lit('<relation id="'), F.col(id_col).cast("string"), F.lit('">\n'),
+                F.col("ms"), F.lit("</relation>"),
+            ).alias("xml")
+        )
+    )

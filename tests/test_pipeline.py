@@ -435,17 +435,132 @@ class TestTwoStepSpatialJoin:
         )
         poly_text = writers.poly_format(ring_df, "region-x")      # query 1: -f=poly
         parsed = writers.parse_poly(poly_text)                     # query 2: -a=file
-        assert len(parsed) == 1 and len(parsed[0]) == len(ring)
+        assert len(parsed) == 1 and not parsed[0][1] and len(parsed[0][0]) == len(ring)
         # lon/lat 7-decimal round trip keeps vertices within a few grid units
-        for (x0, y0), (x1, y1) in zip(ring, parsed[0]):
+        for (x0, y0), (x1, y1) in zip(ring, parsed[0][0]):
             assert abs(x0 - x1) <= 5000 and abs(y0 - y1) <= 5000
         pts = spark.createDataFrame(
             [(1, 1 << 26, 1 << 26), (2, 3 << 26, 1 << 28), (3, -(1 << 28), -(1 << 28))],
             "id long, x long, y long",
         )
         direct = {r.id for r in spatial_query.points_in_polygon(pts, ring).collect()}
-        via_poly = {r.id for r in spatial_query.points_in_polygon(pts, parsed[0]).collect()}
+        via_poly = {r.id for r in spatial_query.points_in_polygon(pts, parsed[0][0]).collect()}
         assert direct == via_poly == {1}
+
+    def test_poly_hole_marker(self, spark):
+        """ADVICE: '!' ring headers mark holes; poly_rings threads them into
+        points_in_polygon's holes argument."""
+        from gol_tool_spark.operators import spatial_query
+
+        text = (
+            "donut\n"
+            "1\n"
+            "   -45.0   -45.0\n   45.0   -45.0\n   45.0   45.0\n   -45.0   45.0\n"
+            "END\n"
+            "!hole\n"
+            "   -10.0   -10.0\n   10.0   -10.0\n   10.0   10.0\n   -10.0   10.0\n"
+            "END\nEND\n"
+        )
+        parsed = writers.parse_poly(text)
+        assert [h for _, h in parsed] == [False, True]
+        ext, holes = writers.poly_rings(text)
+        assert len(holes) == 1
+        pts = spark.createDataFrame(
+            [(1, 0, 0), (2, 1 << 28, 1 << 28), (3, 3 << 29, 0)],
+            "id long, x long, y long",
+        )  # 1 = inside hole, 2 = in donut body (~22 deg), 3 = outside
+        got = {r.id for r in spatial_query.points_in_polygon(pts, ext, holes).collect()}
+        assert got == {2}
+
+
+class TestGeometrySinks:
+    """VERDICT round-1 item 2: non-point geometry through GeoJSON/WKT/XML
+    (GeoJsonFeaturePrinter.java:101-143, WktFeaturePrinter.java,
+    OsmXmlFeaturePrinter.java way/relation branches)."""
+
+    @staticmethod
+    def _coords(pts):
+        return [{"seq": i, "x": x, "y": y} for i, (x, y) in enumerate(pts)]
+
+    def test_way_linestring_and_polygon(self, spark):
+        open_way = self._coords([(0, 0), (1 << 30, 0), (1 << 30, 1 << 30)])
+        closed_way = self._coords([(0, 0), (1 << 30, 0), (1 << 30, 1 << 30), (0, 0)])
+        df = spark.createDataFrame(
+            [(1, open_way), (2, closed_way)],
+            "way_id long, coords array<struct<seq:int,x:long,y:long>>",
+        )
+        feats = {json.loads(r.feature)["id"]: json.loads(r.feature)
+                 for r in writers.geojson_way_format(df, as_area=True).collect()}
+        assert feats[1]["geometry"]["type"] == "LineString"
+        assert feats[2]["geometry"]["type"] == "Polygon"
+        ls = feats[1]["geometry"]["coordinates"]
+        assert len(ls) == 3 and ls[0] == [0, 0] and abs(ls[1][0] - 90.0) < 1e-6
+        assert feats[2]["geometry"]["coordinates"][0][0] == feats[2]["geometry"]["coordinates"][0][-1]
+        wkts = {i + 1: r.wkt for i, r in enumerate(writers.wkt_way_format(df, as_area=True).collect())}
+        assert wkts[1].startswith("LINESTRING (") and wkts[2].startswith("POLYGON ((")
+
+    def test_relation_multipolygon_with_hole(self, spark):
+        from gol_tool_spark.operators import rings as R
+
+        def sq(cx, cy, r):  # closed CCW square ring
+            return (
+                [cx - r, cx + r, cx + r, cx - r, cx - r],
+                [cy - r, cy - r, cy + r, cy + r, cy - r],
+            )
+
+        big_x, big_y = sq(0, 0, 1 << 28)
+        hole_x, hole_y = sq(0, 0, 1 << 26)
+        far_x, far_y = sq(3 << 28, 3 << 28, 1 << 26)
+        rows = [
+            (7, 0, "outer", True, 5, big_x, big_y, 2.0 * (1 << 29) ** 2),
+            (7, 1, "inner", True, 5, hole_x, hole_y, 2.0 * (1 << 27) ** 2),
+            (7, 2, "outer", True, 5, far_x, far_y, 2.0 * (1 << 27) ** 2),
+        ]
+        rings_df = spark.createDataFrame(rows, R.OUT_SCHEMA)
+        polys = R.polygons_of(rings_df)
+        got = {(r.poly_idx, r.is_hole) for r in polys.collect()}
+        assert got == {(0, False), (0, True), (1, False)}  # hole in the BIG outer
+        feat = json.loads(writers.geojson_polygon_format(polys).collect()[0].feature)
+        g = feat["geometry"]
+        assert g["type"] == "MultiPolygon"
+        assert len(g["coordinates"]) == 2
+        assert len(g["coordinates"][0]) == 2  # big outer + its hole
+        assert len(g["coordinates"][1]) == 1  # far outer, no hole
+        wkt = writers.wkt_polygon_format(polys).collect()[0].wkt
+        assert wkt.startswith("MULTIPOLYGON (((")
+
+    def test_relation_single_polygon(self, spark):
+        from gol_tool_spark.operators import rings as R
+
+        xs = [0, 1 << 28, 1 << 28, 0, 0]
+        ys = [0, 0, 1 << 28, 1 << 28, 0]
+        rings_df = spark.createDataFrame(
+            [(3, 0, "outer", True, 5, xs, ys, 2.0)], R.OUT_SCHEMA
+        )
+        feat = json.loads(
+            writers.geojson_polygon_format(R.polygons_of(rings_df)).collect()[0].feature
+        )
+        assert feat["geometry"]["type"] == "Polygon"
+        assert len(feat["geometry"]["coordinates"]) == 1
+
+    def test_xml_way_and_relation(self, spark):
+        mem = spark.createDataFrame(
+            [(5, 2, 102), (5, 1, 101), (5, 3, 103)], "way_id long, seq int, node_ref long"
+        )
+        xml = writers.osm_xml_way_format(mem).collect()[0].xml
+        assert xml.startswith('<way id="5">') and xml.endswith("</way>")
+        refs = [ln for ln in xml.splitlines() if "<nd" in ln]
+        assert refs == ['  <nd ref="101"/>', '  <nd ref="102"/>', '  <nd ref="103"/>']
+        members = spark.createDataFrame(
+            [(9, 1, "way", 5, "outer"), (9, 0, "node", 42, None)],
+            "rel_id long, seq int, mtype string, ref long, role string",
+        )
+        xml = writers.osm_xml_relation_format(members).collect()[0].xml
+        lines = [ln for ln in xml.splitlines() if "<member" in ln]
+        assert lines == [
+            '  <member type="node" ref="42" role=""/>',
+            '  <member type="way" ref="5" role="outer"/>',
+        ]
 
 
 class TestSessionWindows:
