@@ -91,27 +91,59 @@ def _compile_clause(cond: str, tags: Column) -> Column:
     raise GoqlError(f"unsupported op {op!r}")
 
 
-def _compile_selector(sel: str, ftype: Column, tags: Column) -> Column:
+def _compile_selector(
+    sel: str,
+    ftype: Column,
+    tags: Column,
+    closed: Column | None = None,
+    is_area: Column | None = None,
+) -> Column:
     m = _TOKEN_RE.match(sel)
     if not m:
         raise GoqlError(f"bad selector {sel!r}")
     types = m.group("types")
-    cond = F.lit(True) if types == "*" else ftype.isin(*list(types))
+    if types == "*":
+        cond = F.lit(True)
+    elif "a" in types and closed is not None:
+        # reference 'a' semantics (lib TypeBits + compiler/AreaClassifier.
+        # java:29-118): an AREA is a closed way whose tags classify it as a
+        # polygon, or an explicit area feature (multipolygon relation row)
+        if is_area is None:
+            from ..operators.classify import is_area as _ia
+
+            is_area = _ia(tags, closed)
+        a_cond = ((ftype == "w") & closed & is_area) | (ftype == "a")
+        rest = [t for t in types if t != "a"]
+        cond = (a_cond | ftype.isin(*rest)) if rest else a_cond
+    else:
+        cond = ftype.isin(*list(types))
     for clause in _CLAUSE_RE.findall(m.group("clauses") or ""):
         cond = cond & _compile_clause(clause, tags)
     return cond
 
 
 def compile_goql(
-    goql: str, ftype: Column | str = "ftype", tags: Column | str = "tags"
+    goql: str,
+    ftype: Column | str = "ftype",
+    tags: Column | str = "tags",
+    closed: Column | str | None = None,
+    is_area: Column | str | None = None,
 ) -> Column:
-    """Compile a GOQL selector list into one boolean Column."""
+    """Compile a GOQL selector list into one boolean Column.
+
+    Pass `closed` (and optionally a precomputed `is_area`) to give the `a`
+    type its reference semantics — "closed way classified as an area, or
+    area feature" — instead of a literal ftype=='a' match; without them,
+    `a` falls back to the literal match (tables that carry explicit 'a'
+    rows)."""
     ftype = F.col(ftype) if isinstance(ftype, str) else ftype
     tags = F.col(tags) if isinstance(tags, str) else tags
+    closed = F.col(closed) if isinstance(closed, str) else closed
+    is_area = F.col(is_area) if isinstance(is_area, str) else is_area
     selectors = [s for s in goql.split(",") if s.strip()]
     if not selectors:
         raise GoqlError("empty GOQL query")
-    out = _compile_selector(selectors[0], ftype, tags)
+    out = _compile_selector(selectors[0], ftype, tags, closed, is_area)
     for s in selectors[1:]:
-        out = out | _compile_selector(s, ftype, tags)
+        out = out | _compile_selector(s, ftype, tags, closed, is_area)
     return out

@@ -87,6 +87,83 @@ def ring_area2(coords: Column) -> Column:
     return F.when(n > 0, agg).otherwise(F.lit(0.0))
 
 
+EARTH_CIRCUMFERENCE = 40075016.68557849
+GRID = 4294967296.0
+
+#: query/Unit.java:11-18 — (length factor m->unit, area factor m^2->unit^2)
+UNITS = {
+    "m": (1.0, 1.0),
+    "km": (0.001, 0.000001),
+    "mi": (0.0006213711922373339, 3.861021585424458e-7),
+    "ft": (3.28084, 10.76391),
+    "yd": (1.093613, 1.19599),
+    "ha": (1.0, 0.0001),   # length defaults to metres (Unit.java comment)
+    "ac": (1.0, 2.471053814671653e-4),
+}
+
+
+def to_unit(col: Column, unit: str, area: bool = False) -> Column:
+    """Unit conversion (query/Unit.java): metres (or m^2) -> unit."""
+    return col * F.lit(UNITS[unit][1 if area else 0])
+
+
+def mercator_scale_col(y: Column) -> Column:
+    """Metres per grid unit at grid-y (cos(lat) correction) — the Column
+    twin of kernels/mercator.mercator_scale, written with the exact same
+    operation order so DuckDB reproduces it bit-for-bit:
+    cos(atan(sinh(v))) * C / 2^32, sinh(v) = (e^v - e^-v)/2."""
+    v = y.cast("double") / GRID * (2.0 * 3.141592653589793)
+    lat = F.atan((F.exp(v) - F.exp(-v)) / 2.0)
+    return F.cos(lat) * EARTH_CIRCUMFERENCE / GRID
+
+
+def ring_area2_exact(coords: Column) -> Column:
+    """Twice the signed shoelace area in grid units^2 as decimal(38,0) —
+    EXACT integer math (x*y products exceed 2^53, so doubles lose bits;
+    decimal(38,0) in Spark == HUGEINT sums in DuckDB), making area tallies
+    cross-engine hashable after one final cast."""
+    n = F.size(coords)
+    idx = F.sequence(F.lit(0), n - 1)
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    agg = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: (
+                F.element_at(coords, i + 1)["x"].cast(d19)
+                * F.element_at(coords, (i + 1) % n + 1)["y"].cast(d19)
+                - F.element_at(coords, (i + 1) % n + 1)["x"].cast(d19)
+                * F.element_at(coords, i + 1)["y"].cast(d19)
+            ).cast(d38),
+        ),
+        F.lit(0).cast(d38),
+        lambda acc, v: acc + v,
+    )
+    return F.when(n > 0, agg).otherwise(F.lit(0).cast(d38))
+
+
+def area_m2(coords: Column) -> Column:
+    """D6 tally=area: ring area in m^2 — |shoelace|/2 on the Mercator plane
+    x scale^2 at the ring's midpoint latitude (the reference measures on
+    the projected plane and corrects by latitude,
+    query/StatsFeaturePrinter.java:397-420)."""
+    big = F.lit(1 << 31).cast("bigint")
+    miny = F.aggregate(coords, big, lambda a, c: F.least(a, c["y"].cast("bigint")))
+    maxy = F.aggregate(coords, -big, lambda a, c: F.greatest(a, c["y"].cast("bigint")))
+    ymid = (miny + maxy).cast("double") / 2.0
+    scale = mercator_scale_col(ymid)
+    return F.abs(ring_area2_exact(coords).cast("double")) / 2.0 * scale * scale
+
+
+def length_m(coords: Column) -> Column:
+    """Way length in metres: Euclidean grid length x scale at the way's
+    midpoint latitude (same correction as area_m2)."""
+    big = F.lit(1 << 31).cast("bigint")
+    miny = F.aggregate(coords, big, lambda a, c: F.least(a, c["y"].cast("bigint")))
+    maxy = F.aggregate(coords, -big, lambda a, c: F.greatest(a, c["y"].cast("bigint")))
+    ymid = (miny + maxy).cast("double") / 2.0
+    return euclidean_length(coords) * mercator_scale_col(ymid)
+
+
 def way_measures(membership: DataFrame, points: DataFrame) -> DataFrame:
     """Per-way measures table: n_nodes, manhattan/euclidean length, closed."""
     coords = assemble_coords(membership, points)

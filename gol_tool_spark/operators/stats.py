@@ -38,7 +38,11 @@ def tally(
     floor_expr = F.lit(float(min_tally or 0))
     if min_fraction is not None:
         floor_expr = F.greatest(floor_expr, F.col("_total") * min_fraction)
-    keep = g.filter(F.col("tally") >= floor_expr).drop("_total")
+    # group cols go to string in the HAVING path so the '(others)' label row
+    # unions cleanly with non-string group columns (e.g. boolean 'closed')
+    keep = g.filter(F.col("tally") >= floor_expr).select(
+        *[F.col(c).cast("string").alias(c) for c in group_cols], "tally"
+    )
     others = (
         g.filter(F.col("tally") < floor_expr)
         .agg(F.sum("tally").alias("tally"), F.count(F.lit(1)).alias("_n"))
