@@ -57,20 +57,78 @@ def generate_pixels(seed: int, w: int, h: int) -> np.ndarray:
     return sm.astype(np.uint8)
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; inf for identical images."""
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    if mse == 0:
-        return float("inf")
-    return float(10.0 * np.log10(255.0 * 255.0 / mse))
+def quantize(pixels: np.ndarray) -> np.ndarray:
+    """The jpg stand-in's lossy transform (works on any leading batch dims)."""
+    return (pixels.astype(np.int32) // _QUANT * _QUANT + _QUANT // 2).astype(np.uint8)
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """64-bit average hash: grayscale -> 8x8 block means -> sign bits.
-    (Perceptual-hash stand-in; stable under the lossy stand-in codec.)"""
-    g = pixels.astype(np.float64).mean(axis=2)
+# ------------------------- batch (stacked) kernels -------------------------
+# Equal-shaped images stack into one (N, h, w, 3) array and every pixel op
+# runs as a single numpy expression across the batch (VERDICT r1 item 7) —
+# zlib stays per-row (byte streams differ per image), everything else is
+# one vectorized pass.  The scalar functions delegate to batch-of-1, so
+# fixtures and operators can never drift apart.
+
+
+def decode_batch(payloads: list[bytes], w: int, h: int, fmt: str) -> np.ndarray:
+    """Equal-shape payloads -> one (N, h, w, 3) uint8 stack (single copy)."""
+    if fmt == "raw":
+        buf = np.frombuffer(b"".join(payloads), np.uint8)
+    elif fmt in ("png", "jpg"):
+        buf = np.frombuffer(b"".join(zlib.decompress(p) for p in payloads), np.uint8)
+    else:
+        raise NotImplementedError(f"fmt={fmt!r}: real codecs need an image lib")
+    return buf.reshape(len(payloads), h, w, 3)
+
+
+def roundtrip_batch(pixels: np.ndarray, fmt: str) -> np.ndarray:
+    """decode(encode(px, fmt)) for a whole (N, h, w, 3) stack.  zlib is
+    bijective, so the round trip equals identity for lossless formats and
+    the quantize transform for the jpg stand-in — computed vectorized; one
+    sampled row per call still runs the real byte-level encode/decode pair
+    to catch codec regressions."""
+    if len(pixels):
+        s = pixels[0]
+        real = decode(encode(s, fmt), s.shape[1], s.shape[0], fmt)
+        expect = s if fmt in ("raw", "png") else quantize(s)
+        if not np.array_equal(real, expect):  # pragma: no cover - codec bug
+            raise AssertionError("codec round-trip diverged from vectorized model")
+    if fmt in ("raw", "png"):
+        return pixels
+    if fmt == "jpg":
+        return quantize(pixels)
+    raise NotImplementedError(f"fmt={fmt!r}: real codecs need an image lib")
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-image PSNR (dB) over (N, h, w, 3) stacks; inf where identical."""
+    mse = np.mean(
+        (a.astype(np.float64) - b.astype(np.float64)) ** 2, axis=(1, 2, 3)
+    )
+    with np.errstate(divide="ignore"):
+        return np.where(mse == 0, np.inf, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-300)))
+
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """64-bit average hash per image over a (N, h, w, 3) stack: grayscale
+    -> 8x8 block means (add.reduceat segments) -> sign bits.  Requires
+    h, w >= 8 (smaller images take the scalar path)."""
+    g = pixels.astype(np.float64).mean(axis=3)
+    n, h, w = g.shape
+    if h < 8 or w < 8:
+        return np.array([_phash64_small(g[i]) for i in range(n)], np.int64)
+    ry = np.linspace(0, h, 9).astype(int)
+    rx = np.linspace(0, w, 9).astype(int)
+    sums = np.add.reduceat(np.add.reduceat(g, ry[:-1], axis=1), rx[:-1], axis=2)
+    counts = np.diff(ry)[:, None] * np.diff(rx)[None, :]
+    cells = sums / counts
+    bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).reshape(n, 64)
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return (bits.astype(np.uint64) * powers).sum(axis=1).astype(np.int64)
+
+
+def _phash64_small(g: np.ndarray) -> int:
     h, w = g.shape
-    # block-mean resize to 8x8 (pad to multiples of 8 by edge clamp)
     ry = np.linspace(0, h, 9).astype(int)
     rx = np.linspace(0, w, 9).astype(int)
     cells = np.empty((8, 8), np.float64)
@@ -82,7 +140,20 @@ def phash64(pixels: np.ndarray) -> int:
     for i, b in enumerate(bits):
         if b:
             out |= np.uint64(1) << np.uint64(i)
-    return int(np.int64(out))  # signed int64 for parquet/Spark LongType
+    return int(np.int64(out))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    return float(psnr_batch(a[None], b[None])[0])
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> 8x8 block means -> sign bits.
+    (Perceptual-hash stand-in; stable under the lossy stand-in codec.)
+    Delegates to the batch kernel (batch of 1) so scalar and stacked paths
+    can never diverge."""
+    return int(phash64_batch(pixels[None])[0])
 
 
 def hamming64(a: int, b: int) -> int:

@@ -29,67 +29,96 @@ ROUNDTRIP_SCHEMA = "image_id string, psnr double, psnr_ok boolean, caption_ok bo
 FEATURES_SCHEMA = "image_id string, mean_r double, mean_g double, mean_b double, phash_rt long"
 
 
+def _shape_groups(pdf: pd.DataFrame):
+    """Split an Arrow batch by (w, h, fmt) and decode each group into ONE
+    (N, h, w, 3) stack — every pixel op downstream is a single vectorized
+    numpy expression over the stack (VERDICT r1 item 7)."""
+    for (w, h, fmt), sub in pdf.groupby(["w", "h", "fmt"], sort=False):
+        yield int(w), int(h), str(fmt), sub, IMG.decode_batch(
+            sub["bytes"].tolist(), int(w), int(h), str(fmt)
+        )
+
+
 def verify_roundtrip(images: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
     """Decode every payload, re-encode, and check the per-row invariants:
     PSNR of decode(encode(decode(bytes))) vs decode(bytes), caption
-    determinism (recomputed == carried), phash drift."""
+    determinism (recomputed == carried), phash drift.  Vectorized: each
+    equal-shape group is one stacked numpy pass (PSNR, phash, roundtrip);
+    only the byte-level zlib stays per row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                px = IMG.decode(r.bytes, r.w, r.h, r.fmt)
-                rt = IMG.decode(IMG.encode(px, r.fmt), r.w, r.h, r.fmt)
-                p = IMG.psnr(px, rt)
-                lossless = r.fmt in ("raw", "png")
-                ok = (p == float("inf")) if lossless else (p >= psnr_floor)
-                dist = IMG.hamming64(IMG.phash64(px), int(r.phash))
-                # caption integrity: non-empty and unchanged through the plan
-                cap_ok = isinstance(r.caption, str) and len(r.caption) > 0
-                out.append((r.image_id, min(p, 1e9), bool(ok), cap_ok, dist))
-            yield pd.DataFrame(out, columns=["image_id", "psnr", "psnr_ok", "caption_ok", "phash_dist"])
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                rt = IMG.roundtrip_batch(px, fmt)
+                p = IMG.psnr_batch(px, rt)
+                lossless = fmt in ("raw", "png")
+                ok = np.isinf(p) if lossless else (p >= psnr_floor)
+                ph = IMG.phash64_batch(px)
+                carried = sub["phash"].to_numpy(np.int64)
+                x = (ph.view(np.uint64) ^ carried.view(np.uint64))
+                dist = np.zeros(len(sub), np.int64)
+                for _ in range(64):  # vectorized popcount (64 shifts, no per-row work)
+                    dist += (x & np.uint64(1)).astype(np.int64)
+                    x >>= np.uint64(1)
+                cap_ok = sub["caption"].map(lambda c: isinstance(c, str) and len(c) > 0)
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "psnr": np.minimum(p, 1e9),
+                    "psnr_ok": ok,
+                    "caption_ok": cap_ok.to_numpy(),
+                    "phash_dist": dist.astype(np.int32),
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, ROUNDTRIP_SCHEMA)
 
 
 def extract_features(images: DataFrame) -> DataFrame:
-    """Feature extraction stand-in: channel means + recomputed phash.
-    A real deployment swaps the body for a model/vips call; batch shape,
-    schema and partitioning stay identical."""
+    """Feature extraction stand-in: channel means + recomputed phash, one
+    vectorized pass per equal-shape stack.  A real deployment swaps the
+    body for a model/vips call; batch shape, schema and partitioning stay
+    identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                px = IMG.decode(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
-                out.append(
-                    (r.image_id, px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
-                     IMG.phash64(px.astype(np.uint8)))
-                )
-            yield pd.DataFrame(out, columns=["image_id", "mean_r", "mean_g", "mean_b", "phash_rt"])
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                means = px.astype(np.float64).mean(axis=(1, 2))  # (N, 3)
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "mean_r": means[:, 0], "mean_g": means[:, 1], "mean_b": means[:, 2],
+                    "phash_rt": IMG.phash64_batch(px),
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, FEATURES_SCHEMA)
 
 
 def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize (numpy index sampling) — the decode->
-    transform->re-encode pipeline shape. Output keeps the input_hint schema."""
+    """Nearest-neighbor resize (numpy index sampling across the whole
+    stack — the sample grid is shared by every image in a shape group) —
+    the decode->transform->re-encode pipeline shape. Output keeps the
+    input_hint schema; re-encode stays per row (byte streams differ)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                px = IMG.decode(r.bytes, r.w, r.h, r.fmt)
-                yi = (np.arange(out_h) * r.h // out_h).astype(int)
-                xi = (np.arange(out_w) * r.w // out_w).astype(int)
-                rs = px[yi][:, xi]
-                out.append(
-                    (r.image_id, IMG.encode(rs, r.fmt), out_w, out_h, r.fmt, r.caption,
-                     IMG.phash64(rs))
-                )
-            yield pd.DataFrame(
-                out, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-            )
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                rs = px[:, yi][:, :, xi]  # (N, out_h, out_w, 3)
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "bytes": [IMG.encode(rs[i], fmt) for i in range(len(sub))],
+                    "w": out_w, "h": out_h, "fmt": fmt,
+                    "caption": sub["caption"].to_numpy(),
+                    "phash": IMG.phash64_batch(rs),
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(
         run, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
@@ -99,19 +128,20 @@ def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def rasterize_tiles(images_placed: DataFrame, tile_px: int = 8) -> DataFrame:
     """Raster<->vector bridge: per-tile mosaic stats via applyInPandas —
     each tile group decodes its images and produces a tile_px^2 luminance
-    raster (binary) + counts. Groups are tiles, so skew follows the density
-    catalog; callers salt hot tiles upstream (plans/build_pipeline)."""
+    raster (binary) + counts. Per-shape stacks keep the pixel math
+    vectorized; groups are tiles, so skew follows the density catalog;
+    callers salt hot tiles upstream (plans/build_pipeline)."""
     schema = "tile long, n_images long, raster binary, mean_lum double"
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros((tile_px, tile_px), np.float64)
         n = 0
-        for r in pdf.itertuples(index=False):
-            px = IMG.decode(r.bytes, r.w, r.h, r.fmt).astype(np.float64).mean(axis=2)
-            yi = (np.arange(tile_px) * px.shape[0] // tile_px).astype(int)
-            xi = (np.arange(tile_px) * px.shape[1] // tile_px).astype(int)
-            acc += px[yi][:, xi]
-            n += 1
+        for w, h, fmt, sub, px in _shape_groups(pdf):
+            g = px.astype(np.float64).mean(axis=3)  # (N, h, w) luminance
+            yi = (np.arange(tile_px) * h // tile_px).astype(int)
+            xi = (np.arange(tile_px) * w // tile_px).astype(int)
+            acc += g[:, yi][:, :, xi].sum(axis=0)
+            n += len(sub)
         acc = acc / max(n, 1)
         return pd.DataFrame(
             [(int(key[0]), n, acc.astype(np.uint8).tobytes(), float(acc.mean()))],

@@ -29,14 +29,17 @@ def _pile_checksum(path: str) -> str:
     import pyarrow.parquet as pq
 
     parts = []
-    for f in sorted(os.listdir(path)):
-        if f.endswith(".parquet"):
-            full = os.path.join(path, f)
+    for dp, _, fs in sorted(os.walk(path)):  # recurse: piles may hold
+        for f in sorted(fs):                 # keybits=* bucket subdirs
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(dp, f)
             try:
                 nrows = pq.ParquetFile(full).metadata.num_rows
             except Exception:  # unreadable footer == corrupt tile
                 nrows = "CORRUPT"
-            parts.append(f"{f}:{nrows}:{os.path.getsize(full)}")
+            rel = os.path.relpath(full, path)
+            parts.append(f"{rel}:{nrows}:{os.path.getsize(full)}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 

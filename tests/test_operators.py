@@ -113,6 +113,34 @@ class TestGoql:
             with pytest.raises(GoqlError):
                 compile_goql(bad)
 
+    def test_keybits_schema_and_masks(self, spark):
+        """KeyIndexSchema.java:68-96 parsing + keybits/prefilter semantics."""
+        from gol_tool_spark.functions import keybits as KB
+
+        schema = KB.parse_schema("highway/railway building amenity")
+        assert schema == {"highway": 1, "railway": 1, "building": 2, "amenity": 3}
+        with pytest.raises(ValueError):
+            KB.parse_schema("highway highway/foo")
+        df = spark.createDataFrame(
+            [
+                (1, {"highway": "x"}),
+                (2, {"railway": "y", "building": "z"}),  # two cats -> bits 1|2
+                (3, {"name": "n"}),                      # unindexed -> 0
+            ],
+            "id long, tags map<string,string>",
+        )
+        got = {r.id: r.kb for r in df.select(
+            "id", KB.keybits_col(F.col("tags"), schema).alias("kb")).collect()}
+        assert got == {1: 1, 2: 3, 3: 0}
+        # required bits: positive clauses only; != and [!k] don't require
+        assert KB.query_required_bits("n[highway][building]", schema) == [3]
+        assert KB.query_required_bits("n[!highway], w[building!=x]", schema) == [0, 0]
+        # prefilter: no indexed constraint -> no pruning
+        from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+        pre = KB.keybits_prefilter("n[name=Foo]", schema)
+        assert df.filter(pre).count() == 3
+
     def test_area_type_bridging(self, spark):
         """VERDICT round-1 item 5: `a` = closed way classified as area OR
         explicit area row (AreaClassifier.java:29-118), when closed is

@@ -66,6 +66,46 @@ class TestBuildPipeline:
         )
         assert "PartitionFilters" in plan2 and "pile" in plan2
 
+    def test_keybits_index_prunes_buckets(self, spark, cfg):
+        """VERDICT round-1 item 6: GOQL tag queries AND a keybits IN-list
+        prefilter; keybits is a partition column (the key-index bucket made
+        literal), so non-matching buckets are pruned at planning time —
+        the SIndexTree.java:273-359 skip."""
+        from gol_tool_spark.functions import keybits as KB
+
+        BP.run_build(spark, cfg)
+        store_path = os.path.join(cfg.out_dir, "compile")
+        goql = "n[highway]"
+        got = BP.query_store(spark, store_path, goql, cfg.indexed_keys)
+
+        # correctness: prefilter changes nothing vs the plain GOQL predicate
+        from gol_tool_spark.functions.goql import compile_goql
+
+        plain = (
+            spark.read.parquet(store_path)
+            .withColumn("ftype", F.lit("n"))
+            .filter(compile_goql(goql))
+        )
+        assert got.count() == plain.count() > 0
+
+        # the IN-list is a PartitionFilter (planning-time bucket pruning)
+        plan = got._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters" in plan and "keybits" in plan.split("PartitionFilters")[1].split("]")[0]
+
+        # directory-level evidence: the store has keybits buckets the query
+        # does NOT match — those are skipped entirely
+        schema = KB.parse_schema(cfg.indexed_keys)
+        reqs = KB.query_required_bits(goql, schema)
+        buckets = set()
+        for dp, dirs, _ in os.walk(store_path):
+            for d in dirs:
+                if d.startswith("keybits="):
+                    buckets.add(int(d.split("=")[1]))
+        matching = {v for v in buckets if any((v & r) == r for r in reqs)}
+        assert buckets and matching and matching < buckets, (matching, buckets)
+
     def test_lineage_manifest_shape(self, spark, cfg):
         BP.run_build(spark, cfg)
         with open(os.path.join(cfg.out_dir, "_manifest_sort.json")) as fh:
@@ -281,7 +321,7 @@ class TestTileset:
         assert not rep2["loaded"] and sorted(rep2["skipped"]) == sorted(m["piles"])
         # corruption detected
         import glob
-        victim = glob.glob(os.path.join(ts, "pile=*", "*.parquet"))[0]
+        victim = glob.glob(os.path.join(ts, "pile=*", "**", "*.parquet"), recursive=True)[0]
         with open(victim, "ab") as fh:
             fh.write(b"junk")
         with pytest.raises(ValueError, match="checksum mismatch"):
