@@ -699,7 +699,7 @@ def _rollup_cte() -> str:
 def _catalog_cte() -> str:
     return (
         f"SELECT zoom, tile, cnt FROM roll WHERE zoom = 0 OR cnt >= {CAT_MIN_DENSITY} "
-        f"ORDER BY zoom ASC, cnt DESC, tile ASC LIMIT {CAT_MAX_TILES}"
+        f"ORDER BY (zoom = 0) DESC, cnt DESC, tile ASC LIMIT {CAT_MAX_TILES}"
     )
 
 

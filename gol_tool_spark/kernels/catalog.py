@@ -107,7 +107,9 @@ def build_catalog(
     tiles = np.concatenate(cand_t)
     counts = np.concatenate(cand_c)
     zoom_of = tiles >> 24
-    order = np.lexsort((tiles, -counts, zoom_of))   # zoom asc, count desc, id
+    # min-zoom first, then density alone across zooms, then id
+    # (TileIndexBuilder.compareTilesByDensity:181-191)
+    order = np.lexsort((tiles, -counts, zoom_of != min(zooms)))
     tiles, counts = tiles[order][:max_tiles], counts[order][:max_tiles]
 
     # stable pile numbering: by tile id; pile 1 reserved for Purgatory

@@ -36,6 +36,28 @@ def tile_row(y: np.ndarray, zoom: int) -> np.ndarray:
     return (((1 << 31) - 1) - np.asarray(y, np.int64)) >> (32 - zoom) if zoom else np.zeros_like(np.asarray(y, np.int64))
 
 
+def parse_tile_spec(spec: str) -> int:
+    """'z/x/y' tile spec -> packed tile id (Tile.fromString parity;
+    GolCommand.java:66-81 accepts this form for -b)."""
+    parts = spec.split("/")
+    if len(parts) != 3:
+        raise ValueError(f"{spec!r} is not a valid z/x/y tile spec")
+    z, col, row = (int(p) for p in parts)
+    if not (0 <= z <= 12 and 0 <= col < (1 << z) and 0 <= row < (1 << z)):
+        raise ValueError(f"{spec!r} is not a valid tile")
+    return int(pack(z, row, col))
+
+
+def tile_bounds(tile: int) -> tuple[int, int, int, int]:
+    """Packed tile id -> inclusive grid bbox (W, S, E, N) — Tile.bounds
+    parity (row 0 at the north edge)."""
+    z, r, c = (int(v) for v in unpack(tile))
+    size = 1 << (32 - z)
+    minx = c * size - (1 << 31)
+    maxy = ((1 << 31) - 1) - r * size
+    return minx, maxy - size + 1, minx + size - 1, maxy
+
+
 def pack(zoom, row, col) -> np.ndarray:
     return (np.asarray(zoom, np.int64) << 24) | (np.asarray(row, np.int64) << 12) | np.asarray(col, np.int64)
 

@@ -33,12 +33,22 @@ from ..kernels import geometry as G
 
 def bbox_query(
     points_tiled: DataFrame,
-    minx: int, miny: int, maxx: int, maxy: int,
+    minx: int | None = None, miny: int | None = None,
+    maxx: int | None = None, maxy: int | None = None,
     zoom: int = 12,
     goql: str | None = None,
     limit: int | None = None,
+    tile_spec: str | None = None,
 ) -> DataFrame:
-    """B2 (+B1, F1): tile-pruned bbox scope + optional GOQL + limit."""
+    """B2 (+B1, F1): tile-pruned bbox scope + optional GOQL + limit.
+    The scope is either an explicit W,S,E,N box or a 'z/x/y' tile spec
+    (GolCommand.java:66-81 -b accepts both forms)."""
+    if tile_spec is not None:
+        from ..kernels import tile as KT
+
+        minx, miny, maxx, maxy = KT.tile_bounds(KT.parse_tile_spec(tile_spec))
+    if None in (minx, miny, maxx, maxy):
+        raise ValueError("bbox_query needs a W,S,E,N box or a tile_spec")
     out = points_tiled
     # IN-list prune only while the list stays sane — and COUNT before
     # enumerating (a world bbox at z12 is a 16.7M-element list)

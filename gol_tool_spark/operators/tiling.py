@@ -69,10 +69,15 @@ def catalog_topk(
     min_zoom: int = 0,
 ) -> DataFrame:
     """D4/F6: keep tiles with cnt >= min_density (root zoom always kept),
-    capped at max_tiles preferring coarser zoom, then higher count."""
+    capped at max_tiles — min-zoom tiles pinned first, otherwise ranked by
+    density alone across zooms (TileIndexBuilder.compareTilesByDensity:
+    181-191; a dense fine tile outranks a sparse coarse one when the cap
+    binds)."""
     kept = rolled.filter((F.col("zoom") == min_zoom) | (F.col("cnt") >= min_density))
     return (
-        kept.orderBy(F.col("zoom").asc(), F.col("cnt").desc(), F.col("tile").asc())
+        kept.orderBy(
+            (F.col("zoom") == min_zoom).desc(), F.col("cnt").desc(), F.col("tile").asc()
+        )
         .limit(max_tiles)
     )
 

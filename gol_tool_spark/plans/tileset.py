@@ -8,6 +8,12 @@ tileset directory with a JSON manifest carrying a deterministic content
 checksum per pile (md5 of sorted footer (rows, bytes) + file names); load
 restores absent piles into a store and verifies checksums — the GUID-match
 equivalent.
+
+Repositories may be local paths OR http(s) URLs (LoadCommand.java:32-71
+fetches tiles from a URL repo): the manifest carries each pile's relative
+file list, so an HTTP loader needs no directory listing — it GETs
+tileset.json, then only the files of piles absent from the local store
+(incremental, like the reference's absent-tile fetch).
 """
 
 from __future__ import annotations
@@ -43,8 +49,19 @@ def _pile_checksum(path: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def _pile_files(path: str) -> list[str]:
+    out = []
+    for dp, _, fs in sorted(os.walk(path)):
+        for f in sorted(fs):
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dp, f), path))
+    return out
+
+
 def save_tileset(store_dir: str, tileset_dir: str) -> dict:
-    """Export every pile + write tileset.json (the tileset.txt analogue)."""
+    """Export every pile + write tileset.json (the tileset.txt analogue).
+    Each pile entry carries {checksum, files} so HTTP repos are loadable
+    without directory listings."""
     os.makedirs(tileset_dir, exist_ok=True)
     manifest = {"piles": {}}
     for d in _pile_dirs(store_dir):
@@ -53,7 +70,10 @@ def save_tileset(store_dir: str, tileset_dir: str) -> dict:
         if os.path.exists(dst):
             shutil.rmtree(dst)
         shutil.copytree(src, dst)
-        manifest["piles"][d] = _pile_checksum(dst)
+        manifest["piles"][d] = {
+            "checksum": _pile_checksum(dst),
+            "files": _pile_files(dst),
+        }
     manifest["guid"] = hashlib.md5(
         json.dumps(manifest["piles"], sort_keys=True).encode()
     ).hexdigest()
@@ -62,21 +82,53 @@ def save_tileset(store_dir: str, tileset_dir: str) -> dict:
     return manifest
 
 
-def load_tileset(tileset_dir: str, store_dir: str, verify: bool = True) -> dict:
-    """Fetch piles absent from the store; verify checksums (GUID check).
-    Returns {loaded: [...], skipped: [...], verified: bool}."""
-    with open(os.path.join(tileset_dir, "tileset.json")) as fh:
-        manifest = json.load(fh)
+def _is_url(repo: str) -> bool:
+    return repo.startswith(("http://", "https://"))
+
+
+def _http_get(url: str) -> bytes:
+    import urllib.request
+
+    with urllib.request.urlopen(url) as r:  # noqa: S310 - repo URL is caller-supplied config
+        return r.read()
+
+
+def load_tileset(repo: str, store_dir: str, verify: bool = True) -> dict:
+    """Fetch piles absent from the store from a local directory OR an
+    http(s) repo URL (LoadCommand.java:32-71); verify checksums (the
+    GUID-match equivalent).  Incremental: present piles are skipped without
+    any fetch.  Returns {loaded: [...], skipped: [...], verified: bool}."""
+    from_url = _is_url(repo)
+    if from_url:
+        manifest = json.loads(_http_get(repo.rstrip("/") + "/tileset.json"))
+    else:
+        with open(os.path.join(repo, "tileset.json")) as fh:
+            manifest = json.load(fh)
     os.makedirs(store_dir, exist_ok=True)
     loaded, skipped = [], []
-    for d, checksum in manifest["piles"].items():
-        src = os.path.join(tileset_dir, d)
+    for d, info in manifest["piles"].items():
+        checksum = info["checksum"] if isinstance(info, dict) else info
         dst = os.path.join(store_dir, d)
-        if verify and _pile_checksum(src) != checksum:
-            raise ValueError(f"tileset corrupt: checksum mismatch for {d}")
         if os.path.exists(dst):
             skipped.append(d)
             continue
-        shutil.copytree(src, dst)
+        if from_url:
+            try:
+                for rel in info["files"]:
+                    data = _http_get(f"{repo.rstrip('/')}/{d}/{rel}")
+                    full = os.path.join(dst, rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as fh:
+                        fh.write(data)
+                if verify and _pile_checksum(dst) != checksum:
+                    raise ValueError(f"tileset corrupt: checksum mismatch for {d}")
+            except Exception:
+                shutil.rmtree(dst, ignore_errors=True)  # no partial piles
+                raise
+        else:
+            src = os.path.join(repo, d)
+            if verify and _pile_checksum(src) != checksum:
+                raise ValueError(f"tileset corrupt: checksum mismatch for {d}")
+            shutil.copytree(src, dst)
         loaded.append(d)
     return {"loaded": loaded, "skipped": skipped, "verified": verify}

@@ -343,6 +343,75 @@ class TestSinkWrites:
         assert len(lines) == 1 and '"type":"Feature"' in lines[0].value
 
 
+class TestHttpTileRepo:
+    def test_http_load_roundtrip_and_corruption(self, spark, tmp_path, sf_dir):
+        """VERDICT round-1 item 10: LoadCommand.java:32-71 fetches tiles
+        from a URL repo — serve the tileset over HTTP, load incrementally,
+        detect corruption."""
+        import functools
+        import http.server
+        import threading
+
+        from gol_tool_spark.plans import tileset as TS
+
+        cfg = BP.BuildConfig(out_dir=str(tmp_path / "g4"), sf_dir=sf_dir,
+                             max_tiles=30, min_density=20)
+        BP.run_build(spark, cfg)
+        store = os.path.join(cfg.out_dir, "compile")
+        ts = str(tmp_path / "tileset")
+        m = TS.save_tileset(store, ts)
+
+        handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=ts)
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            store2 = str(tmp_path / "restored")
+            rep = TS.load_tileset(url, store2)
+            assert sorted(rep["loaded"]) == sorted(m["piles"]) and not rep["skipped"]
+            a = spark.read.parquet(store).orderBy("id").collect()
+            b = spark.read.parquet(store2).orderBy("id").collect()
+            assert a == b
+            # incremental: second load fetches nothing
+            rep2 = TS.load_tileset(url, store2)
+            assert not rep2["loaded"] and sorted(rep2["skipped"]) == sorted(m["piles"])
+            # server-side corruption -> checksum error, no partial pile left
+            import glob
+
+            victim = glob.glob(os.path.join(ts, "pile=*", "**", "*.parquet"), recursive=True)[0]
+            with open(victim, "ab") as fh:
+                fh.write(b"junk")
+            with pytest.raises(ValueError, match="checksum mismatch"):
+                TS.load_tileset(url, str(tmp_path / "r2"))
+            bad_pile = os.path.relpath(victim, ts).split(os.sep)[0]
+            assert not os.path.exists(os.path.join(str(tmp_path / "r2"), bad_pile))
+        finally:
+            srv.shutdown()
+
+
+class TestTileSpecScope:
+    def test_bbox_accepts_zxy(self, spark):
+        from gol_tool_spark.kernels import tile as KT
+        from gol_tool_spark.operators import spatial_query
+
+        tile = KT.parse_tile_spec("3/2/5")
+        w, s, e, n = KT.tile_bounds(tile)
+        assert e - w == n - s == (1 << 29) - 1
+        # a point inside that tile maps back to it
+        assert int(KT.tile_of_point((w + e) // 2, (s + n) // 2, 3)) == tile
+        pts = spark.createDataFrame(
+            [(1, (w + e) // 2, (s + n) // 2), (2, w - 10, s - 10)],
+            "id long, x long, y long",
+        )
+        pts = pts.withColumn("tile", F.lit(0))
+        got = {r.id for r in spatial_query.bbox_query(pts, tile_spec="3/2/5", zoom=0).collect()}
+        assert got == {1}
+        with pytest.raises(ValueError):
+            KT.parse_tile_spec("3/9/0")
+        with pytest.raises(ValueError):
+            spatial_query.bbox_query(pts)
+
+
 class TestPartitionScopedMerge:
     """VERDICT round-1 item 1: a small delta against a multi-pile store must
     rewrite ONLY the affected pile directories (update/TileFinder.java +
