@@ -506,6 +506,35 @@ def q_goql_area(spark, sf_dir):
     return ways.filter(compile_goql("a[building]", closed="closed")).select("way_id")
 
 
+def q_goql_parent_child(spark, sf_dir):
+    """GOQL membership traversal (parent side): ways matching w[highway]
+    containing >= 1 node matching n[returnflag=R] — the GeoDesk
+    parentsOf/membersOf idiom as a double LEFT SEMI join."""
+    from gol_tool_spark.operators import goql_join
+
+    ways = _classified_ways(spark, sf_dir)
+    pts = synth.points_df(spark, sf_dir)
+    mem = synth.membership_df(spark, sf_dir)
+    out = goql_join.parents_with_child(
+        ways, mem, pts, parent_goql="w[highway]", child_goql="n[returnflag=R]"
+    )
+    return out.select("way_id")
+
+
+def q_goql_members_of(spark, sf_dir):
+    """GOQL membership traversal (member side): the R-flagged member nodes
+    of ways matching w[building] (Features.membersOf direction)."""
+    from gol_tool_spark.operators import goql_join
+
+    ways = _classified_ways(spark, sf_dir)
+    pts = synth.points_df(spark, sf_dir)
+    mem = synth.membership_df(spark, sf_dir)
+    out = goql_join.members_of(
+        ways, mem, pts, parent_goql="w[building]", child_goql="n[returnflag=R]"
+    )
+    return out.select("way_id", "node_ref", "qty")
+
+
 def q_fab_export(spark, sf_dir):
     from gol_tool_spark.sinks import writers
 
@@ -665,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gst_weighted": q_gst_weighted,
         "area_classify": q_area_classify,
         "goql_area": q_goql_area,
+        "goql_parent_child": q_goql_parent_child,
+        "goql_members_of": q_goql_members_of,
         "fab_export": q_fab_export,
         "events_json": q_events_json,
         "way_quads": q_way_quads,
@@ -1145,6 +1176,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_key * 5 + n_role * 2 + n_val "
             "+ CASE WHEN s = 'returnflag' AND n_key > 0 THEN 10000000000000 ELSE 0 END AS BIGINT) AS weight "
             "FROM cnt ORDER BY weight DESC, s ASC LIMIT 100"
+        ),
+        "goql_parent_child": _with_points(
+            f", mem AS ({_MEM}) "
+            "SELECT w.way_id FROM "
+            "(SELECT DISTINCT m.way_id FROM mem m JOIN pts p ON m.node_ref = p.id) w "
+            "JOIN orders o ON w.way_id = o.o_orderkey "
+            "WHERE o.o_orderstatus NOT IN ('O', 'F') "
+            "AND EXISTS (SELECT 1 FROM mem m2 JOIN pts p2 ON m2.node_ref = p2.id "
+            "WHERE m2.way_id = w.way_id AND p2.returnflag = 'R')"
+        ),
+        "goql_members_of": _with_points(
+            f", mem AS ({_MEM}) "
+            "SELECT e.way_id, e.node_ref, p.qty FROM "
+            "(SELECT DISTINCT way_id, node_ref FROM mem) e "
+            "JOIN (SELECT DISTINCT m.way_id FROM mem m JOIN pts p ON m.node_ref = p.id) w "
+            "ON e.way_id = w.way_id "
+            "JOIN orders o ON e.way_id = o.o_orderkey AND o.o_orderstatus = 'O' "
+            "JOIN pts p ON e.node_ref = p.id AND p.returnflag = 'R'"
         ),
         "goql_area": _with_points(
             f", mem AS ({_MEM}), j AS ("

@@ -222,7 +222,9 @@ def knn_cell_ring(
     returning silently-short top-k."""
     spark = points_tiled.sparkSession
     q = spark.createDataFrame(query_points, "qid long, qx long, qy long")
-    levels = tuple(1 << i for i in range(max_expansions))
+    # two ring radii up front (1, 2^(max_expansions-1)) — more levels add
+    # stages without adding coverage, since the exact residue backstops
+    levels = (1, 1 << max(max_expansions - 1, 1))
     return knn_join(points_tiled, q, k=k, zoom=zoom, levels=levels, exact=True)
 
 

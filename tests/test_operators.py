@@ -113,6 +113,37 @@ class TestGoql:
             with pytest.raises(GoqlError):
                 compile_goql(bad)
 
+    def test_goql_membership_traversal(self, spark):
+        """Parent/child GOQL joins (GeoDesk membersOf/parentsOf idiom):
+        quantified EXISTS semantics, no duplication on the parent side."""
+        from gol_tool_spark.operators import goql_join
+
+        ways = spark.createDataFrame(
+            [(10, {"highway": "x"}), (20, {"highway": "y"}), (30, {"building": "b"})],
+            "way_id long, tags map<string,string>",
+        )
+        mem = spark.createDataFrame(
+            [(10, 1), (10, 2), (20, 3), (30, 1), (30, 4)],
+            "way_id long, node_ref long",
+        )
+        nodes = spark.createDataFrame(
+            [(1, {"returnflag": "R"}), (2, {"returnflag": "R"}), (3, {"returnflag": "A"}),
+             (4, {"returnflag": "R"})],
+            "id long, tags map<string,string>",
+        )
+        got = goql_join.parents_with_child(
+            ways, mem, nodes, parent_goql="w[highway]", child_goql="n[returnflag=R]"
+        )
+        # way 10 matches once (two R children, no dup); 20 has no R child;
+        # 30 has an R child but isn't highway
+        assert [r.way_id for r in got.collect()] == [10]
+        members = goql_join.members_of(
+            ways, mem, nodes, parent_goql="w[building]", child_goql="n[returnflag=R]"
+        )
+        assert {(r.way_id, r.node_ref) for r in members.collect()} == {(30, 1), (30, 4)}
+        parents = goql_join.parents_of(mem, nodes, child_goql="n[returnflag=A]")
+        assert {r.way_id for r in parents.collect()} == {20}
+
     def test_keybits_schema_and_masks(self, spark):
         """KeyIndexSchema.java:68-96 parsing + keybits/prefilter semantics."""
         from gol_tool_spark.functions import keybits as KB
