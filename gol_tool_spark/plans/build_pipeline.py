@@ -56,6 +56,9 @@ class BuildConfig:
     #: `indexed-keys` config (build/KeyIndexSchema.java:21-96): categories
     #: separated by spaces, keys sharing a category by '/'
     indexed_keys: str = "highway building amenity name"
+    #: compile-layout locality key: 'hilbert' (tighter bbox row-group
+    #: locality; Arrow-batched build-time kernel) or 'morton' (pure JVM)
+    locality: str = "hilbert"
 
 
 def _manifest_path(cfg: BuildConfig, stage: str) -> str:
@@ -195,7 +198,7 @@ def _synth_tags(returnflag, qty):
 
 def _stage_compile(spark, cfg: BuildConfig, t0):
     from ..functions import keybits as KB
-    from ..functions.spatial import morton_cell
+    from ..functions.spatial import hilbert_cell, morton_cell
 
     pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort"))
     # key-index buckets as physical partitions: each (pile, keybits) pair
@@ -206,12 +209,16 @@ def _stage_compile(spark, cfg: BuildConfig, t0):
     # skip.  Within a bucket, rows sort by Z-order (Morton) so x/y min/max
     # stats prune bbox scans like the reference's per-tile R-trees
     # (SURVEY.md §4; compiler/SIndexTree.java:361-425 analogue).
+    # measured at sf0.01 (17 row groups, 40 deterministic bboxes): Hilbert
+    # ordering touches 62 row groups vs Morton's 139 — 2.2x fewer reads
+    # for the same data (tests/test_pipeline.py TestLocalityLayout)
     schema = KB.parse_schema(cfg.indexed_keys)
     tags = _synth_tags(F.col("returnflag"), F.col("qty"))
+    loc = hilbert_cell if cfg.locality == "hilbert" else morton_cell
     out = (
         pts.withColumn("tags", tags)
         .withColumn("keybits", KB.keybits_col(F.col("tags"), schema))
-        .withColumn("zorder", morton_cell(F.col("x"), F.col("y"), 16))
+        .withColumn("zorder", loc(F.col("x"), F.col("y"), 16))
         .repartition("pile")
         .sortWithinPartitions("keybits", "zorder", "id")
         .drop("zorder", "returnflag", "qty")

@@ -343,6 +343,68 @@ class TestSinkWrites:
         assert len(lines) == 1 and '"type":"Feature"' in lines[0].value
 
 
+class TestLocalityLayout:
+    def test_hilbert_column_matches_kernel(self, spark):
+        from gol_tool_spark.functions import spatial as S
+        from gol_tool_spark.kernels import tile as KT
+
+        rows = [(i, (i * 2654435761) % (1 << 32) - (1 << 31),
+                 (i * 2246822519 + 7) % (1 << 32) - (1 << 31)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        got = {r.id: r.h for r in df.select(
+            "id", S.hilbert_cell(F.col("x"), F.col("y"), 16).alias("h")).collect()}
+        xs = np.array([r[1] for r in rows], np.int64)
+        ys = np.array([r[2] for r in rows], np.int64)
+        expect = KT.hilbert_d(xs, ys, 16)
+        assert [got[i] for i in range(200)] == [int(v) for v in expect]
+
+    def test_hilbert_rowgroup_locality_not_worse_than_morton(self, spark, tmp_path, sf_dir):
+        """The point of the Hilbert layout: bbox queries touch no more (and
+        typically fewer) parquet row groups than under Morton ordering.
+        Footer-level measurement over deterministic bboxes."""
+        import pyarrow.parquet as pq
+        from gol_tool_spark.functions import spatial as S
+        from gol_tool_spark.functions import synth
+
+        pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+
+        def write_sorted(key_fn, path):
+            (pts.withColumn("k", key_fn(F.col("x"), F.col("y"), 16))
+             .coalesce(1).sortWithinPartitions("k").drop("k")
+             .write.option("parquet.block.size", 16384).mode("overwrite").parquet(path))
+
+        def rg_hits(path, boxes):
+            f = [os.path.join(dp, fn) for dp, _, fs in os.walk(path)
+                 for fn in fs if fn.endswith(".parquet")]
+            hits = total = 0
+            for fp in f:
+                md = pq.ParquetFile(fp).metadata
+                ci = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    xs = md.row_group(rg).column(ci["x"]).statistics
+                    ys = md.row_group(rg).column(ci["y"]).statistics
+                    total += 1
+                    for (w, s, e, n) in boxes:
+                        if xs.min <= e and xs.max >= w and ys.min <= n and ys.max >= s:
+                            hits += 1
+            return hits, total
+
+        boxes = []
+        for i in range(12):
+            cx = ((i * 40503) % 256 - 128) * (1 << 23)
+            cy = ((i * 9311 + 77) % 256 - 128) * (1 << 23)
+            r = 1 << 26
+            boxes.append((cx - r, cy - r, cx + r, cy + r))
+
+        mpath, hpath = str(tmp_path / "m"), str(tmp_path / "h")
+        write_sorted(S.morton_cell, mpath)
+        write_sorted(S.hilbert_cell, hpath)
+        mh, mt = rg_hits(mpath, boxes)
+        hh, ht = rg_hits(hpath, boxes)
+        assert mt > 3 and ht > 3  # enough row groups for the comparison to mean anything
+        assert hh <= mh, f"hilbert touched more row groups ({hh}) than morton ({mh})"
+
+
 class TestHttpTileRepo:
     def test_http_load_roundtrip_and_corruption(self, spark, tmp_path, sf_dir):
         """VERDICT round-1 item 10: LoadCommand.java:32-71 fetches tiles
