@@ -123,26 +123,64 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 64, stride: int | None = None)
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2"))
     )
+    assigned = _assign_to(q.select("vec_id", "q", "n2"), cents)
+    return cents, assigned
+
+
+def _assign_to(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast cross join + window min."""
     pairs = q.crossJoin(F.broadcast(cents))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    assigned = (
+    return (
         pairs.withColumn("cos", _cos("q", "cq", "n2", "cn2"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "q", "n2", "cid")
     )
+
+
+def lloyd_refine(
+    assigned: DataFrame, dim: int, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means refinement of the IVF coarse quantizer: each pass
+    recomputes every centroid as the elementwise mean of its list, then
+    reassigns.  The mean is `dim` map-side-combined AVG aggregates in ONE
+    groupBy (no explode: 10^12 x 64-dim would be a 6.4e13-row explode; this
+    is a single shuffle of n_centroids*dim partial sums), the reassignment
+    is the same broadcast cross join as ivf_assign — plan shape unchanged,
+    so refined IVF swaps in transparently (ivf_assign docstring).
+    Returns (refined centroids, reassignment).  localCheckpoint per pass
+    keeps the iteration's lineage flat (the C5 fixed-point trick)."""
+    for _ in range(iters):
+        means = assigned.groupBy("cid").agg(
+            F.array(*[F.avg(F.element_at("q", i + 1)) for i in range(dim)]).alias("m")
+        )
+        cents = means.select(
+            "cid",
+            F.transform("m", lambda v: F.round(v).cast("bigint")).alias("cq"),
+        ).withColumn(
+            "cn2",
+            F.aggregate("cq", F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+        )
+        cents = cents.localCheckpoint()
+        assigned = _assign_to(assigned.select("vec_id", "q", "n2"), cents)
     return cents, assigned
 
 
 def ann_topk_ivf(
     emb: DataFrame, query_ids: list[int], k: int = 10,
     n_centroids: int = 64, nprobe: int = 8, stride: int | None = None,
+    lloyd_iters: int = 0, dim: int = 64,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest centroid lists per query, exact
     rerank inside. Candidates ~ N * nprobe / n_centroids per query.
     Pass `stride` (centroid sampling stride) to keep plan construction
-    job-free; None falls back to a count."""
+    job-free; None falls back to a count.  lloyd_iters > 0 refines the
+    sampled centroids with that many Lloyd passes (better-balanced lists
+    -> higher recall at the same nprobe)."""
     cents, assigned = ivf_assign(emb, n_centroids, stride=stride)
+    if lloyd_iters > 0:
+        cents, assigned = lloyd_refine(assigned, dim=dim, iters=lloyd_iters)
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )

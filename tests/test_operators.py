@@ -545,6 +545,34 @@ class TestIvf:
         a = {(r.qid, r.nid) for r in approx.collect()}
         assert len(e & a) / len(e) >= 0.8
 
+    def test_lloyd_refinement_recall_not_worse(self, spark):
+        """Lloyd passes re-center the sampled centroids on their lists —
+        recall at the same nprobe must not drop (it typically rises when
+        the stride sample lands badly)."""
+        rng = np.random.default_rng(31)
+        base = rng.standard_normal((10, 64))
+        rows = []
+        vid = 0
+        for b in base:
+            for _ in range(10):
+                v = b + rng.standard_normal(64) * 0.15
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qids = [0, 10, 20, 30]
+        exact = {(r.qid, r.nid) for r in ann.cosine_topk(emb, qids, k=5).collect()}
+
+        def recall(lloyd_iters):
+            got = ann.ann_topk_ivf(
+                emb, qids, k=5, n_centroids=10, nprobe=2, lloyd_iters=lloyd_iters
+            )
+            a = {(r.qid, r.nid) for r in got.collect()}
+            return len(exact & a) / len(exact)
+
+        r0, r2 = recall(0), recall(2)
+        assert r2 >= r0
+        assert r2 >= 0.5
+
 
 class TestWayPolygonIntersect:
     def test_crossing_and_inside_and_outside(self, spark):

@@ -1,0 +1,93 @@
+"""Plan-shape assertions: the physical plans we audited into PLANS.md,
+pinned as tests so a refactor can't silently regress the scale story
+(unpushed filters, surprise shuffles, broadcast joins degrading to
+sort-merge, Python creeping onto JVM paths)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.functions import synth
+from gol_tool_spark.operators import ann, dedup, spatial_query, tiling
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    return tiling.assign_points(synth.points_df(spark, sf_dir))
+
+
+class TestPlanShapes:
+    def test_tile_assign_is_narrow(self, pts, spark, sf_dir):
+        """C1 over a materialized store must be a pure Project — zero
+        exchanges, zero Python."""
+        stored = spark.createDataFrame(
+            [(1, 2, 3)], "id long, x long, y long"
+        )  # stand-in for a store scan: the transform itself adds no shuffle
+        plan = plan_of(tiling.assign_points(stored))
+        assert "Exchange" not in plan
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+    def test_pile_assignment_broadcasts_every_zoom(self, pts):
+        cat = tiling.catalog_topk(
+            tiling.rollup(tiling.density(pts.select("x", "y"))), 64, 20
+        )
+        plan = plan_of(tiling.pile_assignment(pts, cat), mode="simple")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 4  # one per non-leaf zoom
+
+    def test_way_assembly_partial_aggregates(self, spark, sf_dir, pts):
+        mem = synth.membership_df(spark, sf_dir)
+        plan = plan_of(tiling.way_assembly(mem, pts))
+        # map-side combine: partial + final HashAggregate pairs
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_bbox_filter_is_plain_conjunct(self, pts):
+        q = spatial_query.bbox_query(pts, -1000, -1000, 1000, 1000)
+        plan = plan_of(q)
+        assert "Filter" in plan and "ArrowEval" not in plan
+
+    def test_minhash_lsh_no_cartesian(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(dedup.minhash_lsh_pairs(docs, n=3, threshold=0.3))
+        assert "CartesianProduct" not in plan  # banded bucket join, not all-pairs
+
+    def test_ann_cosine_broadcasts_queries(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = plan_of(ann.cosine_topk(emb, [0, 1], k=5), mode="simple")
+        assert "Broadcast" in plan  # query side broadcast, never shuffled
+
+    def test_knn_join_ring_path_no_python(self, spark, pts):
+        q = spark.createDataFrame([(1, 0, 0)], "qid long, qx long, qy long")
+        ring_only = spatial_query.knn_join(pts, q, k=3, levels=(1,), exact=False)
+        plan = plan_of(ring_only)
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan  # cell join, not all-pairs
+
+    def test_store_scan_pushdown_and_pruning(self, spark, sf_dir, tmp_path):
+        from gol_tool_spark.plans import build_pipeline as BP
+
+        cfg = BP.BuildConfig(
+            out_dir=str(tmp_path / "g"), sf_dir=sf_dir, max_tiles=30, min_density=20
+        )
+        BP.run_build(spark, cfg)
+        store = spark.read.parquet(os.path.join(cfg.out_dir, "compile"))
+        plan = plan_of(
+            store.filter((F.col("x") >= -1000) & (F.col("x") <= 1000) & (F.col("pile") == 2))
+        )
+        assert "PushedFilters: [" in plan and "GreaterThanOrEqual(x,-1000)" in plan
+        assert "PartitionFilters" in plan
+        kplan = plan_of(
+            BP.query_store(spark, os.path.join(cfg.out_dir, "compile"), "n[highway]", cfg.indexed_keys)
+        )
+        part = kplan.split("PartitionFilters")[1].split("]")[0]
+        assert "keybits" in part
