@@ -78,6 +78,51 @@ def members_of(
     )
 
 
+def parse_traversal(goql: str) -> tuple[str, str]:
+    """Split a `PARENT>CHILD` traversal string (the `w[highway]>n[signal]`
+    idiom) into (parent_goql, child_goql).  `>` inside [...] clauses (e.g.
+    numeric compares like [qty>30]) is NOT a separator."""
+    depth = 0
+    for i, ch in enumerate(goql):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == ">" and depth == 0:
+            parent, child = goql[:i].strip(), goql[i + 1:].strip()
+            if not parent or not child or ">" in _strip_clauses(child):
+                raise ValueError(f"bad traversal {goql!r}: need PARENT>CHILD")
+            return parent, child
+    raise ValueError(f"no top-level '>' in {goql!r}")
+
+
+def _strip_clauses(sel: str) -> str:
+    out, depth = [], 0
+    for ch in sel:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+def traversal_query(
+    goql: str,
+    parents: DataFrame,
+    membership: DataFrame,
+    children: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """`w[highway]>n[signal]` string form of parents_with_child."""
+    parent_goql, child_goql = parse_traversal(goql)
+    return parents_with_child(
+        parents, membership, children,
+        parent_goql=parent_goql, child_goql=child_goql, **kwargs,
+    )
+
+
 def parents_of(
     membership: DataFrame,
     children: DataFrame,

@@ -1,0 +1,67 @@
+"""`gol info` analogue: store-level report from parquet FOOTER metadata.
+
+Reference parity: InfoCommand.java:23-90 prints the tile-set GUID, tile
+counts/loaded state and (with -i/-t/-f) index, tile and free-block detail
+from the store's header structures.  The parquet mapping has no free-block
+list (immutable files replace the mmap'd free-space allocator), so the
+report covers the analogous surfaces: pile inventory, per-pile rows/bytes/
+bucket counts, key-index (keybits) bucket histogram, and row-group counts —
+all read driver-side from footers, zero data scan (the same trick as the
+build manifests; on Iceberg this is the `files` metadata table)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def store_info(store_dir: str, tileset_dir: str | None = None) -> dict:
+    """Footer-only store report: {guid?, piles, rows, bytes, n_files,
+    n_row_groups, keybits: {mask: rows}, per_pile: {pile: {rows, bytes,
+    buckets}}}."""
+    piles: dict[str, dict] = {}
+    keybits: dict[int, int] = {}
+    total_rows = total_bytes = n_files = n_rg = 0
+    for dp, _, fs in sorted(os.walk(store_dir)):
+        rel = os.path.relpath(dp, store_dir)
+        parts = dict(seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg)
+        pile = parts.get("pile")
+        bucket = parts.get("keybits")
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dp, f)).metadata
+            nbytes = os.path.getsize(os.path.join(dp, f))
+            n_files += 1
+            n_rg += md.num_row_groups
+            total_rows += md.num_rows
+            total_bytes += nbytes
+            if pile is not None:
+                e = piles.setdefault(pile, {"rows": 0, "bytes": 0, "buckets": set()})
+                e["rows"] += md.num_rows
+                e["bytes"] += nbytes
+                if bucket is not None:
+                    e["buckets"].add(int(bucket))
+            if bucket is not None:
+                kb = int(bucket)
+                keybits[kb] = keybits.get(kb, 0) + md.num_rows
+    out = {
+        "piles": len(piles),
+        "rows": int(total_rows),
+        "bytes": int(total_bytes),
+        "n_files": n_files,
+        "n_row_groups": n_rg,
+        "keybits": {str(k): int(v) for k, v in sorted(keybits.items())},
+        "per_pile": {
+            p: {"rows": int(e["rows"]), "bytes": int(e["bytes"]), "buckets": len(e["buckets"])}
+            for p, e in sorted(piles.items())
+        },
+    }
+    if tileset_dir:
+        ts = os.path.join(tileset_dir, "tileset.json")
+        if os.path.exists(ts):
+            with open(ts) as fh:
+                out["guid"] = json.load(fh).get("guid")
+    return out

@@ -144,6 +144,22 @@ class TestGoql:
         parents = goql_join.parents_of(mem, nodes, child_goql="n[returnflag=A]")
         assert {r.way_id for r in parents.collect()} == {20}
 
+    def test_traversal_string_form(self, spark):
+        from gol_tool_spark.operators import goql_join
+
+        assert goql_join.parse_traversal("w[highway]>n[signal]") == ("w[highway]", "n[signal]")
+        # '>' inside clauses is a numeric compare, not the separator
+        assert goql_join.parse_traversal("w[lanes>2] > n[qty>30]") == ("w[lanes>2]", "n[qty>30]")
+        with pytest.raises(ValueError):
+            goql_join.parse_traversal("w[highway]")
+        with pytest.raises(ValueError):
+            goql_join.parse_traversal("w>n>r")
+        ways = spark.createDataFrame([(10, {"highway": "x"})], "way_id long, tags map<string,string>")
+        mem = spark.createDataFrame([(10, 1)], "way_id long, node_ref long")
+        nodes = spark.createDataFrame([(1, {"qty": "44"})], "id long, tags map<string,string>")
+        got = goql_join.traversal_query("w[highway]>n[qty>30]", ways, mem, nodes)
+        assert [r.way_id for r in got.collect()] == [10]
+
     def test_keybits_schema_and_masks(self, spark):
         """KeyIndexSchema.java:68-96 parsing + keybits/prefilter semantics."""
         from gol_tool_spark.functions import keybits as KB

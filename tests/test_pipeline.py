@@ -343,6 +343,104 @@ class TestSinkWrites:
         assert len(lines) == 1 and '"type":"Feature"' in lines[0].value
 
 
+class TestStreamStaticRouting:
+    def test_stream_routing_matches_batch(self, spark, tmp_path, sf_dir):
+        """The streaming twin of C1 pile routing: stream-static broadcast
+        joins produce the exact batch assignment per record."""
+        from gol_tool_spark.functions import synth
+        from gol_tool_spark.operators import tiling
+        from gol_tool_spark.streaming import routing
+
+        pts = tiling.assign_points(synth.points_df(spark, sf_dir))
+        cat = tiling.catalog_topk(
+            tiling.rollup(tiling.density(pts.select("x", "y"))), 30, 20
+        ).localCheckpoint()
+        sample = pts.select("id", "x", "y").limit(25).collect()
+        ch = tmp_path / "ch"
+        ch.mkdir()
+        (ch / "a.json").write_text(
+            "\n".join(
+                '{"op": "upsert", "id": %d, "x": %d, "y": %d}' % (r.id, r.x, r.y)
+                for r in sample
+            )
+        )
+        q = (
+            routing.routed_change_stream(spark, str(ch), cat)
+            .writeStream.format("memory")
+            .queryName("routed")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.id: r.assigned_tile for r in spark.sql("select * from routed").collect()}
+        batch = tiling.pile_assignment(
+            pts.join(spark.createDataFrame([(r.id,) for r in sample], "id long"), "id"), cat
+        )
+        expect = {r.id: r.assigned_tile for r in batch.collect()}
+        assert got == expect and len(got) == 25
+
+
+class TestCompaction:
+    def test_compact_merges_only_fragmented_piles(self, spark, tmp_path):
+        """Sustained deltas fragment hot piles; compaction rewrites ONLY
+        those, leaving healthy piles byte-identical (the parquet analogue
+        of the reference's free-space reclamation)."""
+        from gol_tool_spark.plans import compact as CP
+
+        store = str(tmp_path / "store")
+        # pile 0 healthy (1 file), pile 5 fragmented (many appends)
+        base = spark.createDataFrame([(i, i, 0) for i in range(50)], "id long, x long, pile int")
+        base.coalesce(1).write.partitionBy("pile").parquet(store)
+        for k in range(6):
+            frag = spark.createDataFrame(
+                [(1000 + k * 10 + j, j, 5) for j in range(5)], "id long, x long, pile int"
+            )
+            frag.coalesce(1).write.mode("append").partitionBy("pile").parquet(store)
+
+        def files_of(p):
+            d = os.path.join(store, f"pile={p}")
+            return {
+                f: os.stat(os.path.join(d, f)).st_mtime_ns
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            }
+
+        before0, before5 = files_of(0), files_of(5)
+        assert len(before5) == 6
+        rows_before = {(r.id, r.x) for r in spark.read.parquet(store).collect()}
+
+        assert CP.fragmented_piles(store, max_files=4) == [5]
+        rep = CP.compact_piles(spark, store, max_files=4)
+        assert rep["compacted"] == [5]
+        assert files_of(0) == before0                      # untouched
+        assert len(files_of(5)) < len(before5)             # merged
+        rows_after = {(r.id, r.x) for r in spark.read.parquet(store).collect()}
+        assert rows_after == rows_before                   # lossless
+
+
+class TestStoreInfo:
+    def test_info_report_shape(self, spark, tmp_path, sf_dir):
+        """`gol info` analogue (InfoCommand.java:23-90): footer-only store
+        report — rows/bytes/piles/keybits histogram, no data scan."""
+        from gol_tool_spark.plans import info as INFO
+        from gol_tool_spark.plans import tileset as TS
+
+        cfg = BP.BuildConfig(out_dir=str(tmp_path / "g5"), sf_dir=sf_dir,
+                             max_tiles=30, min_density=20)
+        m = BP.run_build(spark, cfg)
+        store = os.path.join(cfg.out_dir, "compile")
+        ts = str(tmp_path / "ts")
+        TS.save_tileset(store, ts)
+        rep = INFO.store_info(store, tileset_dir=ts)
+        assert rep["rows"] == m["compile"]["rows"]
+        assert rep["piles"] == len([d for d in os.listdir(store) if d.startswith("pile=")])
+        assert rep["guid"] and rep["n_files"] > 0 and rep["n_row_groups"] >= rep["n_files"]
+        assert sum(rep["keybits"].values()) == rep["rows"]
+        assert sum(p["rows"] for p in rep["per_pile"].values()) == rep["rows"]
+        assert all(p["buckets"] >= 1 for p in rep["per_pile"].values())
+
+
 class TestLocalityLayout:
     def test_hilbert_column_matches_kernel(self, spark):
         from gol_tool_spark.functions import spatial as S
