@@ -96,6 +96,29 @@ def poly_format(ring_df: DataFrame, name: str = "polygon") -> str:
     return "\n".join(lines)
 
 
+def poly_format_rings(polys: DataFrame, name: str = "polygon") -> str:
+    """POLY format for a relation multipolygon (rings.polygons_of output —
+    one row per ring with xs/ys arrays and is_hole): outer rings numbered,
+    hole rings marked with the osmosis '!' prefix, so the text round-trips
+    through parse_poly/poly_rings into points_in_polygon's (exterior,
+    holes) form.  Driver-side render of ONE relation's rings (bounded),
+    like the reference's PolyFeaturePrinter."""
+    rows = polys.orderBy("poly_idx", "is_hole", "ring_idx").collect()
+    lines = [name]
+    ring_no = 0
+    for r in rows:
+        ring_no += 1
+        lines.append(f"!{ring_no}" if r.is_hole else str(ring_no))
+        for x, y in zip(r.xs, r.ys):
+            lon = float(x) / GRID * 360.0
+            v = float(y) / GRID * (2.0 * math.pi)
+            lat = math.degrees(math.atan(math.sinh(v)))
+            lines.append(f"   {lon:.7E}   {lat:.7E}")
+        lines.append("END")
+    lines.append("END")
+    return "\n".join(lines)
+
+
 def table_format(df: DataFrame, n: int = 20) -> str:
     """TABLE sink: fixed-width preview (driver-side, bounded rows)."""
     return df._show_string(n, 0, False) if hasattr(df, "_show_string") else str(df.limit(n).toPandas())

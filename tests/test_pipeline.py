@@ -832,6 +832,45 @@ class TestGeometrySinks:
         ]
 
 
+class TestPolyHoleRoundTrip:
+    def test_relation_rings_to_poly_to_pip(self, spark):
+        """C11 with holes end-to-end: relation rings -> POLY text ('!'
+        markers) -> parse -> points_in_polygon(exterior, holes) matches the
+        direct evaluation."""
+        from gol_tool_spark.operators import rings as R
+        from gol_tool_spark.operators import spatial_query
+
+        def sq(cx, cy, r):
+            return (
+                [cx - r, cx + r, cx + r, cx - r, cx - r],
+                [cy - r, cy - r, cy + r, cy + r, cy - r],
+            )
+
+        ox, oy = sq(0, 0, 1 << 28)
+        hx, hy = sq(0, 0, 1 << 26)
+        rows = [
+            (1, 0, "outer", True, 5, ox, oy, 2.0 * float(1 << 29) ** 2),
+            (1, 1, "inner", True, 5, hx, hy, 2.0 * float(1 << 27) ** 2),
+        ]
+        polys = R.polygons_of(spark.createDataFrame(rows, R.OUT_SCHEMA))
+        text = writers.poly_format_rings(polys, "donut")
+        assert "!2" in text  # hole marker emitted
+        ext, holes = writers.poly_rings(text)
+        assert len(holes) == 1
+        pts = spark.createDataFrame(
+            [(1, 0, 0), (2, 1 << 27, 1 << 27), (3, 1 << 30, 0)],
+            "id long, x long, y long",
+        )  # 1 in hole, 2 in body, 3 outside
+        got = {r.id for r in spatial_query.points_in_polygon(pts, ext, holes).collect()}
+        direct = {
+            r.id
+            for r in spatial_query.points_in_polygon(
+                pts, list(zip(ox, oy)), [list(zip(hx, hy))]
+            ).collect()
+        }
+        assert got == direct == {2}
+
+
 class TestSessionWindows:
     def test_gap_splits_sessions(self, spark, tmp_path):
         from gol_tool_spark.streaming import windowed
