@@ -21,6 +21,37 @@ import numpy as np
 
 _QUANT = 16  # jpg stand-in quantization step
 
+# Real-codec plug-in seam: when an image library is present, fmt values
+# 'jpeg' / 'png-real' route through it inside the SAME batch API — the
+# Spark-side plumbing (schema, batching, invariants) doesn't change.  This
+# sandbox has no image libs, so those fmts raise the clearly-marked
+# NotImplementedError below; swap-in is one import.
+try:  # pragma: no cover - not installed in this sandbox
+    from PIL import Image as _PIL_Image  # type: ignore
+
+    HAVE_REAL_CODEC = True
+except ImportError:
+    _PIL_Image = None
+    HAVE_REAL_CODEC = False
+
+_REAL_FMTS = ("jpeg", "png-real", "webp")
+
+
+def _real_encode(pixels: np.ndarray, fmt: str) -> bytes:  # pragma: no cover
+    import io
+
+    buf = io.BytesIO()
+    _PIL_Image.fromarray(pixels).save(
+        buf, format={"jpeg": "JPEG", "png-real": "PNG", "webp": "WEBP"}[fmt]
+    )
+    return buf.getvalue()
+
+
+def _real_decode(data: bytes) -> np.ndarray:  # pragma: no cover
+    import io
+
+    return np.asarray(_PIL_Image.open(io.BytesIO(data)).convert("RGB"))
+
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """pixels: (h, w, 3) uint8 -> payload bytes."""
@@ -33,7 +64,13 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpg":
         q = (pixels.astype(np.int32) // _QUANT * _QUANT + _QUANT // 2).astype(np.uint8)
         return zlib.compress(q.tobytes(), 6)
-    raise NotImplementedError(f"fmt={fmt!r}: real codecs need an image lib")
+    if fmt in _REAL_FMTS:
+        if HAVE_REAL_CODEC:
+            return _real_encode(pixels, fmt)
+        raise NotImplementedError(
+            f"fmt={fmt!r} needs a real image library (PIL/libvips) — not in this sandbox"
+        )
+    raise NotImplementedError(f"fmt={fmt!r}: unknown format")
 
 
 def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -42,8 +79,14 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         buf = np.frombuffer(data, np.uint8)
     elif fmt in ("png", "jpg"):
         buf = np.frombuffer(zlib.decompress(data), np.uint8)
+    elif fmt in _REAL_FMTS:
+        if HAVE_REAL_CODEC:
+            return _real_decode(data)
+        raise NotImplementedError(
+            f"fmt={fmt!r} needs a real image library (PIL/libvips) — not in this sandbox"
+        )
     else:
-        raise NotImplementedError(f"fmt={fmt!r}: real codecs need an image lib")
+        raise NotImplementedError(f"fmt={fmt!r}: unknown format")
     return buf.reshape(h, w, 3)
 
 
@@ -76,8 +119,12 @@ def decode_batch(payloads: list[bytes], w: int, h: int, fmt: str) -> np.ndarray:
         buf = np.frombuffer(b"".join(payloads), np.uint8)
     elif fmt in ("png", "jpg"):
         buf = np.frombuffer(b"".join(zlib.decompress(p) for p in payloads), np.uint8)
+    elif fmt in _REAL_FMTS:
+        # real codecs decode per payload (independent byte streams), the
+        # pixel stack downstream is still one array
+        return np.stack([decode(p, w, h, fmt) for p in payloads])
     else:
-        raise NotImplementedError(f"fmt={fmt!r}: real codecs need an image lib")
+        raise NotImplementedError(f"fmt={fmt!r}: unknown format")
     return buf.reshape(len(payloads), h, w, 3)
 
 
@@ -87,7 +134,7 @@ def roundtrip_batch(pixels: np.ndarray, fmt: str) -> np.ndarray:
     the quantize transform for the jpg stand-in — computed vectorized; one
     sampled row per call still runs the real byte-level encode/decode pair
     to catch codec regressions."""
-    if len(pixels):
+    if len(pixels) and fmt in ("raw", "png", "jpg"):
         s = pixels[0]
         real = decode(encode(s, fmt), s.shape[1], s.shape[0], fmt)
         expect = s if fmt in ("raw", "png") else quantize(s)
@@ -97,7 +144,12 @@ def roundtrip_batch(pixels: np.ndarray, fmt: str) -> np.ndarray:
         return pixels
     if fmt == "jpg":
         return quantize(pixels)
-    raise NotImplementedError(f"fmt={fmt!r}: real codecs need an image lib")
+    if fmt in _REAL_FMTS:
+        # no vectorized model for a real lossy codec: round-trip per image
+        return np.stack(
+            [decode(encode(px, fmt), px.shape[1], px.shape[0], fmt) for px in pixels]
+        )
+    raise NotImplementedError(f"fmt={fmt!r}: unknown format")
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:

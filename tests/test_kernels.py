@@ -269,3 +269,26 @@ class TestHilbert:
         for d in range(15):
             (r1, c1), (r2, c2) = cells[d], cells[d + 1]
             assert abs(r1 - r2) + abs(c1 - c2) == 1
+
+
+class TestCodecSeam:
+    def test_real_codec_fmts_raise_clearly_without_lib(self):
+        """input_hint mandate: real decode is STUBBED behind a clearly-
+        marked NotImplementedError when no image lib exists; the stand-in
+        fmts and batch plumbing stay fully functional."""
+        import numpy as np
+        import pytest as _pytest
+
+        from gol_tool_spark.kernels import image as IMG
+
+        px = IMG.generate_pixels(7, 16, 16)
+        if IMG.HAVE_REAL_CODEC:  # pragma: no cover - lib present elsewhere
+            rt = IMG.decode(IMG.encode(px, "jpeg"), 16, 16, "jpeg")
+            assert IMG.psnr(px, rt) >= 20.0
+        else:
+            with _pytest.raises(NotImplementedError, match="image library"):
+                IMG.encode(px, "jpeg")
+            with _pytest.raises(NotImplementedError, match="image library"):
+                IMG.decode(b"x", 1, 1, "jpeg")
+        with _pytest.raises(NotImplementedError, match="unknown"):
+            IMG.encode(px, "bmp")
