@@ -80,6 +80,21 @@ def main():
     timed("knn", lambda: spatial_query.knn_cell_ring(
         pts_tiled, [(1, 0, 0), (2, 5_000_000, -3_000_000), (3, -1_200_000_000, 900_000_000)],
         k=10, zoom=4).collect())
+    # relational batch kNN: 1000-query DataFrame side, no driver loops
+    qdf = spark.range(1, 1001).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") * 1597334677) % (1 << 32) - (1 << 31)).alias("qx"),
+        ((F.col("id") * 3812015801 + 999331) % (1 << 32) - (1 << 31)).alias("qy"),
+    )
+    timed("knn_batch_1k", lambda: force(spatial_query.knn_join(pts_tiled, qdf, k=5, zoom=4)))
+
+    # non-point geometry sink: assemble + distributed GeoJSON string build
+    from gol_tool_spark.operators import measures
+    from gol_tool_spark.sinks import writers
+
+    timed("ways_geojson", lambda: force(
+        writers.geojson_way_format(measures.assemble_coords(mem, pts_tiled), id_col="way_id")
+    ))
 
     # -- relational core
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

@@ -229,18 +229,48 @@ def _stage_compile(spark, cfg: BuildConfig, t0):
     _write_manifest(cfg, "compile", out, t0)
 
 
-def query_store(spark: SparkSession, store_path: str, goql: str, indexed_keys: str):
-    """GOQL over the compiled store with the key-bit prefilter ANDed in
-    front (SIndexTree.java:273-359 bucket pruning): keybits is a partition
-    column, so `keybits IN (...)` becomes a PartitionFilter — non-matching
-    key-index buckets are pruned at planning time, before any I/O."""
+def query_store(
+    spark: SparkSession,
+    store_path: str,
+    goql: str | None = None,
+    indexed_keys: str | None = None,
+    bbox: tuple[int, int, int, int] | None = None,
+    tile_spec: str | None = None,
+):
+    """The full store query stack — `gol query -b ... <goql>` against the
+    compiled layout, every predicate landing where it prunes most:
+
+      * keybits IN (...)  -> PartitionFilters (planning-time bucket skip,
+        SIndexTree.java:273-359 analogue; keybits is a partition column)
+      * bbox x/y ranges   -> PushedFilters (row-group min/max skip — tight
+        because the layout is Hilbert-sorted within buckets)
+      * GOQL tag clauses  -> residual Filter on the survivors
+
+    Scope accepts a W,S,E,N box or a 'z/x/y' tile spec (GolCommand.java:
+    66-81)."""
     from ..functions import keybits as KB
     from ..functions.goql import compile_goql
 
-    schema = KB.parse_schema(indexed_keys)
-    store = spark.read.parquet(store_path).withColumn("ftype", F.lit("n"))
-    pre = KB.keybits_prefilter(goql, schema)
-    return store.filter(pre & compile_goql(goql)).drop("ftype")
+    store = spark.read.parquet(store_path)
+    if tile_spec is not None:
+        from ..kernels import tile as KT
+
+        bbox = KT.tile_bounds(KT.parse_tile_spec(tile_spec))
+    if bbox is not None:
+        w, s, e, n = bbox
+        store = store.filter(
+            (F.col("x") >= w) & (F.col("x") <= e)
+            & (F.col("y") >= s) & (F.col("y") <= n)
+        )
+    if goql:
+        store = store.withColumn("ftype", F.lit("n"))
+        pre = (
+            KB.keybits_prefilter(goql, KB.parse_schema(indexed_keys))
+            if indexed_keys
+            else F.lit(True)
+        )
+        store = store.filter(pre & compile_goql(goql)).drop("ftype")
+    return store
 
 
 def verify_build(spark: SparkSession, cfg: BuildConfig) -> dict:

@@ -91,3 +91,21 @@ class TestPlanShapes:
         )
         part = kplan.split("PartitionFilters")[1].split("]")[0]
         assert "keybits" in part
+        # full stack: bbox + GOQL together — buckets pruned at planning,
+        # ranges pushed to the scan, tag clauses residual
+        full = BP.query_store(
+            spark, os.path.join(cfg.out_dir, "compile"), "n[highway]",
+            cfg.indexed_keys, bbox=(-1000000, -1000000, 1000000, 1000000),
+        )
+        fplan = plan_of(full)
+        fpart = fplan.split("PartitionFilters")[1].split("]")[0]
+        assert "keybits" in fpart
+        assert "GreaterThanOrEqual(x,-1000000)" in fplan
+        # scope via tile spec resolves to the same pruning shape
+        tplan = plan_of(
+            BP.query_store(
+                spark, os.path.join(cfg.out_dir, "compile"),
+                "n[highway]", cfg.indexed_keys, tile_spec="3/4/3",
+            )
+        )
+        assert "PushedFilters: [" in tplan and "keybits" in tplan.split("PartitionFilters")[1].split("]")[0]
