@@ -90,6 +90,10 @@ def pile_assignment(points_tiled: DataFrame, catalog: DataFrame, zooms=DEFAULT_Z
     so every join is a broadcast hash join: no extra shuffle of the fact
     side."""
     top = max(zooms)
+    # the catalog subplan feeds one broadcast per zoom level — cache it
+    # (lazily: no job at plan construction) so the rollup/top-k pipeline
+    # behind it computes ONCE instead of once per level
+    catalog = catalog.cache()
     out = points_tiled
     cols = []
     for z in sorted(zooms):
