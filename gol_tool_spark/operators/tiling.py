@@ -49,6 +49,9 @@ def rollup(density12: DataFrame, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> Data
     """D3: roll z12 densities up through the configured zoom levels.
     Output: (zoom, tile, cnt) for every level including z12 itself."""
     top = max(zooms)
+    # one union branch per level reads density12 — cache (lazily) so the
+    # upstream density aggregation computes once, not once per level
+    density12 = density12.cache()
     parts = [density12.select(F.lit(top).alias("zoom"), "tile", "cnt")]
     for z in sorted(zooms, reverse=True)[1:]:
         parts.append(
