@@ -86,7 +86,7 @@ def main():
         ((F.col("id") * 1597334677) % (1 << 32) - (1 << 31)).alias("qx"),
         ((F.col("id") * 3812015801 + 999331) % (1 << 32) - (1 << 31)).alias("qy"),
     )
-    timed("knn_batch_1k", lambda: force(spatial_query.knn_join(pts_tiled, qdf, k=5, zoom=4)))
+    timed("knn_batch_1k", lambda: force(spatial_query.knn_join(pts_tiled, qdf, k=5, zoom=8)))
 
     # non-point geometry sink: assemble + distributed GeoJSON string build
     from gol_tool_spark.operators import measures
