@@ -137,26 +137,35 @@ def minhash_lsh_pairs(
             acc = (acc * 65599 + F.element_at("sig", i * rows_per_band + j + 1)) % MERSENNE31
         return acc
 
+    # the sig table feeds the band explode AND both sides of the verify
+    # re-join — cache it (lazily) so the minhash aggregation computes once;
+    # at 10^12 docs, materialize signatures to a table instead (they ARE
+    # the dedup artifact) and read it three times
+    sig = sig.cache()
+    # band rows carry ONLY (doc_id, band, bh): the 64-long signatures do
+    # NOT ride through the band shuffle x16 — they re-join once per side
+    # after candidate pairs are deduped (VERDICT r1 scale nit)
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh"))
                 for i in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pairs.join(
+        sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
