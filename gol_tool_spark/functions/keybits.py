@@ -21,17 +21,17 @@ IN-lists want the enumerable low tens of bits this module enforces).
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# one grammar, one source of truth: the selector/clause regexes are
+# goql.py's own — if the GOQL grammar grows, the prefilter parses clauses
+# exactly the way compile_goql does (a private re-implementation here
+# could diverge and prune partitions the real predicate matches)
+from .goql import _CLAUSE_RE, _COND_RE, _TOKEN_RE
+
 MAX_CATEGORIES = 30       # KeyIndexSchema.java:58
 MAX_ENUM_CATEGORIES = 16  # keep the IN-list enumeration bounded (<= 65536)
-
-_TOKEN_RE = re.compile(r"^\s*(?P<types>\*|[nwar]+)(?P<clauses>(\[[^\]]*\])*)\s*$")
-_CLAUSE_RE = re.compile(r"\[([^\]]*)\]")
-_KEY_RE = re.compile(r"^\s*(?P<neg>!?)\s*(?P<key>[A-Za-z_:][\w:.-]*)\s*(?P<op>!?=|~|>=|<=|>|<)?")
 
 
 def parse_schema(s: str) -> dict[str, int]:
@@ -71,7 +71,7 @@ def _selector_required_bits(clauses: str, schema: dict[str, int]) -> int:
     [!k] and [k!=v] match absent keys, so they contribute nothing."""
     req = 0
     for clause in _CLAUSE_RE.findall(clauses or ""):
-        m = _KEY_RE.match(clause)
+        m = _COND_RE.match(clause)
         if not m:
             continue
         key, op, neg = m.group("key"), m.group("op"), m.group("neg")

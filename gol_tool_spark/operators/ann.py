@@ -53,7 +53,12 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
 
 def srp_bucket(emb: DataFrame, nbits: int = 16, dim: int = 64, seed: int = 23) -> DataFrame:
     """Sign-random-projection bucket id per vector (JVM-side: the hyperplane
-    matrix rides as literal arrays into an aggregate expression)."""
+    matrix rides as literal arrays into an aggregate expression).
+
+    `dim` must equal the embedding length: zip_with against a wrong-length
+    hyperplane null-pads, nulling every dot product and collapsing all
+    buckets to 0 (LSH silently degenerates to a cross join) — so a
+    per-row guard raises instead."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
     bucket = None
@@ -66,7 +71,16 @@ def srp_bucket(emb: DataFrame, nbits: int = 16, dim: int = 64, seed: int = 23) -
         )
         bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return emb.withColumn("bucket", bucket.cast("bigint"))
+    guarded = F.when(F.size("embedding") == dim, bucket.cast("bigint")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_bucket: dim={dim} but embedding has "),
+                F.size("embedding").cast("string"),
+                F.lit(" elements — pass dim explicitly"),
+            ).cast("string")
+        ).cast("bigint")
+    )
+    return emb.withColumn("bucket", guarded)
 
 
 def ann_topk_lsh(

@@ -100,8 +100,11 @@ def polygons_of(rings: DataFrame) -> DataFrame:
     GeoJsonFeaturePrinter.java:87-143's Polygon/MultiPolygon output).
     Output one row per ring: (rel_id, poly_idx, is_hole, ring_idx, xs, ys);
     outers get poly_idx by descending |area| (largest outer first, like the
-    reference's shell ordering); holes not inside any outer are dropped
-    (invalid geometry, strict building).  Unclosed rings are excluded.
+    reference's shell ordering); a hole attaches to the INNERMOST
+    containing outer (smallest containing shell — JTS polygonizer
+    semantics; nested island-in-lake-in-island geometries would otherwise
+    misattach); holes not inside any outer are dropped (invalid geometry,
+    strict building).  Unclosed rings are excluded.
 
     Scale shape: per-relation applyInPandas — ring counts per relation are
     bounded, so this scales with relation count."""
@@ -122,11 +125,15 @@ def polygons_of(rings: DataFrame) -> DataFrame:
             out.append((rel_id, pidx, False, 0, xs, ys))
         for h in inners.itertuples(index=False):
             hx, hy = np.int64(h.xs[0]), np.int64(h.ys[0])
+            # innermost shell wins: outers are largest-first, so the LAST
+            # containing one is the smallest enclosing shell
+            best = None
             for pidx, ring_np in enumerate(rings_np):
                 if G.points_in_ring(np.array([hx]), np.array([hy]), ring_np)[0]:
-                    nholes = sum(1 for o in out if o[1] == pidx and o[2])
-                    out.append((rel_id, pidx, True, nholes + 1, list(h.xs), list(h.ys)))
-                    break
+                    best = pidx
+            if best is not None:
+                nholes = sum(1 for o in out if o[1] == best and o[2])
+                out.append((rel_id, best, True, nholes + 1, list(h.xs), list(h.ys)))
         return pd.DataFrame(
             out, columns=["rel_id", "poly_idx", "is_hole", "ring_idx", "xs", "ys"]
         )

@@ -95,7 +95,9 @@ def pile_assignment(points_tiled: DataFrame, catalog: DataFrame, zooms=DEFAULT_Z
     top = max(zooms)
     # the catalog subplan feeds one broadcast per zoom level — cache it
     # (lazily: no job at plan construction) so the rollup/top-k pipeline
-    # behind it computes ONCE instead of once per level
+    # behind it computes ONCE instead of once per level.  Cached entries
+    # are KBs-scale and evict LRU; long-lived sessions calling this in a
+    # loop should pass a materialized (checkpointed/written) catalog.
     catalog = catalog.cache()
     out = points_tiled
     cols = []

@@ -21,6 +21,21 @@ from pyspark.sql import functions as F
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # healthy parquet file size at scale
 
 
+def partition_cols(store_path: str) -> list[str]:
+    """Discover the store's partition-column chain from one leaf path
+    (e.g. ['pile', 'keybits'] for the compile layout) so a rewrite keeps
+    the exact directory scheme — flattening nested partitions would break
+    partition discovery for the untouched directories."""
+    cols: list[str] = []
+    d = store_path
+    while True:
+        subs = sorted(s for s in os.listdir(d) if "=" in s and os.path.isdir(os.path.join(d, s)))
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        d = os.path.join(d, subs[0])
+
+
 def fragmented_piles(
     store_path: str, max_files: int = 4, part: str = "pile"
 ) -> list[int]:
@@ -59,12 +74,16 @@ def compact_piles(
         if f.endswith(".parquet")
     )
     n_out = max(1, -(-total // target_bytes))  # ceil
+    # keep the store's FULL partition chain (e.g. pile + keybits buckets):
+    # writing a shallower partitionBy would flatten compacted piles and
+    # break partition discovery against the untouched ones
+    pcols = partition_cols(store_path) or [part]
     df = spark.read.parquet(store_path).filter(F.col(part).isin(cand))
-    out = df.repartition(int(n_out), part).localCheckpoint()
+    out = df.repartition(int(n_out), *pcols).localCheckpoint()
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(part)
+        .partitionBy(*pcols)
         .parquet(store_path)
     )
     return {"compacted": cand, "skipped_count": 0}

@@ -109,6 +109,12 @@ def load_tileset(repo: str, store_dir: str, verify: bool = True) -> dict:
     for d, info in manifest["piles"].items():
         checksum = info["checksum"] if isinstance(info, dict) else info
         dst = os.path.join(store_dir, d)
+        if not from_url and verify and _pile_checksum(os.path.join(repo, d)) != checksum:
+            # local repos verify EVERY manifest pile, present-or-not —
+            # a corrupt repo must surface even when nothing needs fetching.
+            # (HTTP repos can't verify without downloading; skipped piles
+            # there are trusted until fetched.)
+            raise ValueError(f"tileset corrupt: checksum mismatch for {d}")
         if os.path.exists(dst):
             skipped.append(d)
             continue
@@ -126,9 +132,6 @@ def load_tileset(repo: str, store_dir: str, verify: bool = True) -> dict:
                 shutil.rmtree(dst, ignore_errors=True)  # no partial piles
                 raise
         else:
-            src = os.path.join(repo, d)
-            if verify and _pile_checksum(src) != checksum:
-                raise ValueError(f"tileset corrupt: checksum mismatch for {d}")
-            shutil.copytree(src, dst)
+            shutil.copytree(os.path.join(repo, d), dst)
         loaded.append(d)
     return {"loaded": loaded, "skipped": skipped, "verified": verify}

@@ -44,7 +44,13 @@ piles and re-converges.  Exactly-once = streaming checkpoint (batch replay)
 x idempotent merge.
 
 Change record schema (JSON lines):
-    {"op": "upsert"|"delete", "id": ..., "x": ..., "y": ...}
+    {"op": "upsert"|"delete", "id": ..., "x": ..., "y": ..., "seq": ...}
+
+`seq` (optional, default 0) is the change-sequence number (the OsmChange
+file's implicit ordering made explicit — a file-source shuffle preserves no
+row order, so ordering must travel WITH the record).  Within a batch the
+winner per id is the highest (seq, delete-beats-upsert) — deterministic, so
+merge(S, B) is a pure function of the batch and replay converges.
 """
 
 from __future__ import annotations
@@ -62,7 +68,7 @@ from pyspark.sql import functions as F
 from ..functions import spatial as S
 from ..operators import tiling
 
-CHANGE_SCHEMA = "op string, id long, x long, y long"
+CHANGE_SCHEMA = "op string, id long, x long, y long, seq long"
 PILE_ZOOM = 3  # store piles are zoom-3 cells (64 world piles + fan-out)
 
 
@@ -159,11 +165,24 @@ def apply_changes(
         if batch.isEmpty():
             return
         spark_l = batch.sparkSession
-        ups = _with_pile(batch.filter(F.col("op") == "upsert"), zoom).select(
+        # deterministic intra-batch resolution: per id keep the highest
+        # (seq, delete-beats-upsert-on-tie) record — an upsert followed by
+        # a delete of the same feature in one delta deletes it, and replays
+        # always pick the same winner
+        from pyspark.sql import Window
+
+        pri = F.when(F.col("op") == "delete", 1).otherwise(0)
+        w = Window.partitionBy("id").orderBy(
+            F.coalesce(F.col("seq"), F.lit(0)).desc(), pri.desc()
+        )
+        winners = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        ups = _with_pile(winners.filter(F.col("op") == "upsert"), zoom).select(
             "id", "x", "y", "tile", "pile"
         )
-        # last-wins within a batch (a feature upserted twice in one delta)
-        ups = ups.dropDuplicates(["id"])
         changed = batch.select("id").distinct().localCheckpoint()
 
         new_piles = {r.pile for r in ups.select("pile").distinct().collect()}

@@ -677,6 +677,26 @@ class TestPartitionScopedMerge:
 
 
 class TestChangeStreamEdge:
+    def test_intra_batch_order_is_deterministic(self, spark, tmp_path):
+        """An upsert followed by a delete of the same id in ONE delta file
+        must delete (seq order, delete-beats-upsert on tie) — the winner is
+        a pure function of the batch, so replays converge."""
+        changes = tmp_path / "ch0"
+        store = str(tmp_path / "st0")
+        changes.mkdir()
+        (changes / "a.json").write_text(
+            '{"op": "upsert", "id": 1, "x": 1, "y": 1, "seq": 1}\n'
+            '{"op": "delete", "id": 1, "x": 0, "y": 0, "seq": 2}\n'
+            '{"op": "upsert", "id": 2, "x": 5, "y": 5, "seq": 1}\n'
+            '{"op": "upsert", "id": 2, "x": 9, "y": 9, "seq": 2}\n'
+            '{"op": "delete", "id": 3, "x": 0, "y": 0, "seq": 1}\n'
+            '{"op": "upsert", "id": 3, "x": 7, "y": 7, "seq": 2}\n'
+        )
+        q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ck0"))
+        q.awaitTermination(120)
+        got = {r.id: (r.x, r.y) for r in spark.read.parquet(store).collect()}
+        assert got == {2: (9, 9), 3: (7, 7)}  # 1 deleted, 2 last-wins, 3 re-created
+
     def test_only_deletes_batch(self, spark, tmp_path):
         changes = tmp_path / "ch"
         store = str(tmp_path / "st")
@@ -797,6 +817,35 @@ class TestGeometrySinks:
         assert len(g["coordinates"][1]) == 1  # far outer, no hole
         wkt = writers.wkt_polygon_format(polys).collect()[0].wkt
         assert wkt.startswith("MULTIPOLYGON (((")
+
+    def test_nested_multipolygon_hole_attaches_to_innermost(self, spark):
+        """Lake (A) with island-hole (H); island outer (B) inside H with a
+        pond hole (H2) inside B: H2 must attach to B (innermost shell), not
+        to the bigger A that also contains its vertex."""
+        from gol_tool_spark.operators import rings as R
+
+        def sq(cx, cy, r):
+            return (
+                [cx - r, cx + r, cx + r, cx - r, cx - r],
+                [cy - r, cy - r, cy + r, cy + r, cy - r],
+            )
+
+        ax, ay = sq(0, 0, 1 << 28)       # lake
+        hx, hy = sq(0, 0, 1 << 26)       # island boundary (hole of lake)
+        bx, by = sq(0, 0, (1 << 26) - 8) # island outer, just inside H
+        h2x, h2y = sq(0, 0, 1 << 20)     # pond on the island
+        rows = [
+            (4, 0, "outer", True, 5, ax, ay, 2.0 * float(1 << 29) ** 2),
+            (4, 1, "inner", True, 5, hx, hy, 2.0 * float(1 << 27) ** 2),
+            (4, 2, "outer", True, 5, bx, by, 2.0 * float((1 << 27) - 16) ** 2),
+            (4, 3, "inner", True, 5, h2x, h2y, 2.0 * float(1 << 21) ** 2),
+        ]
+        polys = R.polygons_of(spark.createDataFrame(rows, R.OUT_SCHEMA))
+        got = {(r.poly_idx, r.is_hole, tuple(r.xs)[0]) for r in polys.collect()}
+        # poly 0 = lake with hole H; poly 1 = island with hole H2
+        assert (0, True, hx[0]) in got
+        assert (1, True, h2x[0]) in got
+        assert (1, False, bx[0]) in got
 
     def test_relation_single_polygon(self, spark):
         from gol_tool_spark.operators import rings as R
