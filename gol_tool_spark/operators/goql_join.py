@@ -63,15 +63,20 @@ def members_of(
     parent_key: str = "way_id",
     child_key: str = "node_ref",
     child_id: str = "id",
+    role: str | None = None,
 ) -> DataFrame:
     """Members (children) of parents matching `parent_goql`, optionally
-    filtered by `child_goql` (Features.membersOf direction).  Returns
-    child rows plus the parent key (a child appears once per parent that
-    contains it, like the reference's member iteration)."""
+    filtered by `child_goql` (Features.membersOf direction) and by member
+    `role` when the membership table carries one.  Returns child rows plus
+    the parent key (a child appears once per parent that contains it, like
+    the reference's member iteration)."""
     sel = _apply_goql(parents, parent_goql, "w").select(parent_key)
-    edges = membership.join(sel, parent_key, "left_semi").select(
-        parent_key, child_key
-    ).distinct()
+    edges = membership.join(sel, parent_key, "left_semi")
+    if role is not None and "role" in membership.columns:
+        # role-filtered traversal (the reference's member-role predicate,
+        # e.g. only 'outer' members)
+        edges = edges.filter(F.col("role") == role)
+    edges = edges.select(parent_key, child_key).distinct()
     kids = _apply_goql(children, child_goql, "n")
     return edges.join(
         kids.withColumnRenamed(child_id, child_key), child_key

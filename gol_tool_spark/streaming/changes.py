@@ -155,9 +155,16 @@ def apply_changes(
     checkpoint_path: str,
     zoom: int = 12,
     index_buckets: int = 16,
+    compact_after: int | None = 8,
 ):
     """Run one availableNow pass applying all pending change files to the
-    store (parquet partitioned by zoom-3 pile). Returns the query."""
+    store (parquet partitioned by zoom-3 pile). Returns the query.
+
+    compact_after: file-count watermark — after each merge, affected piles
+    that exceed this many data files are compacted in place (sustained
+    small deltas otherwise grow a hot pile's file count without bound; the
+    check is a driver-side listing of ONLY the affected piles).  None
+    disables."""
 
     idx_path = _idx_path(store_path)
 
@@ -231,6 +238,20 @@ def apply_changes(
             _dynamic_overwrite(merged_idx, idx_path, "ib", buckets)
         else:
             ups_idx.write.mode("overwrite").partitionBy("ib").parquet(idx_path)
+
+        # small-file hygiene: compact affected piles past the watermark
+        # (listing only the piles this batch touched — driver-side, cheap)
+        if compact_after is not None:
+            from ..plans import compact as CP
+
+            frag = [
+                p
+                for p in affected
+                if len(_data_files(os.path.join(store_path, f"pile={p}")))
+                > compact_after
+            ]
+            if frag:
+                CP.compact_piles(spark_l, store_path, piles=frag)
 
     q = (
         read_change_stream(spark, changes_path)

@@ -143,6 +143,14 @@ class TestGoql:
         assert {(r.way_id, r.node_ref) for r in members.collect()} == {(30, 1), (30, 4)}
         parents = goql_join.parents_of(mem, nodes, child_goql="n[returnflag=A]")
         assert {r.way_id for r in parents.collect()} == {20}
+        # role-filtered member traversal
+        rmem = spark.createDataFrame(
+            [(30, 1, "outer"), (30, 4, "inner")], "way_id long, node_ref long, role string"
+        )
+        outer_only = goql_join.members_of(
+            ways, rmem, nodes, parent_goql="w[building]", role="outer"
+        )
+        assert {(r.way_id, r.node_ref) for r in outer_only.collect()} == {(30, 1)}
 
     def test_traversal_string_form(self, spark):
         from gol_tool_spark.operators import goql_join

@@ -697,6 +697,34 @@ class TestChangeStreamEdge:
         got = {r.id: (r.x, r.y) for r in spark.read.parquet(store).collect()}
         assert got == {2: (9, 9), 3: (7, 7)}  # 1 deleted, 2 last-wins, 3 re-created
 
+    def test_sustained_deltas_stay_compacted(self, spark, tmp_path):
+        """File-count watermark: many small deltas against one pile must
+        not grow its file count without bound — the merge compacts
+        affected piles past compact_after."""
+        changes = tmp_path / "chc"
+        store = str(tmp_path / "stc")
+        changes.mkdir()
+        for k in range(6):
+            (changes / f"d{k}.json").write_text(
+                "\n".join(
+                    '{"op": "upsert", "id": %d, "x": %d, "y": %d, "seq": %d}'
+                    % (100 + j, j * 50, j * 50, k)
+                    for j in range(4)
+                )
+            )
+            q = CH.apply_changes(
+                spark, str(changes), store, str(tmp_path / "ckc"), compact_after=2
+            )
+            q.awaitTermination(120)
+        pile_dirs = [d for d in os.listdir(store) if d.startswith("pile=")]
+        assert len(pile_dirs) == 1
+        files = [
+            f for f in os.listdir(os.path.join(store, pile_dirs[0]))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) <= 3, files
+        assert spark.read.parquet(store).count() == 4
+
     def test_only_deletes_batch(self, spark, tmp_path):
         changes = tmp_path / "ch"
         store = str(tmp_path / "st")
