@@ -537,6 +537,28 @@ def q_goql_members_of(spark, sf_dir):
     return out.select("way_id", "node_ref", "qty")
 
 
+def q_goql_chain(spark, sf_dir):
+    """Two-level GOQL traversal (relation > way > node): relations whose
+    member ways match w[highway] AND contain a node matching
+    n[returnflag=R][qty>45] — parents_with_child composed twice (semi-join
+    chains; no duplication at any level)."""
+    from gol_tool_spark.operators import goql_join
+
+    ways_hit = goql_join.parents_with_child(
+        _classified_ways(spark, sf_dir),
+        synth.membership_df(spark, sf_dir),
+        synth.points_df(spark, sf_dir),
+        parent_goql="w[highway]",
+        child_goql="n[returnflag=R][qty>45]",
+    ).select("way_id")
+    rel_edges = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("rel_id"), F.col("o_orderkey").alias("way_id")
+    )
+    return (
+        rel_edges.join(ways_hit, "way_id", "left_semi").select("rel_id").distinct()
+    )
+
+
 def q_fab_export(spark, sf_dir):
     from gol_tool_spark.sinks import writers
 
@@ -698,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "goql_area": q_goql_area,
         "goql_parent_child": q_goql_parent_child,
         "goql_members_of": q_goql_members_of,
+        "goql_chain": q_goql_chain,
         "fab_export": q_fab_export,
         "events_json": q_events_json,
         "way_quads": q_way_quads,
@@ -1196,6 +1219,15 @@ def oracle_sql() -> dict[str, str]:
             "ON e.way_id = w.way_id "
             "JOIN orders o ON e.way_id = o.o_orderkey AND o.o_orderstatus = 'O' "
             "JOIN pts p ON e.node_ref = p.id AND p.returnflag = 'R'"
+        ),
+        "goql_chain": _with_points(
+            f", mem AS ({_MEM}) "
+            "SELECT DISTINCT o.o_custkey AS rel_id FROM orders o "
+            "JOIN (SELECT DISTINCT m.way_id FROM mem m JOIN pts p ON m.node_ref = p.id) w "
+            "ON o.o_orderkey = w.way_id "
+            "WHERE o.o_orderstatus NOT IN ('O', 'F') "
+            "AND EXISTS (SELECT 1 FROM mem m2 JOIN pts p2 ON m2.node_ref = p2.id "
+            "WHERE m2.way_id = o.o_orderkey AND p2.returnflag = 'R' AND p2.qty > 45)"
         ),
         "goql_area": _with_points(
             f", mem AS ({_MEM}), j AS ("
