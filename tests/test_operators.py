@@ -196,6 +196,32 @@ class TestGoql:
         pre = KB.keybits_prefilter("n[name=Foo]", schema)
         assert df.filter(pre).count() == 3
 
+    def test_keybits_prefilter_soundness_grid(self, spark):
+        """The bucket prefilter may only SKIP, never drop: for every
+        selector shape x tag-combination row, filter(pre AND goql) must
+        equal filter(goql)."""
+        from gol_tool_spark.functions import keybits as KB
+
+        schema = KB.parse_schema("highway/railway building amenity")
+        keysets = [
+            {}, {"highway": "x"}, {"railway": "r"}, {"building": "b"},
+            {"amenity": "a"}, {"highway": "x", "building": "b"},
+            {"building": "b", "amenity": "a", "name": "n"}, {"name": "n"},
+        ]
+        rows = [(i, "n", ks) for i, ks in enumerate(keysets)]
+        df = spark.createDataFrame(rows, "id long, ftype string, tags map<string,string>")
+        df = df.withColumn("keybits", KB.keybits_col(F.col("tags"), schema))
+        selectors = [
+            "n[highway]", "n[building][amenity]", "n[!highway]", "n[name]",
+            "n[building!=z]", "n[highway], n[amenity]", "*", "n[railway][name]",
+            "n[highway=x]", "n[amenity~a.*]",
+        ]
+        for goql in selectors:
+            pre = KB.keybits_prefilter(goql, schema)
+            want = {r.id for r in df.filter(compile_goql(goql)).collect()}
+            got = {r.id for r in df.filter(pre & compile_goql(goql)).collect()}
+            assert got == want, f"prefilter dropped rows for {goql!r}"
+
     def test_area_type_bridging(self, spark):
         """VERDICT round-1 item 5: `a` = closed way classified as area OR
         explicit area row (AreaClassifier.java:29-118), when closed is
