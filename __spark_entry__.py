@@ -620,6 +620,41 @@ def q_tally_area(spark, sf_dir):
     )
 
 
+def q_tally_length_m(spark, sf_dir):
+    """D6 tally=length in METRES (km via Unit.java factor): exact integer
+    L1 grid length x cos(midpoint-lat) Mercator scale, rounded to whole
+    metres per way (order-free sums), grouped by closed-ness."""
+    from gol_tool_spark.operators import measures
+
+    coords = measures.assemble_coords(
+        synth.membership_df(spark, sf_dir), synth.points_df(spark, sf_dir).select("id", "x", "y")
+    )
+    first = F.element_at("coords", 1)
+    last = F.element_at("coords", F.size("coords"))
+    closed = (
+        (first["x"] == last["x"]) & (first["y"] == last["y"]) & (F.size("coords") > 2)
+    )
+    big = F.lit(1 << 31).cast("bigint")
+    miny = F.aggregate(F.col("coords"), big, lambda a, c: F.least(a, c["y"].cast("bigint")))
+    maxy = F.aggregate(F.col("coords"), -big, lambda a, c: F.greatest(a, c["y"].cast("bigint")))
+    ymid = (miny + maxy).cast("double") / 2.0
+    l_m = (
+        measures.manhattan_length(F.col("coords")).cast("double")
+        * measures.mercator_scale_col(ymid)
+    )
+    per_way = coords.select(
+        closed.alias("closed"), F.round(l_m).cast("bigint").alias("m")
+    )
+    agg = per_way.groupBy("closed").agg(
+        F.count(F.lit(1)).alias("n_ways"),
+        F.sum("m").cast("double").alias("tally_m"),
+    )
+    return agg.select(
+        "closed", "n_ways", "tally_m",
+        measures.to_unit(F.col("tally_m"), "km").alias("tally_km"),
+    )
+
+
 def q_events_json(spark, sf_dir):
     """JSON prop extraction over the events stream table (H: JSON ops)."""
     ev = _read(spark, sf_dir, "events")
@@ -727,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_holes": q_pip_holes,
         "tally_length": q_tally_length,
         "tally_area": q_tally_area,
+        "tally_length_m": q_tally_length_m,
     }
 
 
@@ -1315,6 +1351,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(SUM(a_m2) AS BIGINT) AS DOUBLE) AS tally_m2, "
             "CAST(CAST(SUM(a_m2) AS BIGINT) AS DOUBLE) * CAST(0.000001 AS DOUBLE) AS tally_km2 "
             "FROM am GROUP BY 1"
+        ),
+        "tally_length_m": _with_points(
+            f", mem AS ({_MEM}), j AS ("
+            "SELECT m.way_id, m.seq, p.x, p.y FROM mem m JOIN pts p ON m.node_ref = p.id), "
+            "st AS (SELECT way_id, x, y, LAG(x) OVER w AS px, LAG(y) OVER w AS py, "
+            "FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy, "
+            "LAST_VALUE(x) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lx, "
+            "LAST_VALUE(y) OVER (PARTITION BY way_id ORDER BY seq, x, y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ly "
+            "FROM j WINDOW w AS (PARTITION BY way_id ORDER BY seq, x, y)), "
+            "ways AS (SELECT way_id, "
+            "COALESCE(CAST(SUM(ABS(x - px) + ABS(y - py)) AS BIGINT), 0) AS l1, "
+            "MIN(y) AS miny, MAX(y) AS maxy, "
+            "(MAX(fx) = MAX(lx) AND MAX(fy) = MAX(ly) AND COUNT(*) > 2) AS closed "
+            "FROM st GROUP BY way_id), "
+            "wm AS (SELECT closed, CAST(round(CAST(l1 AS DOUBLE) "
+            "* (cos(atan((exp(CAST(miny + maxy AS DOUBLE) / 2.0 / 4294967296.0 * (2*pi())) "
+            "- exp(-(CAST(miny + maxy AS DOUBLE) / 2.0 / 4294967296.0 * (2*pi())))) / 2.0)) "
+            "* 40075016.68557849 / 4294967296.0)) AS BIGINT) AS m FROM ways) "
+            "SELECT closed, CAST(COUNT(*) AS BIGINT) AS n_ways, "
+            "CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS tally_m, "
+            "CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(0.001 AS DOUBLE) AS tally_km "
+            "FROM wm GROUP BY closed"
         ),
         "pip_holes": _with_points(
             f"SELECT id FROM t12 WHERE x > {PIP_EXT[0]} AND x < {PIP_EXT[2]} "
