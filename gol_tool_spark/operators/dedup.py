@@ -68,7 +68,9 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by exact word-n-gram Jaccard >= threshold."""
     sh = shingles(df, n, text_col)
     sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-    sh = sh.filter(F.col("df") <= max_df).select("doc_id", "shingle")
+    # referenced by both join sides AND the size aggregate — cache so the
+    # shingle explode + document-frequency window computes once
+    sh = sh.filter(F.col("df") <= max_df).select("doc_id", "shingle").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -213,6 +215,9 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, n: int = 3) -> DataFr
             for i in range(4)
         ])).alias("b"),
     ).select("doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+    # both self-join sides read quarters — cache so the simhash bit-vote
+    # aggregation computes once, not twice
+    quarters = quarters.cache()
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv"))
@@ -237,7 +242,7 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99, scale: int 
         F.transform("embedding", lambda v: F.round(v.cast("double") * scale).cast("bigint")).alias("q"),
     )
     norm = F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
-    q = q.withColumn("n2", norm)
+    q = q.withColumn("n2", norm).cache()  # both self-join sides
     a, b = q.alias("a"), q.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
