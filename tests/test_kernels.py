@@ -292,3 +292,73 @@ class TestCodecSeam:
                 IMG.decode(b"x", 1, 1, "jpeg")
         with _pytest.raises(NotImplementedError, match="unknown"):
             IMG.encode(px, "bmp")
+
+
+class TestTileSpecProperties:
+    @given(
+        st.integers(0, 12).flatmap(
+            lambda z: st.tuples(
+                st.just(z), st.integers(0, (1 << z) - 1), st.integers(0, (1 << z) - 1)
+            )
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_spec_bounds_roundtrip(self, zxy):
+        """parse_tile_spec/tile_bounds inverse property: every corner and
+        the center of a tile's bounds map back to that tile."""
+        from gol_tool_spark.kernels import tile as KT
+
+        z, x, y = zxy
+        t = KT.parse_tile_spec(f"{z}/{x}/{y}")
+        w, s, e, n = KT.tile_bounds(t)
+        assert e - w == n - s == (1 << (32 - z)) - 1
+        for px, py in ((w, s), (e, n), ((w + e) // 2, (s + n) // 2)):
+            assert int(KT.tile_of_point(px, py, z)) == t
+
+    @given(st.integers(-(1 << 31), (1 << 31) - 1), st.integers(-(1 << 31), (1 << 31) - 1),
+           st.integers(1, 12))
+    @settings(max_examples=200, deadline=None)
+    def test_point_inside_its_tile_bounds(self, x, y, z):
+        from gol_tool_spark.kernels import tile as KT
+
+        t = int(KT.tile_of_point(x, y, z))
+        w, s, e, n = KT.tile_bounds(t)
+        assert w <= x <= e and s <= y <= n
+
+
+class TestPolyRoundTripProperty:
+    @given(
+        st.lists(
+            st.tuples(st.integers(-(1 << 30), 1 << 30), st.integers(-(1 << 30), 1 << 30)),
+            min_size=3, max_size=12,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_parse_inverts_format(self, ring, has_hole):
+        """POLY text round-trip: rendered rings (incl. '!' holes) parse back
+        within the 7-decimal lon/lat quantization error."""
+        from gol_tool_spark.sinks.writers import parse_poly
+
+        lines = ["prop", "1"]
+        import math
+
+        def render(r):
+            out = []
+            for x, y in r:
+                lon = x / 4294967296.0 * 360.0
+                lat = math.degrees(math.atan(math.sinh(y / 4294967296.0 * 2.0 * math.pi)))
+                out.append(f"   {lon:.7E}   {lat:.7E}")
+            return out
+
+        lines += render(ring) + ["END"]
+        hole = [(x // 2, y // 2) for x, y in ring]
+        if has_hole:
+            lines += ["!2"] + render(hole) + ["END"]
+        lines.append("END")
+        parsed = parse_poly("\n".join(lines))
+        assert [h for _, h in parsed] == ([False, True] if has_hole else [False])
+        for (got, _), want in zip(parsed, [ring, hole]):
+            assert len(got) == len(want)
+            for (gx, gy), (wx, wy) in zip(got, want):
+                assert abs(gx - wx) <= 5000 and abs(gy - wy) <= 5000
