@@ -83,34 +83,33 @@ def members_of(
     )
 
 
-def parse_traversal(goql: str) -> tuple[str, str]:
-    """Split a `PARENT>CHILD` traversal string (the `w[highway]>n[signal]`
-    idiom) into (parent_goql, child_goql).  `>` inside [...] clauses (e.g.
-    numeric compares like [qty>30]) is NOT a separator."""
-    depth = 0
+def parse_traversal_chain(goql: str) -> list[str]:
+    """Split a `A>B>...>Z` traversal string into its selector segments.
+    `>` inside [...] clauses (numeric compares like [qty>30]) is NOT a
+    separator.  Two segments = parents_with_child; more = nested chains
+    (relation > way > node), composed innermost-first."""
+    segs: list[str] = []
+    depth = start = 0
     for i, ch in enumerate(goql):
         if ch == "[":
             depth += 1
         elif ch == "]":
             depth -= 1
         elif ch == ">" and depth == 0:
-            parent, child = goql[:i].strip(), goql[i + 1:].strip()
-            if not parent or not child or ">" in _strip_clauses(child):
-                raise ValueError(f"bad traversal {goql!r}: need PARENT>CHILD")
-            return parent, child
-    raise ValueError(f"no top-level '>' in {goql!r}")
+            segs.append(goql[start:i].strip())
+            start = i + 1
+    segs.append(goql[start:].strip())
+    if len(segs) < 2 or any(not s for s in segs):
+        raise ValueError(f"bad traversal {goql!r}: need A>B[>C...]")
+    return segs
 
 
-def _strip_clauses(sel: str) -> str:
-    out, depth = [], 0
-    for ch in sel:
-        if ch == "[":
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-        elif depth == 0:
-            out.append(ch)
-    return "".join(out)
+def parse_traversal(goql: str) -> tuple[str, str]:
+    """Two-level form of parse_traversal_chain (PARENT>CHILD)."""
+    segs = parse_traversal_chain(goql)
+    if len(segs) != 2:
+        raise ValueError(f"bad traversal {goql!r}: need PARENT>CHILD")
+    return segs[0], segs[1]
 
 
 def traversal_query(

@@ -261,3 +261,38 @@ def apply_changes(
         .start()
     )
     return q
+
+
+def verify_change_store(spark: SparkSession, store_path: str) -> dict:
+    """`gol check` for the update path: the id->pile index and the store
+    must agree exactly — same id set, same pile per id, no duplicate ids in
+    either (the invariants the partition-scoped merge maintains; a crash
+    between the store and index writes leaves a divergence the NEXT merge
+    heals, so a standing mismatch indicates external tampering or a bug).
+    Returns {ok, store_rows, index_rows, dup_ids, mismatched_piles}."""
+    store = spark.read.parquet(store_path).select("id", F.col("pile").cast("long").alias("pile"))
+    idx = spark.read.parquet(_idx_path(store_path)).select(
+        "id", F.col("pile").cast("long").alias("ipile")
+    )
+    store_rows = store.count()
+    index_rows = idx.count()
+    dup_ids = (
+        store.groupBy("id").count().filter(F.col("count") > 1).count()
+        + idx.groupBy("id").count().filter(F.col("count") > 1).count()
+    )
+    mismatched = (
+        store.join(idx, "id", "full")
+        .filter(
+            F.col("pile").isNull()
+            | F.col("ipile").isNull()
+            | (F.col("pile") != F.col("ipile"))
+        )
+        .count()
+    )
+    return {
+        "ok": dup_ids == 0 and mismatched == 0 and store_rows == index_rows,
+        "store_rows": store_rows,
+        "index_rows": index_rows,
+        "dup_ids": dup_ids,
+        "mismatched_piles": mismatched,
+    }

@@ -161,7 +161,12 @@ class TestGoql:
         with pytest.raises(ValueError):
             goql_join.parse_traversal("w[highway]")
         with pytest.raises(ValueError):
-            goql_join.parse_traversal("w>n>r")
+            goql_join.parse_traversal("w>n>r")  # 2-level form rejects chains
+        assert goql_join.parse_traversal_chain("r[type=mp]>w[lanes>2]>n[qty>30]") == [
+            "r[type=mp]", "w[lanes>2]", "n[qty>30]"
+        ]
+        with pytest.raises(ValueError):
+            goql_join.parse_traversal_chain("w[highway]>")
         ways = spark.createDataFrame([(10, {"highway": "x"})], "way_id long, tags map<string,string>")
         mem = spark.createDataFrame([(10, 1)], "way_id long, node_ref long")
         nodes = spark.createDataFrame([(1, {"qty": "44"})], "id long, tags map<string,string>")

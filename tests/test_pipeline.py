@@ -654,6 +654,31 @@ class TestPartitionScopedMerge:
         idx = spark.read.parquet(store + "_idx")
         assert {r.id for r in idx.select("id").collect()} == set(expect)
 
+    def test_verify_change_store(self, spark, tmp_path):
+        """gol-check for the update path: store<->index agreement holds
+        after merges; tampering is detected."""
+        import shutil
+
+        store = str(tmp_path / "vstore")
+        pts = spark.createDataFrame(
+            [(i, i * (1 << 27), -i * (1 << 27)) for i in range(8)], "id long, x long, y long"
+        )
+        CH.write_store(pts, store)
+        ch = tmp_path / "vch"
+        ch.mkdir()
+        (ch / "d.json").write_text(
+            '{"op": "delete", "id": 3, "x": 0, "y": 0, "seq": 1}\n'
+            '{"op": "upsert", "id": 99, "x": 5, "y": 5, "seq": 1}\n'
+        )
+        CH.apply_changes(spark, str(ch), store, str(tmp_path / "vck")).awaitTermination(120)
+        rep = CH.verify_change_store(spark, store)
+        assert rep["ok"] and rep["store_rows"] == rep["index_rows"] == 8
+        # tamper: drop an index bucket -> mismatch detected
+        ib_dirs = [d for d in os.listdir(store + "_idx") if d.startswith("ib=")]
+        shutil.rmtree(os.path.join(store + "_idx", ib_dirs[0]))
+        rep2 = CH.verify_change_store(spark, store)
+        assert not rep2["ok"] and rep2["mismatched_piles"] > 0
+
     def test_replay_is_idempotent(self, spark, tmp_path):
         """Crash-replay safety: applying the same delta twice (fresh
         checkpoint simulates a replay after a post-commit crash) converges
