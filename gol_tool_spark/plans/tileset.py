@@ -86,6 +86,23 @@ def _is_url(repo: str) -> bool:
     return repo.startswith(("http://", "https://"))
 
 
+def _safe_join(base: str, *parts: str) -> str:
+    """Join manifest-controlled path segments under `base`, rejecting
+    absolute segments, '..' traversal, and anything whose real path escapes
+    base — a hostile or compromised repo must not be able to write outside
+    the store (the checksum check runs only AFTER bytes land on disk, so it
+    cannot defend against this)."""
+    for p in parts:
+        norm = os.path.normpath(p)
+        if os.path.isabs(p) or norm.startswith("..") or ".." in norm.split(os.sep):
+            raise ValueError(f"tileset manifest path escapes the store: {p!r}")
+    full = os.path.join(base, *parts)
+    base_real = os.path.realpath(base)
+    if not os.path.realpath(full).startswith(base_real + os.sep):
+        raise ValueError(f"tileset manifest path escapes the store: {parts!r}")
+    return full
+
+
 def _http_get(url: str) -> bytes:
     import urllib.request
 
@@ -108,7 +125,7 @@ def load_tileset(repo: str, store_dir: str, verify: bool = True) -> dict:
     loaded, skipped = [], []
     for d, info in manifest["piles"].items():
         checksum = info["checksum"] if isinstance(info, dict) else info
-        dst = os.path.join(store_dir, d)
+        dst = _safe_join(store_dir, d)
         if not from_url and verify and _pile_checksum(os.path.join(repo, d)) != checksum:
             # local repos verify EVERY manifest pile, present-or-not —
             # a corrupt repo must surface even when nothing needs fetching.
@@ -122,7 +139,7 @@ def load_tileset(repo: str, store_dir: str, verify: bool = True) -> dict:
             try:
                 for rel in info["files"]:
                     data = _http_get(f"{repo.rstrip('/')}/{d}/{rel}")
-                    full = os.path.join(dst, rel)
+                    full = _safe_join(dst, rel)
                     os.makedirs(os.path.dirname(full), exist_ok=True)
                     with open(full, "wb") as fh:
                         fh.write(data)

@@ -37,11 +37,20 @@ There is no staged `_next` copy and no second rewrite.  Dynamic partition
 overwrite replaces each affected pile via Spark's commit protocol, and the
 merge is IDEMPOTENT: merge(merge(S, B), B) == merge(S, B) — the anti-join
 removes exactly the rows the union re-adds.  The write order is store ->
-emptied-pile cleanup -> index, so a crash at any point replays correctly:
-the index still holds the PRE-batch pile of every changed id until the
-final step, so the replayed batch recomputes a superset of the affected
-piles and re-converges.  Exactly-once = streaming checkpoint (batch replay)
-x idempotent merge.
+emptied-pile cleanup -> index, so a crash BETWEEN those steps replays
+correctly: the index still holds the PRE-batch pile of every changed id
+until the final step, so the replayed batch recomputes a superset of the
+affected piles and re-converges (a missing index — crash before the very
+first index write — is detected and rebuilt from the store).  Exactly-once
+= streaming checkpoint (batch replay) x idempotent merge, ASSUMING the
+writer's per-partition commit is atomic: on a plain filesystem, dynamic
+overwrite across multiple pile directories is not one atomic transaction,
+so a crash in the middle of the overwrite itself (partition dir cleared,
+staged files not yet moved) can lose unchanged rows of an affected pile
+that replay cannot restore — the replayed merge recomputes from the
+already-damaged store.  The in-merge compaction has the same exposure.
+The fully-safe form is the Iceberg `MERGE INTO` mapping described above,
+where the swap is a metadata transaction.
 
 Change record schema (JSON lines):
     {"op": "upsert"|"delete", "id": ..., "x": ..., "y": ..., "seq": ...}
@@ -128,6 +137,18 @@ def _keep_empty_partition(path: str, part: str, value, schema: pa.Schema) -> Non
     pq.write_table(schema.empty_table(), os.path.join(part_dir, "part-empty.parquet"))
 
 
+def _arrow_schema_of(df: DataFrame) -> pa.Schema:
+    """Spark schema -> Arrow schema without a toPandas round-trip (an empty
+    pandas frame degrades maps/arrays to a `null` Arrow type, and one such
+    placeholder footer poisons the whole store's schema inference)."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(df.schema)
+    except Exception:  # pragma: no cover - fallback for API drift
+        return pa.Schema.from_pandas(df.limit(0).toPandas())
+
+
 def _dynamic_overwrite(df: DataFrame, path: str, part: str, affected: list) -> None:
     """Dynamic-partition-overwrite `df` into `path`, then empty out affected
     partitions that the merge left with zero rows (dynamic overwrite never
@@ -143,7 +164,7 @@ def _dynamic_overwrite(df: DataFrame, path: str, part: str, affected: list) -> N
     )
     emptied = [v for v in affected if v not in remaining]
     if emptied:
-        schema = pa.Schema.from_pandas(out.drop(part).limit(0).toPandas())
+        schema = _arrow_schema_of(out.drop(part))
         for v in emptied:
             _keep_empty_partition(path, part, v, schema)
 
@@ -195,6 +216,17 @@ def apply_changes(
         new_piles = {r.pile for r in ups.select("pile").distinct().collect()}
         old_piles: set = set()
         have_store = os.path.exists(store_path)
+        if have_store and not os.path.exists(idx_path):
+            # bootstrap crash window: batch 0 created the store but died
+            # before the first index write — rebuild the index from the
+            # store so replay doesn't fail permanently on the missing path
+            (
+                spark_l.read.parquet(store_path)
+                .select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
+                .write.mode("overwrite")
+                .partitionBy("ib")
+                .parquet(idx_path)
+            )
         if have_store:
             # TileFinder analogue: old piles via the id->pile index, reading
             # only the buckets the changed ids hash to (partition-pruned).
