@@ -1,0 +1,788 @@
+"""Full-fidelity change stream: typed node/way/relation changes with tag
+payloads — the complete `gol update` path (A10).
+
+Reference parity: update/Updater.java orchestrates ChangeReader (OsmChange
+XML -> ChangedNode/ChangedWay/ChangedRelation records, see osc.py),
+TileFinder/FeatureFinder (resolve changed feature ids to the tiles holding
+them via the store's indexes), then patches only those tiles.  Tag changes
+follow tiles/TagTableBuilder.java:309 diff semantics: a change record's
+tags REPLACE the stored tags (OsmChange carries the full new tag set), and
+the store applies them as merge(old, diff(old, new)) through the
+functions/tags.py kernels whose round-trip law merge(a, diff(a,b)) == b is
+property-tested — so a `patch` op carrying a bare diff (null value =
+delete key) is equally supported.
+
+Store layout (all parquet, partition-pruned on every access):
+
+    <store>/nodes      partitionBy pile   (id, x, y, tags, tile, pile)
+    <store>/ways       partitionBy pile   (id, refs, tags, pile)
+                       one row per pile the way spreads into — the C2 tile
+                       spread (a way lives in every pile that holds one of
+                       its nodes; build/Sorter.java:718-802)
+    <store>/relations  partitionBy pile   (id, members, tags, pile)
+                       pile = min over member piles (fixed point through
+                       super-relations; unresolvable -> PURGATORY)
+    <store>_idx/nodes        partitionBy ib  (id, pile, ib)
+    <store>_idx/ways         partitionBy ib  (id, pile, ib)  per spread pile
+    <store>_idx/rels         partitionBy ib  (id, pile, ib)
+    <store>_idx/node_ways    partitionBy ib  (node_id, way_id, ib)
+                             reverse index: which ways reference a node —
+                             the TileFinder way-lookup.  Indexes ALL refs,
+                             resolved or not, so creating a node later
+                             re-dirties the ways that already point at it.
+    <store>_idx/member_rels  partitionBy ib  (mtype, ref, rel_id, ib)
+                             reverse index: which relations reference a
+                             member (node/way/relation).
+
+ib = pmod(xxhash64(key), NB) — reading only the buckets the changed ids
+hash to makes every index lookup O(|batch|/NB * store/NB), never a scan.
+
+The merge cascade (one micro-batch):
+  1. nodes merge (winner-per-id, tags via diff/merge, new pile from coords)
+  2. ways dirty = directly changed  ∪  ways referencing a changed node
+     (node_ways index) — a node moving across a pile boundary re-runs its
+     parent ways' C2 spread; only the piles in (old ∪ new spread) rewrite
+  3. relations dirty = directly changed ∪ relations referencing a changed
+     member, closed transitively over super-relations (member_rels index);
+     re-piled by the min-member-pile fixed point
+All writes are dynamic partition overwrites of ONLY the affected piles /
+buckets; crash-safety is the same contract as changes.py (idempotent
+merge x checkpoint replay, assuming atomic per-partition commit — Iceberg
+MERGE INTO is the fully-transactional form).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tags as TG
+from .changes import PILE_ZOOM, _bucket, _dynamic_overwrite, _with_pile
+
+CHANGE_SCHEMA_FULL = (
+    "op string, ftype string, id long, version long, x long, y long, "
+    "tags map<string,string>, refs array<long>, "
+    "members array<struct<mtype:string,ref:long,role:string>>, seq long"
+)
+PURGATORY = -1  # build/Sorter.java:620-688 — the tile of the unresolvable
+
+_EMPTY_TAGS = "cast(map() as map<string,string>)"
+
+
+def _paths(store_path: str) -> dict[str, str]:
+    idx = store_path.rstrip("/") + "_idx"
+    return {
+        "nodes": os.path.join(store_path, "nodes"),
+        "ways": os.path.join(store_path, "ways"),
+        "relations": os.path.join(store_path, "relations"),
+        "idx_nodes": os.path.join(idx, "nodes"),
+        "idx_ways": os.path.join(idx, "ways"),
+        "idx_rels": os.path.join(idx, "rels"),
+        "idx_node_ways": os.path.join(idx, "node_ways"),
+        "idx_member_rels": os.path.join(idx, "member_rels"),
+    }
+
+
+def _applied_tags(op, old_tags, given_tags):
+    """TagTableBuilder.java:309 semantics via the tags.py kernels:
+    upsert = full replacement, computed as merge(old, diff(old, new)) —
+    the round-trip law makes this equal `new`; patch = merge(old, diff)
+    where the record's tags column IS the diff (null value = delete)."""
+    empty = F.expr(_EMPTY_TAGS)
+    oldm = F.coalesce(old_tags, empty)
+    givenm = F.coalesce(given_tags, empty)
+    out = F.when(
+        op == "patch", TG.tags_merge(oldm, givenm)
+    ).otherwise(TG.tags_merge(oldm, TG.tags_diff(oldm, givenm)))
+    # normalize nullability: map_concat/map_filter infer valueContainsNull=
+    # false, which lands a DIFFERENT parquet value type than the bulk-loaded
+    # files — mixed piles would then fail schema reconciliation at read time
+    return out.cast("map<string,string>")
+
+
+def read_full_change_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(CHANGE_SCHEMA_FULL).json(path)
+
+
+def _winners(batch: DataFrame) -> DataFrame:
+    """Deterministic intra-batch resolution per (ftype, id): highest seq
+    wins, delete beats upsert on a tie — same rule as changes.py, so
+    replays always pick the same winner and the merge stays idempotent."""
+    from pyspark.sql import Window
+
+    pri = F.when(F.col("op") == "delete", 1).otherwise(0)
+    w = Window.partitionBy("ftype", "id").orderBy(
+        F.coalesce(F.col("seq"), F.lit(0)).desc(), pri.desc()
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _pruned_index(
+    spark: SparkSession, idx_path: str, keys: DataFrame, key: str, nb: int
+) -> DataFrame | None:
+    """Partition-pruned index lookup: index rows whose `key` appears in
+    `keys` (a small DataFrame — bounded by the batch's dirty closure),
+    reading ONLY the buckets those keys hash to."""
+    if not os.path.exists(idx_path):
+        return None
+    buckets = [
+        r.ib
+        for r in keys.select(_bucket(F.col(key), nb).alias("ib")).distinct().collect()
+    ]
+    if not buckets:
+        return None
+    return (
+        spark.read.parquet(idx_path)
+        .filter(F.col("ib").isin(buckets))
+        .join(F.broadcast(keys.select(key).distinct()), key)
+    )
+
+
+def _merge_part(
+    spark: SparkSession,
+    path: str,
+    part: str,
+    affected: list,
+    drop_keys: DataFrame,
+    key: str,
+    new_rows: DataFrame,
+) -> None:
+    """The one merge shape every table here uses: within the affected
+    partitions, drop rows whose `key` is in drop_keys, union the new rows,
+    dynamic-overwrite only those partitions."""
+    if os.path.exists(path):
+        cur = spark.read.parquet(path).filter(F.col(part).isin(affected))
+        merged = cur.join(
+            F.broadcast(drop_keys.select(key).distinct()), key, "left_anti"
+        ).unionByName(new_rows.select(*cur.columns))
+        _dynamic_overwrite(merged, path, part, affected)
+    elif not new_rows.isEmpty():
+        new_rows.write.mode("overwrite").partitionBy(part).parquet(path)
+
+
+# ---------------------------------------------------------------- bulk load
+
+
+def way_spread(ways: DataFrame, node_piles: DataFrame) -> DataFrame:
+    """C2 tile spread: one (id, refs, tags, pile) row per pile holding one
+    of the way's nodes; a way with zero resolvable nodes goes to PURGATORY.
+    ways: (id, refs, tags); node_piles: (ref, pile)."""
+    refs = ways.select("id", F.explode_outer("refs").alias("ref"))
+    hit = refs.join(node_piles, "ref").select("id", "pile").distinct()
+    missed = ways.select("id").join(hit.select("id"), "id", "left_anti").select(
+        "id", F.lit(PURGATORY).cast("long").alias("pile")
+    )
+    return ways.join(hit.unionByName(missed), "id").select(
+        "id", "refs", "tags", "pile"
+    )
+
+
+def rel_piles(
+    rels: DataFrame,
+    node_piles: DataFrame,
+    way_piles: DataFrame,
+    seed_rel_piles: DataFrame | None = None,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Relation pile = min over member piles, iterated to a fixed point
+    through relation-type members (super-relations, C5 analogue at pile
+    granularity); no member resolvable -> PURGATORY.
+    rels: (id, members); node_piles/way_piles: (ref, pile);
+    seed_rel_piles: (ref, pile) for relation members OUTSIDE `rels`."""
+    m = rels.select("id", F.explode_outer("members").alias("mm")).select(
+        "id", F.col("mm.mtype").alias("mtype"), F.col("mm.ref").alias("ref")
+    )
+    leaf = (
+        m.filter(F.col("mtype") == "node")
+        .join(node_piles, "ref")
+        .select("id", "pile")
+        .unionByName(
+            m.filter(F.col("mtype") == "way").join(way_piles, "ref").select("id", "pile")
+        )
+    )
+    if seed_rel_piles is not None:
+        inner = rels.select(F.col("id").alias("ref"))
+        ext = (
+            m.filter(F.col("mtype") == "relation")
+            .join(inner, "ref", "left_anti")
+            .join(seed_rel_piles, "ref")
+            .select("id", "pile")
+        )
+        leaf = leaf.unionByName(ext)
+    static = leaf.groupBy("id").agg(F.min("pile").alias("pile"))
+    edges = (
+        m.filter(F.col("mtype") == "relation")
+        .join(rels.select(F.col("id").alias("ref")), "ref", "left_semi")
+        .filter(F.col("ref") != F.col("id"))
+        .select("id", "ref")
+    )
+    cur = static
+    for _ in range(max_iters):
+        child = cur.select(F.col("id").alias("ref"), F.col("pile").alias("cpile"))
+        nxt = (
+            static.unionByName(
+                edges.join(child, "ref").select("id", F.col("cpile").alias("pile"))
+            )
+            .groupBy("id")
+            .agg(F.min("pile").alias("pile"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(
+                cur.alias("c"),
+                (F.col("n.id") == F.col("c.id")) & (F.col("n.pile") == F.col("c.pile")),
+                "left_anti",
+            )
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return (
+        rels.select("id", "members", "tags")
+        .join(cur, "id", "left")
+        .withColumn("pile", F.coalesce(F.col("pile"), F.lit(PURGATORY)).cast("long"))
+    )
+
+
+def write_full_store(
+    nodes: DataFrame,
+    ways: DataFrame | None,
+    rels: DataFrame | None,
+    store_path: str,
+    zoom: int = 12,
+    index_buckets: int = 16,
+) -> None:
+    """Bulk-load a typed store + every index apply_changes_full merges into.
+    nodes: (id, x, y, tags); ways: (id, refs, tags); rels: (id, members,
+    tags)."""
+    p = _paths(store_path)
+    spark = nodes.sparkSession
+    empty = F.expr(_EMPTY_TAGS)
+    nrows = (
+        _with_pile(nodes, zoom)
+        .select("id", "x", "y", F.coalesce("tags", empty).alias("tags"), "tile", "pile")
+        .localCheckpoint(eager=True)
+    )
+    nrows.write.mode("overwrite").partitionBy("pile").parquet(p["nodes"])
+    nidx = nrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
+    nidx.write.mode("overwrite").partitionBy("ib").parquet(p["idx_nodes"])
+
+    node_piles = nrows.select(F.col("id").alias("ref"), "pile")
+    if ways is not None:
+        wsrc = ways.select("id", "refs", F.coalesce("tags", empty).alias("tags"))
+        wrows = way_spread(wsrc, node_piles).localCheckpoint(eager=True)
+        wrows.write.mode("overwrite").partitionBy("pile").parquet(p["ways"])
+        wrows.select(
+            "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
+        ).write.mode("overwrite").partitionBy("ib").parquet(p["idx_ways"])
+        (
+            wsrc.select(F.col("id").alias("way_id"), F.explode("refs").alias("node_id"))
+            .distinct()
+            .select("node_id", "way_id", _bucket(F.col("node_id"), index_buckets).alias("ib"))
+            .write.mode("overwrite")
+            .partitionBy("ib")
+            .parquet(p["idx_node_ways"])
+        )
+    if rels is not None:
+        rsrc = rels.select("id", "members", F.coalesce("tags", empty).alias("tags"))
+        way_piles = (
+            way_spread(
+                ways.select("id", "refs", F.coalesce("tags", empty).alias("tags")),
+                node_piles,
+            )
+            .groupBy("id")
+            .agg(F.min("pile").alias("pile"))
+            .select(F.col("id").alias("ref"), "pile")
+            if ways is not None
+            else spark.createDataFrame([], "ref long, pile long")
+        )
+        rrows = rel_piles(rsrc, node_piles, way_piles).localCheckpoint(eager=True)
+        rrows.select("id", "members", "tags", "pile").write.mode(
+            "overwrite"
+        ).partitionBy("pile").parquet(p["relations"])
+        rrows.select(
+            "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
+        ).write.mode("overwrite").partitionBy("ib").parquet(p["idx_rels"])
+        (
+            rsrc.select(F.col("id").alias("rel_id"), F.explode("members").alias("mm"))
+            .select(
+                F.col("mm.mtype").alias("mtype"),
+                F.col("mm.ref").alias("ref"),
+                "rel_id",
+            )
+            .distinct()
+            .withColumn("ib", _bucket(F.col("ref"), index_buckets))
+            .write.mode("overwrite")
+            .partitionBy("ib")
+            .parquet(p["idx_member_rels"])
+        )
+
+
+# -------------------------------------------------------------------- merge
+
+
+def apply_changes_full(
+    spark: SparkSession,
+    changes_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    zoom: int = 12,
+    index_buckets: int = 16,
+    max_rel_iters: int = 10,
+):
+    """One availableNow pass applying pending typed change files to the
+    store.  See module docstring for the cascade; every read in the merge
+    is partition-pruned by pile or index bucket, so a small delta costs
+    I/O proportional to its dirty closure, never the store size."""
+    p = _paths(store_path)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        empty = F.expr(_EMPTY_TAGS)
+        win = _winners(batch).localCheckpoint(eager=True)
+
+        # ---------------- 1. nodes ----------------
+        nw = win.filter(F.col("ftype") == "n")
+        n_ids = nw.select("id").distinct()
+        have_nodes = os.path.exists(p["nodes"])
+        old_n = None
+        n_old_piles: set = set()
+        if have_nodes and not nw.isEmpty():
+            nidx = _pruned_index(sp, p["idx_nodes"], n_ids, "id", index_buckets)
+            if nidx is not None:
+                n_old_piles = {r.pile for r in nidx.select("pile").distinct().collect()}
+            if n_old_piles:
+                old_n = (
+                    sp.read.parquet(p["nodes"])
+                    .filter(F.col("pile").isin(sorted(n_old_piles)))
+                    .join(F.broadcast(n_ids), "id", "left_semi")
+                    .select(
+                        F.col("id"),
+                        F.col("x").alias("_ox"),
+                        F.col("y").alias("_oy"),
+                        F.col("tags").alias("_otags"),
+                    )
+                )
+        ups_n_src = nw.filter(F.col("op") != "delete").select(
+            "id", "op", "x", "y", "tags"
+        )
+        if old_n is not None:
+            ups_n_src = ups_n_src.join(old_n, "id", "left")
+        else:
+            ups_n_src = (
+                ups_n_src.withColumn("_ox", F.lit(None).cast("long"))
+                .withColumn("_oy", F.lit(None).cast("long"))
+                .withColumn("_otags", F.lit(None).cast("map<string,string>"))
+            )
+        ups_n = (
+            ups_n_src.withColumn("x", F.coalesce("x", "_ox"))
+            .withColumn("y", F.coalesce("y", "_oy"))
+            .withColumn("tags", _applied_tags(F.col("op"), F.col("_otags"), F.col("tags")))
+            .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+            .select("id", "x", "y", "tags")
+        )
+        ups_n = _with_pile(ups_n, zoom).select(
+            "id", "x", "y", "tags", "tile", "pile"
+        ).localCheckpoint(eager=True)
+        n_new_piles = {r.pile for r in ups_n.select("pile").distinct().collect()}
+        n_affected = sorted(n_old_piles | n_new_piles)
+        if n_affected:
+            _merge_part(sp, p["nodes"], "pile", n_affected, n_ids, "id", ups_n)
+            n_buckets = [
+                r.ib
+                for r in n_ids.select(_bucket(F.col("id"), index_buckets).alias("ib"))
+                .distinct()
+                .collect()
+            ]
+            _merge_part(
+                sp,
+                p["idx_nodes"],
+                "ib",
+                n_buckets,
+                n_ids,
+                "id",
+                ups_n.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")),
+            )
+
+        # ---------------- 2. ways ----------------
+        ww = win.filter(F.col("ftype") == "w")
+        w_direct = ww.select("id").distinct()
+        via_node = _pruned_index(
+            sp,
+            p["idx_node_ways"],
+            n_ids.select(F.col("id").alias("node_id")),
+            "node_id",
+            index_buckets,
+        )
+        dirty_w = w_direct
+        if via_node is not None:
+            dirty_w = dirty_w.unionByName(
+                via_node.select(F.col("way_id").alias("id"))
+            ).distinct()
+        dirty_w = dirty_w.localCheckpoint(eager=True)
+        have_ways = os.path.exists(p["ways"])
+        w_deleted = ww.filter(F.col("op") == "delete").select("id").distinct()
+        if have_ways or not ww.isEmpty():
+            old_w = None
+            w_old_piles: set = set()
+            if have_ways:
+                widx = _pruned_index(sp, p["idx_ways"], dirty_w, "id", index_buckets)
+                if widx is not None:
+                    w_old_piles = {
+                        r.pile for r in widx.select("pile").distinct().collect()
+                    }
+                if w_old_piles:
+                    # eager: consumed again after the ways store is
+                    # overwritten (node_ways bucket computation)
+                    old_w = (
+                        sp.read.parquet(p["ways"])
+                        .filter(F.col("pile").isin(sorted(w_old_piles)))
+                        .join(F.broadcast(dirty_w), "id", "left_semi")
+                        .select("id", "refs", "tags")
+                        .dropDuplicates(["id"])
+                        .localCheckpoint(eager=True)
+                    )
+
+            # target way set after this batch: direct upserts (refs/tags
+            # applied against old), plus node-dirty ways carried forward —
+            # minus deletes
+            w_up = ww.filter(F.col("op") != "delete").select("id", "op", "refs", "tags")
+            if old_w is not None:
+                w_up = w_up.join(
+                    old_w.select(
+                        "id",
+                        F.col("refs").alias("_orefs"),
+                        F.col("tags").alias("_otags"),
+                    ),
+                    "id",
+                    "left",
+                )
+            else:
+                w_up = w_up.withColumn(
+                    "_orefs", F.lit(None).cast("array<long>")
+                ).withColumn("_otags", F.lit(None).cast("map<string,string>"))
+            w_up = (
+                w_up.withColumn("refs", F.coalesce("refs", "_orefs"))
+                .withColumn(
+                    "tags", _applied_tags(F.col("op"), F.col("_otags"), F.col("tags"))
+                )
+                .filter(F.col("refs").isNotNull())
+                .select("id", "refs", "tags")
+            )
+            carry = (
+                old_w.join(F.broadcast(w_direct), "id", "left_anti")
+                if old_w is not None
+                else None
+            )
+            targets = w_up if carry is None else w_up.unionByName(carry)
+            targets = targets.join(
+                F.broadcast(w_deleted), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+
+            # re-run the C2 spread for every target way: node piles from the
+            # POST-merge node index (moved nodes resolve to their new pile)
+            all_refs = targets.select(F.explode("refs").alias("ref")).distinct()
+            npiles = _pruned_index(
+                sp,
+                p["idx_nodes"],
+                all_refs.select(F.col("ref").alias("id")),
+                "id",
+                index_buckets,
+            )
+            node_piles = (
+                npiles.select(F.col("id").alias("ref"), "pile")
+                if npiles is not None
+                else sp.createDataFrame([], "ref long, pile long")
+            )
+            new_w = way_spread(targets, node_piles).localCheckpoint(eager=True)
+            w_new_piles = {r.pile for r in new_w.select("pile").distinct().collect()}
+            w_affected = sorted(w_old_piles | w_new_piles)
+            if w_affected or not dirty_w.isEmpty():
+                if w_affected:
+                    _merge_part(sp, p["ways"], "pile", w_affected, dirty_w, "id", new_w)
+                w_buckets = [
+                    r.ib
+                    for r in dirty_w.select(
+                        _bucket(F.col("id"), index_buckets).alias("ib")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if w_buckets:
+                    _merge_part(
+                        sp,
+                        p["idx_ways"],
+                        "ib",
+                        w_buckets,
+                        dirty_w,
+                        "id",
+                        new_w.select(
+                            "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
+                        ).distinct(),
+                    )
+                # node_ways reverse index: rows live in buckets of old AND
+                # new refs of every dirty way
+                ref_srcs = [targets.select(F.explode("refs").alias("node_id"))]
+                if old_w is not None:
+                    ref_srcs.append(old_w.select(F.explode("refs").alias("node_id")))
+                all_ref_nodes = ref_srcs[0]
+                for s in ref_srcs[1:]:
+                    all_ref_nodes = all_ref_nodes.unionByName(s)
+                nw_buckets = [
+                    r.ib
+                    for r in all_ref_nodes.select(
+                        _bucket(F.col("node_id"), index_buckets).alias("ib")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if nw_buckets:
+                    new_pairs = (
+                        targets.select(
+                            F.col("id").alias("way_id"),
+                            F.explode("refs").alias("node_id"),
+                        )
+                        .distinct()
+                        .select(
+                            "node_id",
+                            "way_id",
+                            _bucket(F.col("node_id"), index_buckets).alias("ib"),
+                        )
+                    )
+                    _merge_part(
+                        sp,
+                        p["idx_node_ways"],
+                        "ib",
+                        nw_buckets,
+                        dirty_w.select(F.col("id").alias("way_id")),
+                        "way_id",
+                        new_pairs,
+                    )
+        else:
+            new_w = None
+
+        # ---------------- 3. relations ----------------
+        rw = win.filter(F.col("ftype") == "r")
+        r_direct = rw.select("id").distinct()
+        # dirty closure: relations referencing any changed node/way/rel,
+        # expanded transitively over super-relations (TileFinder analogue)
+        changed_members = (
+            n_ids.select(F.lit("node").alias("mtype"), F.col("id").alias("ref"))
+            .unionByName(
+                dirty_w.select(F.lit("way").alias("mtype"), F.col("id").alias("ref"))
+            )
+            .unionByName(
+                r_direct.select(F.lit("relation").alias("mtype"), F.col("id").alias("ref"))
+            )
+        )
+        dirty_r = r_direct
+        frontier = changed_members
+        for _ in range(max_rel_iters):
+            hits = _pruned_index(
+                sp, p["idx_member_rels"], frontier.select("ref"), "ref", index_buckets
+            )
+            if hits is None:
+                break
+            parents = (
+                hits.join(F.broadcast(frontier), ["mtype", "ref"], "left_semi")
+                .select(F.col("rel_id").alias("id"))
+                .distinct()
+            )
+            new_parents = parents.join(F.broadcast(dirty_r), "id", "left_anti")
+            new_parents = new_parents.localCheckpoint(eager=True)
+            if new_parents.isEmpty():
+                break
+            dirty_r = dirty_r.unionByName(new_parents).localCheckpoint(eager=True)
+            frontier = new_parents.select(
+                F.lit("relation").alias("mtype"), F.col("id").alias("ref")
+            )
+        have_rels = os.path.exists(p["relations"])
+        r_deleted = rw.filter(F.col("op") == "delete").select("id").distinct()
+        if have_rels or not rw.isEmpty():
+            old_r = None
+            r_old_piles: set = set()
+            if have_rels:
+                ridx = _pruned_index(sp, p["idx_rels"], dirty_r, "id", index_buckets)
+                if ridx is not None:
+                    r_old_piles = {
+                        r.pile for r in ridx.select("pile").distinct().collect()
+                    }
+                if r_old_piles:
+                    # eager: consumed again after the relations store is
+                    # overwritten (member_rels bucket computation)
+                    old_r = (
+                        sp.read.parquet(p["relations"])
+                        .filter(F.col("pile").isin(sorted(r_old_piles)))
+                        .join(F.broadcast(dirty_r), "id", "left_semi")
+                        .select("id", "members", "tags")
+                        .dropDuplicates(["id"])
+                        .localCheckpoint(eager=True)
+                    )
+            r_up = rw.filter(F.col("op") != "delete").select("id", "op", "members", "tags")
+            if old_r is not None:
+                r_up = r_up.join(
+                    old_r.select(
+                        "id",
+                        F.col("members").alias("_omem"),
+                        F.col("tags").alias("_otags"),
+                    ),
+                    "id",
+                    "left",
+                )
+            else:
+                r_up = r_up.withColumn(
+                    "_omem",
+                    F.lit(None).cast("array<struct<mtype:string,ref:long,role:string>>"),
+                ).withColumn("_otags", F.lit(None).cast("map<string,string>"))
+            r_up = (
+                r_up.withColumn("members", F.coalesce("members", "_omem"))
+                .withColumn(
+                    "tags", _applied_tags(F.col("op"), F.col("_otags"), F.col("tags"))
+                )
+                .filter(F.col("members").isNotNull())
+                .select("id", "members", "tags")
+            )
+            carry_r = (
+                old_r.join(F.broadcast(r_direct), "id", "left_anti")
+                if old_r is not None
+                else None
+            )
+            r_targets = r_up if carry_r is None else r_up.unionByName(carry_r)
+            r_targets = r_targets.join(
+                F.broadcast(r_deleted), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+
+            # member pile lookups against the POST-merge node/way indexes
+            mrefs = r_targets.select(F.explode("members").alias("mm")).select(
+                F.col("mm.mtype").alias("mtype"), F.col("mm.ref").alias("ref")
+            )
+            np_idx = _pruned_index(
+                sp,
+                p["idx_nodes"],
+                mrefs.filter(F.col("mtype") == "node").select(F.col("ref").alias("id")),
+                "id",
+                index_buckets,
+            )
+            node_piles_r = (
+                np_idx.select(F.col("id").alias("ref"), "pile")
+                if np_idx is not None
+                else sp.createDataFrame([], "ref long, pile long")
+            )
+            wp_idx = _pruned_index(
+                sp,
+                p["idx_ways"],
+                mrefs.filter(F.col("mtype") == "way").select(F.col("ref").alias("id")),
+                "id",
+                index_buckets,
+            )
+            way_piles_r = (
+                wp_idx.groupBy("id").agg(F.min("pile").alias("pile")).select(
+                    F.col("id").alias("ref"), "pile"
+                )
+                if wp_idx is not None
+                else sp.createDataFrame([], "ref long, pile long")
+            )
+            rel_refs = mrefs.filter(F.col("mtype") == "relation").select(
+                F.col("ref").alias("id")
+            )
+            rp_idx = _pruned_index(sp, p["idx_rels"], rel_refs, "id", index_buckets)
+            seed = (
+                rp_idx.select(F.col("id").alias("ref"), "pile")
+                if rp_idx is not None
+                else None
+            )
+            new_r = rel_piles(
+                r_targets, node_piles_r, way_piles_r, seed, max_rel_iters
+            ).localCheckpoint(eager=True)
+            r_new_piles = {r.pile for r in new_r.select("pile").distinct().collect()}
+            r_affected = sorted(r_old_piles | r_new_piles)
+            if r_affected:
+                _merge_part(
+                    sp,
+                    p["relations"],
+                    "pile",
+                    r_affected,
+                    dirty_r,
+                    "id",
+                    new_r.select("id", "members", "tags", "pile"),
+                )
+            r_buckets = [
+                r.ib
+                for r in dirty_r.select(_bucket(F.col("id"), index_buckets).alias("ib"))
+                .distinct()
+                .collect()
+            ]
+            if r_buckets:
+                _merge_part(
+                    sp,
+                    p["idx_rels"],
+                    "ib",
+                    r_buckets,
+                    dirty_r,
+                    "id",
+                    new_r.select(
+                        "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
+                    ),
+                )
+            # member_rels reverse index: buckets of old and new member refs
+            mem_srcs = [r_targets.select(F.explode("members").alias("mm"))]
+            if old_r is not None:
+                mem_srcs.append(old_r.select(F.explode("members").alias("mm")))
+            all_mem = mem_srcs[0]
+            for s in mem_srcs[1:]:
+                all_mem = all_mem.unionByName(s)
+            mr_buckets = [
+                r.ib
+                for r in all_mem.select(
+                    _bucket(F.col("mm.ref"), index_buckets).alias("ib")
+                )
+                .distinct()
+                .collect()
+            ]
+            if mr_buckets:
+                new_mem = (
+                    r_targets.select(
+                        F.col("id").alias("rel_id"), F.explode("members").alias("mm")
+                    )
+                    .select(
+                        F.col("mm.mtype").alias("mtype"),
+                        F.col("mm.ref").alias("ref"),
+                        "rel_id",
+                    )
+                    .distinct()
+                    .withColumn("ib", _bucket(F.col("ref"), index_buckets))
+                )
+                _merge_part(
+                    sp,
+                    p["idx_member_rels"],
+                    "ib",
+                    mr_buckets,
+                    dirty_r.select(F.col("id").alias("rel_id")),
+                    "rel_id",
+                    new_mem,
+                )
+
+    q = (
+        read_full_change_stream(spark, changes_path)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+def read_store(spark: SparkSession, store_path: str, kind: str) -> DataFrame:
+    """Read one typed sub-store (kind in nodes/ways/relations)."""
+    return spark.read.parquet(_paths(store_path)[kind])

@@ -1,0 +1,150 @@
+"""OsmChange XML reader — `gol update`'s input format (A10).
+
+Reference parity: update/ChangeReader.java parses (optionally gzip'd)
+OsmChange XML with a SAX pass into typed change records — ChangedNode
+(id, version, tags, x, y), ChangedWay (id, version, tags, nodeIds),
+ChangedRelation (id, version, tags, memberIds, roles) — under <create> /
+<modify> / <delete> sections (ChangeReader.java:250-272: create and modify
+are the same upsert operation; delete carries no payload).  Coordinates
+project lon/lat onto the int-Mercator grid at parse time
+(ChangeReader.java:156-159, Mercator.xFromLon/yFromLat).
+
+Spark form: the per-file parse is a generator over ElementTree.iterparse
+(constant memory, like SAX); `osc_to_changes` distributes it over files
+with spark.read.format("binaryFile") + mapInPandas — one OsmChange delta
+is small, but a backlog of thousands of them (a week of minutely diffs)
+parses in parallel.  The output rows use the typed change schema of
+`changes_full.apply_changes_full`, so the two compose into the reference's
+read -> find tiles -> patch pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import math
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+GRID = 4294967296.0
+MAX_LAT = 85.0511287798066
+
+
+def _xy_of(lon: float, lat: float) -> tuple[int, int]:
+    x = int(round(lon / 360.0 * GRID))
+    lat = max(min(lat, MAX_LAT), -MAX_LAT)
+    y = int(round(math.asinh(math.tan(math.radians(lat))) / (2.0 * math.pi) * GRID))
+    clamp = lambda v: max(-(1 << 31), min((1 << 31) - 1, v))  # noqa: E731
+    return clamp(x), clamp(y)
+
+
+def parse_osc(data: bytes, seq_base: int = 0) -> Iterator[dict]:
+    """Parse one OsmChange document (raw or gzip'd bytes) into typed change
+    records.  Yields dicts matching changes_full.CHANGE_SCHEMA_FULL:
+    {op, ftype, id, version, x, y, tags, refs, members, seq}.  `seq` is
+    seq_base + document position — OsmChange files are ordered, and a
+    distributed shuffle preserves no row order, so the order must travel
+    WITH the record (same rule as the JSON change stream)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    op = None
+    seq = seq_base
+    # iterparse start events track the enclosing <create>/<modify>/<delete>;
+    # end events emit a completed feature and free its subtree
+    for event, el in ET.iterparse(io.BytesIO(data), events=("start", "end")):
+        if event == "start":
+            if el.tag in ("create", "modify"):
+                op = "upsert"
+            elif el.tag == "delete":
+                op = "delete"
+            continue
+        if el.tag in ("create", "modify", "delete"):
+            op = None
+            el.clear()
+            continue
+        if el.tag not in ("node", "way", "relation") or op is None:
+            continue
+        rec: dict = {
+            "op": op,
+            "ftype": el.tag[0] if el.tag != "relation" else "r",
+            "id": int(el.get("id")),
+            "version": int(el.get("version", "1")),
+            "x": None,
+            "y": None,
+            "tags": None,
+            "refs": None,
+            "members": None,
+            "seq": seq,
+        }
+        seq += 1
+        if op != "delete":
+            if el.tag == "node":
+                rec["x"], rec["y"] = _xy_of(
+                    float(el.get("lon")), float(el.get("lat"))
+                )
+            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+            rec["tags"] = tags or None
+            if el.tag == "way":
+                rec["refs"] = [int(nd.get("ref")) for nd in el.findall("nd")]
+            elif el.tag == "relation":
+                rec["members"] = [
+                    {
+                        "mtype": m.get("type"),
+                        "ref": int(m.get("ref")),
+                        "role": m.get("role") or "",
+                    }
+                    for m in el.findall("member")
+                ]
+        yield rec
+        el.clear()
+
+
+def osc_to_changes(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed OsmChange parse: binaryFile scan over `path` (glob ok,
+    .osc and .osc.gz), each file parsed in a mapInPandas worker.  Files are
+    ordered by name (minutely diffs sort chronologically): file rank *
+    2^32 + in-file position = the global `seq`, so later diffs beat
+    earlier ones in the merge's winner-per-id rule."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .withColumn(
+            "frank",
+            F.row_number().over(Window.orderBy("path")).cast("long") - 1,
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content, rank in zip(pdf["content"], pdf["frank"]):
+                rows.extend(parse_osc(bytes(content), seq_base=int(rank) << 32))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "op", "ftype", "id", "version", "x", "y",
+                    "tags", "refs", "members", "seq",
+                ],
+            )
+
+    from .changes_full import CHANGE_SCHEMA_FULL
+
+    return files.mapInPandas(run, CHANGE_SCHEMA_FULL)
+
+
+def stage_osc(spark: SparkSession, osc_glob: str, changes_dir: str) -> int:
+    """Convert OsmChange file(s) into JSON-lines change files under
+    `changes_dir` — the file-source feed of apply_changes_full's stream
+    (the reference's Updater reads the .osc directly; the Spark stream
+    wants a replayable JSON source directory).  Returns the record count."""
+    df = osc_to_changes(spark, osc_glob)
+    df.write.mode("append").json(changes_dir)
+    return df.count()

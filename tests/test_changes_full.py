@@ -1,0 +1,402 @@
+"""Full-fidelity change stream (A10 complete): typed node/way/relation
+changes with tag payloads, OsmChange XML ingestion, and the dirty-closure
+cascade — a node move re-runs its parent ways' C2 spread and re-piles
+affected relations transitively, rewriting ONLY the affected piles.
+
+Reference parity: update/ChangeReader.java (XML -> records),
+update/Updater.java + TileFinder/FeatureFinder (dirty closure),
+tiles/TagTableBuilder.java:309 (tag diff/merge semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from gol_tool_spark.streaming import changes_full as CF
+from gol_tool_spark.streaming import osc as OSC
+
+PILE_W = 1 << 29  # zoom-3 cell width on the int-Mercator grid
+
+
+def px(cell: int, off: int = 1000) -> int:
+    """x inside zoom-3 column `cell` (0..7 maps to -4..3)."""
+    return (cell - 4) * PILE_W + off
+
+
+def write_changes(tmp_path, name: str, recs: list[dict]) -> str:
+    d = tmp_path / "changes"
+    d.mkdir(exist_ok=True)
+    with open(d / name, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def run_merge(spark, changes_dir: str, store: str, ckpt: str) -> None:
+    q = CF.apply_changes_full(spark, changes_dir, store, ckpt)
+    q.awaitTermination(180)
+
+
+def pile_files(root: str) -> dict[str, dict[str, int]]:
+    out = {}
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("pile="):
+            continue
+        files = {}
+        pd_ = os.path.join(root, d)
+        for f in os.listdir(pd_):
+            if f.startswith(("_", ".")):
+                continue
+            files[f] = os.stat(os.path.join(pd_, f)).st_mtime_ns
+        out[d] = files
+    return out
+
+
+def node_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, x long, y long, tags map<string,string>"
+    )
+
+
+def way_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, refs array<long>, tags map<string,string>"
+    )
+
+
+def rel_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id long, members array<struct<mtype:string,ref:long,role:string>>, "
+        "tags map<string,string>",
+    )
+
+
+def base_store(spark, store: str):
+    """n1(cell0) n2(cell1) n3(cell5); w1=[n1,n2] spread {p0,p1};
+    w2=[n3] spread {p5}; r1=[n1, w1]; r2=[r1] (super)."""
+    nodes = node_df(
+        spark,
+        [
+            (1, px(0), 1000, {"name": "a"}),
+            (2, px(1), 1000, {"name": "b"}),
+            (3, px(5), 1000, None),
+        ],
+    )
+    ways = way_df(
+        spark, [(10, [1, 2], {"highway": "x"}), (11, [3], {"highway": "y"})]
+    )
+    rels = rel_df(
+        spark,
+        [
+            (20, [("node", 1, "stop"), ("way", 10, "")], {"type": "route"}),
+            (21, [("relation", 20, "")], {"type": "super"}),
+        ],
+    )
+    CF.write_full_store(nodes, ways, rels, store)
+    return nodes, ways, rels
+
+
+def read_kind(spark, store, kind):
+    return CF.read_store(spark, store, kind)
+
+
+class TestFullStoreBulk:
+    def test_way_spread_and_rel_piles(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        ways = read_kind(spark, store, "ways")
+        spread = {
+            (r.id, r.pile) for r in ways.select("id", "pile").collect()
+        }
+        piles_of = lambda wid: {p for (i, p) in spread if i == wid}  # noqa: E731
+        assert len(piles_of(10)) == 2  # w1 spans two piles
+        assert len(piles_of(11)) == 1
+        rels = read_kind(spark, store, "relations")
+        rp = {r.id: r.pile for r in rels.collect()}
+        # r1 = min over member piles; super r2 inherits through fixed point
+        assert rp[21] == rp[20]
+        nodes = read_kind(spark, store, "nodes")
+        n1_pile = nodes.filter(F.col("id") == 1).collect()[0].pile
+        assert rp[20] == min(piles_of(10) | {n1_pile})
+
+
+class TestNodeMoveRetilesWay:
+    def test_move_across_pile_boundary(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        before_ways = pile_files(os.path.join(store, "ways"))
+        before_nodes = pile_files(os.path.join(store, "nodes"))
+
+        ways0 = read_kind(spark, store, "ways")
+        old_spread = {r.pile for r in ways0.filter(F.col("id") == 10).collect()}
+
+        # move n1 from cell0 to cell3 — crosses a zoom-3 pile boundary
+        changes = write_changes(
+            tmp_path,
+            "c1.json",
+            [
+                {
+                    "op": "upsert", "ftype": "n", "id": 1, "version": 2,
+                    "x": px(3), "y": 1000, "tags": {"name": "a"}, "seq": 1,
+                }
+            ],
+        )
+        run_merge(spark, changes, store, str(tmp_path / "ck"))
+
+        nodes = read_kind(spark, store, "nodes")
+        n1 = nodes.filter(F.col("id") == 1).collect()[0]
+        assert n1.x == px(3)
+        ways = read_kind(spark, store, "ways")
+        new_spread = {r.pile for r in ways.filter(F.col("id") == 10).collect()}
+        assert new_spread != old_spread  # the parent way re-tiled
+        assert len(new_spread) == 2
+        # w2 (pile of n3) untouched: same files, same mtimes
+        after_ways = pile_files(os.path.join(store, "ways"))
+        after_nodes = pile_files(os.path.join(store, "nodes"))
+        n3_pile = nodes.filter(F.col("id") == 3).collect()[0].pile
+        assert after_ways[f"pile={n3_pile}"] == before_ways[f"pile={n3_pile}"]
+        assert after_nodes[f"pile={n3_pile}"] == before_nodes[f"pile={n3_pile}"]
+
+        # rebuild-equivalence oracle: a from-scratch store over the mutated
+        # input must equal the incrementally merged store, table by table
+        store2 = str(tmp_path / "s2")
+        nodes2 = node_df(
+            spark,
+            [
+                (1, px(3), 1000, {"name": "a"}),
+                (2, px(1), 1000, {"name": "b"}),
+                (3, px(5), 1000, None),
+            ],
+        )
+        ways2 = way_df(
+            spark, [(10, [1, 2], {"highway": "x"}), (11, [3], {"highway": "y"})]
+        )
+        rels2 = rel_df(
+            spark,
+            [
+                (20, [("node", 1, "stop"), ("way", 10, "")], {"type": "route"}),
+                (21, [("relation", 20, "")], {"type": "super"}),
+            ],
+        )
+        CF.write_full_store(nodes2, ways2, rels2, store2)
+        for kind in ("nodes", "ways", "relations"):
+            a = read_kind(spark, store, kind)
+            b = read_kind(spark, store2, kind)
+            cols = [c for c in a.columns if c not in ("tags", "members")]
+            got = sorted(tuple(r) for r in a.select(*cols).collect())
+            want = sorted(tuple(r) for r in b.select(*cols).collect())
+            assert got == want, kind
+            # tags compared as sorted entry lists (map order is undefined)
+            ga = sorted(
+                (r.id, sorted((r.tags or {}).items()))
+                for r in a.select("id", "tags").collect()
+            )
+            gb = sorted(
+                (r.id, sorted((r.tags or {}).items()))
+                for r in b.select("id", "tags").collect()
+            )
+            assert ga == gb, kind
+
+    def test_relation_and_super_repile(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        rels0 = {r.id: r.pile for r in read_kind(spark, store, "relations").collect()}
+        # move BOTH w1 nodes and n1 far east -> r1's min member pile changes,
+        # r2 (super) must follow through the transitive dirty closure
+        changes = write_changes(
+            tmp_path,
+            "c1.json",
+            [
+                {"op": "upsert", "ftype": "n", "id": 1, "version": 2,
+                 "x": px(6), "y": 1000, "tags": {"name": "a"}, "seq": 1},
+                {"op": "upsert", "ftype": "n", "id": 2, "version": 2,
+                 "x": px(7), "y": 1000, "tags": {"name": "b"}, "seq": 2},
+            ],
+        )
+        run_merge(spark, changes, store, str(tmp_path / "ck"))
+        rels = {r.id: r.pile for r in read_kind(spark, store, "relations").collect()}
+        assert rels[20] != rels0[20]
+        assert rels[21] == rels[20]  # super-relation followed
+
+
+class TestTagSemantics:
+    def test_replace_and_patch(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        # modify = full replace (merge(old, diff(old, new)) == new)
+        c1 = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "upsert", "ftype": "n", "id": 1, "version": 2,
+              "x": px(0), "y": 1000,
+              "tags": {"amenity": "cafe", "name": "a2"}, "seq": 1}],
+        )
+        run_merge(spark, c1, store, str(tmp_path / "ck"))
+        n1 = read_kind(spark, store, "nodes").filter(F.col("id") == 1).collect()[0]
+        assert dict(n1.tags) == {"amenity": "cafe", "name": "a2"}
+        # patch = bare diff: null value deletes a key, others upsert;
+        # x/y omitted -> coordinates carried forward
+        c2 = write_changes(
+            tmp_path, "c2.json",
+            [{"op": "patch", "ftype": "n", "id": 1, "version": 3,
+              "tags": {"name": None, "cuisine": "it"}, "seq": 2}],
+        )
+        run_merge(spark, c2, store, str(tmp_path / "ck"))
+        n1 = read_kind(spark, store, "nodes").filter(F.col("id") == 1).collect()[0]
+        assert dict(n1.tags) == {"amenity": "cafe", "cuisine": "it"}
+        assert n1.x == px(0)
+
+    def test_way_tag_update_keeps_refs(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "patch", "ftype": "w", "id": 10, "version": 2,
+              "tags": {"highway": "primary"}, "seq": 1}],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        w = (
+            read_kind(spark, store, "ways")
+            .filter(F.col("id") == 10)
+            .collect()
+        )
+        assert all(dict(r.tags) == {"highway": "primary"} for r in w)
+        assert all(list(r.refs) == [1, 2] for r in w)
+        assert len(w) == 2  # spread unchanged
+
+
+class TestCascades:
+    def test_delete_node_shrinks_way_spread(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "delete", "ftype": "n", "id": 2, "version": 2, "seq": 1}],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        nodes = read_kind(spark, store, "nodes")
+        assert nodes.filter(F.col("id") == 2).count() == 0
+        spread = {
+            r.pile
+            for r in read_kind(spark, store, "ways")
+            .filter(F.col("id") == 10)
+            .collect()
+        }
+        assert len(spread) == 1  # only n1's pile remains
+
+    def test_way_created_before_its_node(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c1 = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "upsert", "ftype": "w", "id": 12, "version": 1,
+              "refs": [99], "tags": {"highway": "z"}, "seq": 1}],
+        )
+        run_merge(spark, c1, store, str(tmp_path / "ck"))
+        w12 = read_kind(spark, store, "ways").filter(F.col("id") == 12).collect()
+        assert [r.pile for r in w12] == [CF.PURGATORY]
+        # the missing node arrives in a later batch: the node_ways index
+        # (which records unresolved refs too) re-dirties the way
+        c2 = write_changes(
+            tmp_path, "c2.json",
+            [{"op": "upsert", "ftype": "n", "id": 99, "version": 1,
+              "x": px(2), "y": 1000, "seq": 2}],
+        )
+        run_merge(spark, c2, store, str(tmp_path / "ck"))
+        w12 = read_kind(spark, store, "ways").filter(F.col("id") == 12).collect()
+        assert len(w12) == 1 and w12[0].pile != CF.PURGATORY
+
+    def test_delete_way_and_relation(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [
+                {"op": "delete", "ftype": "w", "id": 11, "version": 2, "seq": 1},
+                {"op": "delete", "ftype": "r", "id": 21, "version": 2, "seq": 2},
+            ],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        assert (
+            read_kind(spark, store, "ways").filter(F.col("id") == 11).count() == 0
+        )
+        assert (
+            read_kind(spark, store, "relations").filter(F.col("id") == 21).count()
+            == 0
+        )
+        # r1 survives untouched
+        assert (
+            read_kind(spark, store, "relations").filter(F.col("id") == 20).count()
+            == 1
+        )
+
+
+class TestOscReader:
+    OSC = b"""<?xml version='1.0' encoding='UTF-8'?>
+<osmChange version="0.6">
+ <create>
+  <node id="100" version="1" lat="0.001" lon="0.001">
+   <tag k="name" v="Marks &amp; Spencer"/>
+  </node>
+  <way id="200" version="1">
+   <nd ref="100"/><nd ref="101"/>
+   <tag k="highway" v="residential"/>
+  </way>
+ </create>
+ <modify>
+  <relation id="300" version="2">
+   <member type="way" ref="200" role="outer"/>
+   <member type="node" ref="100" role=""/>
+   <tag k="type" v="multipolygon"/>
+  </relation>
+ </modify>
+ <delete>
+  <node id="101" version="3"/>
+ </delete>
+</osmChange>"""
+
+    def test_parse_osc(self):
+        recs = list(OSC.parse_osc(self.OSC))
+        assert [r["op"] for r in recs] == ["upsert", "upsert", "upsert", "delete"]
+        assert [r["ftype"] for r in recs] == ["n", "w", "r", "n"]
+        node = recs[0]
+        assert node["tags"] == {"name": "Marks & Spencer"}
+        assert node["x"] == round(0.001 / 360.0 * 4294967296.0)
+        way = recs[1]
+        assert way["refs"] == [100, 101]
+        rel = recs[2]
+        assert rel["members"][0] == {"mtype": "way", "ref": 200, "role": "outer"}
+        assert [r["seq"] for r in recs] == [0, 1, 2, 3]
+
+    def test_parse_osc_gzip(self):
+        import gzip
+
+        recs = list(OSC.parse_osc(gzip.compress(self.OSC)))
+        assert len(recs) == 4
+
+    def test_distributed_parse_and_stage(self, spark, tmp_path):
+        oscdir = tmp_path / "osc"
+        oscdir.mkdir()
+        (oscdir / "000001.osc").write_bytes(self.OSC)
+        df = OSC.osc_to_changes(spark, str(oscdir))
+        rows = df.orderBy("seq").collect()
+        assert len(rows) == 4
+        assert rows[1].refs == [100, 101]
+        assert rows[2].members[0].asDict() == {
+            "mtype": "way", "ref": 200, "role": "outer",
+        }
+        # end-to-end: stage to JSON, merge into a fresh store
+        changes_dir = str(tmp_path / "staged")
+        n = OSC.stage_osc(spark, str(oscdir), changes_dir)
+        assert n == 4
+        store = str(tmp_path / "s")
+        run_merge(spark, changes_dir, store, str(tmp_path / "ck"))
+        nodes = CF.read_store(spark, store, "nodes")
+        assert nodes.count() == 1  # 100 created (101 deleted, never existed)
+        n100 = nodes.collect()[0]
+        assert dict(n100.tags) == {"name": "Marks & Spencer"}
+        ways = CF.read_store(spark, store, "ways")
+        assert ways.filter(F.col("id") == 200).count() >= 1
