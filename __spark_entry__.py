@@ -682,11 +682,65 @@ def q_ways_geojson(spark, sf_dir):
 
 
 def q_ways_xml(spark, sf_dir):
-    """A9 non-point sink: <way> XML with ordered <nd> children
-    (OsmXmlFeaturePrinter way branch)."""
+    """A9 non-point sink: <way> XML with ordered <nd> children AND <tag>
+    children carrying hostile values (& " < > ' + unicode) — the escaping
+    path (OsmXmlFeaturePrinter.java:151-160 way branch + EscapeXml.java:
+    15-31) is oracle-checked to the byte."""
     from gol_tool_spark.sinks import writers
 
-    return writers.osm_xml_way_format(synth.membership_df(spark, sf_dir))
+    mem = synth.membership_df(spark, sf_dir)
+    tags_df = mem.select("way_id").distinct().select(
+        "way_id",
+        F.create_map(
+            F.lit("name"),
+            F.concat(
+                F.lit('W&"<\'> '), F.col("way_id").cast("string"), F.lit(" é")
+            ),
+        ).alias("tags"),
+    )
+    return writers.osm_xml_way_format(mem, tags_df=tags_df)
+
+
+def q_rels_xml(spark, sf_dir):
+    """A9: <relation> XML with ordered <member> children (hostile roles,
+    escaped) and <tag> children (OsmXmlFeaturePrinter.java:161-177)."""
+    from gol_tool_spark.sinks import writers
+
+    orders = _read(spark, sf_dir, "orders")
+    members = orders.select(
+        F.col("o_custkey").alias("rel_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit("way").alias("mtype"),
+        F.col("o_orderkey").alias("ref"),
+        F.concat(F.lit('r&"<'), F.col("o_orderkey").cast("string"), F.lit(">'")).alias(
+            "role"
+        ),
+    )
+    tags_df = members.select("rel_id").distinct().select(
+        "rel_id",
+        F.create_map(F.lit("type"), F.lit('route&"x')).alias("tags"),
+    )
+    return writers.osm_xml_relation_format(members, tags_df=tags_df)
+
+
+def q_geom_collection(spark, sf_dir):
+    """A9: GeometryCollection Feature per mixed-member relation
+    (GeoJsonFeaturePrinter.java:87-143) — member Point geometries grouped
+    under one relation, ordered by member seq."""
+    from gol_tool_spark.sinks import writers
+
+    pts = _points(spark, sf_dir).filter(F.col("id") % 199 == 0)
+    geom = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        writers._lon_str(F.col("x")), F.lit(","),
+        writers._lat_str(F.col("y")), F.lit("]}"),
+    )
+    members = pts.select(
+        (F.col("id") % 7).alias("rel_id"),
+        F.col("id").alias("seq"),
+        geom.alias("geom_json"),
+    )
+    return writers.geojson_geometrycollection_format(members)
 
 
 def q_way_quads(spark, sf_dir):  # oracle: recursive-CTE zoom-out in oracle_sql()
@@ -712,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_assembly": q_way_assembly,
         "ways_geojson": q_ways_geojson,
         "ways_xml": q_ways_xml,
+        "rels_xml": q_rels_xml,
+        "geom_collection": q_geom_collection,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
@@ -776,6 +832,23 @@ _HALF = 1 << 31
 
 def _with_points(body: str) -> str:
     return f"WITH pts AS ({_PTS}), t12 AS ({_T12}) {body}"
+
+
+def _esc_sql(expr: str) -> str:
+    """DuckDB twin of writers.xml_escape — same entity set, same order
+    ('&' first) as EscapeXml.java:15-31, so escaped bytes hash-match."""
+    e = expr
+    e = f"replace({e}, '&', '&amp;')"
+    e = f"replace({e}, '<', '&lt;')"
+    e = f"replace({e}, '>', '&gt;')"
+    e = f"replace({e}, '\"', '&quot;')"
+    return f"replace({e}, chr(39), '&apos;')"
+
+
+# raw (pre-escape) hostile tag value / role, as DuckDB expressions — the
+# Spark twins live in q_ways_xml / q_rels_xml
+_WAY_NAME_SQL = "('W&\"<' || chr(39) || '> ' || way_id || ' é')"
+_REL_ROLE_SQL = "('r&\"<' || o_orderkey || '>' || chr(39))"
 
 
 def _rollup_cte() -> str:
@@ -931,8 +1004,32 @@ def oracle_sql() -> dict[str, str]:
             f"WITH mem AS ({_MEM}), nds AS ("
             "SELECT way_id, string_agg('  <nd ref=\"' || node_ref || '\"/>' || chr(10), "
             "'' ORDER BY seq, CAST(node_ref AS VARCHAR)) AS nds FROM mem GROUP BY way_id) "
-            "SELECT '<way id=\"' || way_id || '\">' || chr(10) || nds || '</way>' AS xml "
-            "FROM nds"
+            "SELECT '<way id=\"' || way_id || '\">' || chr(10) || nds "
+            "|| '  <tag k=\"name\" v=\"' "
+            f"|| {_esc_sql(_WAY_NAME_SQL)} "
+            "|| '\"/>' || chr(10) || '</way>' AS xml FROM nds"
+        ),
+        "rels_xml": (
+            "WITH ms AS (SELECT o_custkey AS rel_id, o_orderkey AS seq, "
+            "'  <member type=\"way\" ref=\"' || o_orderkey || '\" role=\"' "
+            f"|| {_esc_sql(_REL_ROLE_SQL)} "
+            "|| '\"/>' || chr(10) AS s FROM orders), "
+            "agg AS (SELECT rel_id, string_agg(s, '' ORDER BY seq) AS ms FROM ms GROUP BY rel_id) "
+            "SELECT '<relation id=\"' || rel_id || '\">' || chr(10) || ms "
+            "|| '  <tag k=\"type\" v=\"route&amp;&quot;x\"/>' || chr(10) || '</relation>' AS xml FROM agg"
+        ),
+        "geom_collection": _with_points(
+            ", sel AS (SELECT id, x, y FROM t12 WHERE id % 199 = 0), g AS ("
+            "SELECT id % 7 AS rel_id, id AS seq, "
+            "'{\"type\":\"Point\",\"coordinates\":[' "
+            "|| CAST(round(x/4294967296.0*360.0, 7) AS DECIMAL(11,7))::VARCHAR || ',' "
+            "|| CAST(round(degrees(atan((exp(y/4294967296.0*(2*pi())) "
+            "- exp(-(y/4294967296.0*(2*pi()))))/2)), 7) AS DECIMAL(11,7))::VARCHAR "
+            "|| ']}' AS gs FROM sel), "
+            "agg AS (SELECT rel_id, string_agg(gs, ',' ORDER BY seq) AS gs FROM g GROUP BY rel_id) "
+            "SELECT '{\"type\":\"Feature\",\"id\":' || rel_id "
+            "|| ',\"geometry\":{\"type\":\"GeometryCollection\",\"geometries\":[' || gs "
+            "|| ']},\"properties\":{}}' AS feature FROM agg"
         ),
         "purgatory": _with_points(
             f", mem AS ({_MEM}) "

@@ -12,11 +12,44 @@ reference's CoordinateTransformer.FromMercator.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 GRID = 4294967296.0
+
+
+def xml_escape(c: Column) -> Column:
+    """XML attribute/text escaping (EscapeXml.java:15-31): the reference
+    escapes & < > \" ' in every attribute value it writes.  OSM tag keys,
+    values and roles are free text — `name=Marks & Spencer` must come out
+    as `Marks &amp; Spencer` or the document is malformed.  Chained
+    JVM-side replaces ('&' first, so entities aren't double-escaped)."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    return F.replace(c, F.lit("'"), F.lit("&apos;"))
+
+
+def _tag_children_xml(tags: Column) -> Column:
+    """map<string,string> -> '  <tag k=".." v=".."/>\n' * N with escaped
+    attributes (OsmXmlFeaturePrinter.printTags, shared by the node, way and
+    relation branches — OsmXmlFeaturePrinter.java:117-177)."""
+    return F.when(
+        tags.isNotNull() & (F.size(tags) > 0),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.map_entries(tags),
+                lambda e: F.concat(
+                    F.lit('  <tag k="'), xml_escape(e["key"]),
+                    F.lit('" v="'), xml_escape(e["value"]), F.lit('"/>\n'),
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
 
 
 def lon_of(x: Column, precision: int = 7) -> Column:
@@ -132,21 +165,68 @@ def write_geojsonl(df: DataFrame, path: str, id_col: str = "id") -> None:
     geojson_format(df, id_col).write.mode("overwrite").text(path)
 
 
+def write_geojson_collection(features: DataFrame, out_file: str) -> int:
+    """Wrapped GEOJSON (GeoJsonFeaturePrinter.java:42-57): the reference
+    emits both line-delimited GEOJSONL and a single FeatureCollection
+    document.  The features themselves are produced by the DISTRIBUTED
+    formatters (one JSON object per row, any of geojson_format /
+    geojson_way_format / geojson_polygon_format output); this sink writes
+    the part files distributed, then stitches header + comma-joined
+    features + footer on the driver as a pure streaming copy (O(bytes)
+    sequential I/O, no parse, no row materialization).  Returns the
+    feature count."""
+    col = features.columns[0]
+    parts_dir = out_file + "_parts"
+    features.select(F.col(col)).write.mode("overwrite").text(parts_dir)
+    import glob as _glob
+
+    n = 0
+    with open(out_file, "w") as out:
+        out.write('{"type":"FeatureCollection","generator":"gol_tool_spark","features":[\n')
+        for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
+            with open(part) as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    out.write(",\n" if n else "")
+                    out.write("\t" + line)
+                    n += 1
+        out.write("\n]}\n")
+    return n
+
+
+def geojson_geometrycollection_format(
+    member_geoms: DataFrame, id_col: str = "rel_id", geom_col: str = "geom_json"
+) -> DataFrame:
+    """GEOJSONL Feature with a GeometryCollection geometry for MIXED-member
+    relations (GeoJsonFeaturePrinter.java:87-143: a relation that is not a
+    polygon area prints the collection of its members' geometries).
+    member_geoms: one row per member (rel_id, seq, geom_json) where
+    geom_json is an already-rendered member geometry object (Point /
+    LineString / Polygon from the sibling formatters).  Ordered by seq;
+    per-relation member counts are bounded, so the collect_list stays
+    small.  All string building JVM-side."""
+    g = F.struct(F.col("seq"), F.col(geom_col).alias("s"))
+    per_rel = member_geoms.groupBy(id_col).agg(
+        F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_list(g)), lambda e: e["s"])
+        ).alias("gs")
+    )
+    return per_rel.select(
+        F.concat(
+            F.lit('{"type":"Feature","id":'), F.col(id_col).cast("string"),
+            F.lit(',"geometry":{"type":"GeometryCollection","geometries":['),
+            F.col("gs"), F.lit(']},"properties":{}}'),
+        ).alias("feature")
+    )
+
+
 def osm_xml_format(df: DataFrame, id_col: str = "id", precision: int = 7) -> DataFrame:
     """XML (OSM) sink (OsmXmlFeaturePrinter parity): one <node> element per
-    row with tag children — string building stays distributed."""
-    tag_xml = F.when(
-        F.col("tags").isNotNull() & (F.size("tags") > 0),
-        F.concat_ws(
-            "",
-            F.transform(
-                F.map_entries(F.col("tags")),
-                lambda e: F.concat(
-                    F.lit('  <tag k="'), e["key"], F.lit('" v="'), e["value"], F.lit('"/>\n')
-                ),
-            ),
-        ),
-    ).otherwise(F.lit(""))
+    row with tag children — string building stays distributed; attribute
+    values escaped per EscapeXml.java."""
+    tag_xml = _tag_children_xml(F.col("tags"))
     return df.select(
         F.concat(
             F.lit('<node id="'), F.col(id_col).cast("string"),
@@ -428,52 +508,64 @@ def wkt_polygon_format(polys: DataFrame, precision: int = 7) -> DataFrame:
     return per_rel.select("rel_id", wkt.alias("wkt"))
 
 
-def osm_xml_way_format(membership: DataFrame, id_col: str = "way_id") -> DataFrame:
-    """XML <way> elements with ordered <nd ref=...> children
-    (OsmXmlFeaturePrinter way branch).  membership: (way_id, seq, node_ref)."""
+def osm_xml_way_format(
+    membership: DataFrame, id_col: str = "way_id", tags_df: DataFrame | None = None
+) -> DataFrame:
+    """XML <way> elements with ordered <nd ref=...> children and <tag>
+    children (OsmXmlFeaturePrinter.java:151-160 calls printTags for ways
+    too).  membership: (way_id, seq, node_ref); tags_df (optional): one row
+    per way (id_col, tags map) — joined in, attribute values escaped."""
     nd = F.struct(
         F.col("seq"),
         F.concat(F.lit('  <nd ref="'), F.col("node_ref").cast("string"), F.lit('"/>\n')).alias("s"),
     )
-    return (
-        membership.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(nd)), lambda e: e["s"])
-            ).alias("nds")
-        )
-        .select(
-            F.concat(
-                F.lit('<way id="'), F.col(id_col).cast("string"), F.lit('">\n'),
-                F.col("nds"), F.lit("</way>"),
-            ).alias("xml")
-        )
+    grouped = membership.groupBy(id_col).agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(nd)), lambda e: e["s"])
+        ).alias("nds")
+    )
+    if tags_df is not None:
+        grouped = grouped.join(tags_df.select(id_col, "tags"), id_col, "left")
+        tag_xml = _tag_children_xml(F.col("tags"))
+    else:
+        tag_xml = F.lit("")
+    return grouped.select(
+        F.concat(
+            F.lit('<way id="'), F.col(id_col).cast("string"), F.lit('">\n'),
+            F.col("nds"), tag_xml, F.lit("</way>"),
+        ).alias("xml")
     )
 
 
-def osm_xml_relation_format(members: DataFrame, id_col: str = "rel_id") -> DataFrame:
-    """XML <relation> elements with ordered <member> children
-    (OsmXmlFeaturePrinter relation branch).  members: (rel_id, seq, mtype,
-    ref, role) — relations.split_members output."""
+def osm_xml_relation_format(
+    members: DataFrame, id_col: str = "rel_id", tags_df: DataFrame | None = None
+) -> DataFrame:
+    """XML <relation> elements with ordered <member> children and <tag>
+    children (OsmXmlFeaturePrinter.java:161-177).  members: (rel_id, seq,
+    mtype, ref, role) — relations.split_members output; tags_df (optional):
+    (id_col, tags map).  Roles are free text — escaped per EscapeXml."""
     me = F.struct(
         F.col("seq"),
         F.concat(
             F.lit('  <member type="'), F.col("mtype"),
             F.lit('" ref="'), F.col("ref").cast("string"),
-            F.lit('" role="'), F.coalesce(F.col("role"), F.lit("")), F.lit('"/>\n'),
+            F.lit('" role="'), xml_escape(F.coalesce(F.col("role"), F.lit(""))),
+            F.lit('"/>\n'),
         ).alias("s"),
     )
-    return (
-        members.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(me)), lambda e: e["s"])
-            ).alias("ms")
-        )
-        .select(
-            F.concat(
-                F.lit('<relation id="'), F.col(id_col).cast("string"), F.lit('">\n'),
-                F.col("ms"), F.lit("</relation>"),
-            ).alias("xml")
-        )
+    grouped = members.groupBy(id_col).agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(me)), lambda e: e["s"])
+        ).alias("ms")
+    )
+    if tags_df is not None:
+        grouped = grouped.join(tags_df.select(id_col, "tags"), id_col, "left")
+        tag_xml = _tag_children_xml(F.col("tags"))
+    else:
+        tag_xml = F.lit("")
+    return grouped.select(
+        F.concat(
+            F.lit('<relation id="'), F.col(id_col).cast("string"), F.lit('">\n'),
+            F.col("ms"), tag_xml, F.lit("</relation>"),
+        ).alias("xml")
     )

@@ -163,6 +163,69 @@ class TestExtraSinks:
         html = writers.map_html(df)
         assert html.startswith("<!DOCTYPE html>") and "[0.0,0.0]" in html
 
+    def test_xml_escaping_hostile_values(self, spark):
+        """EscapeXml.java:15-31: & < > \" ' in tag keys/values and member
+        roles must come out entity-escaped on every XML element kind."""
+        df = spark.createDataFrame(
+            [(1, 0, 0, {"na<me>": 'M&"s\''})],
+            "id long, x long, y long, tags map<string,string>",
+        )
+        xml = writers.osm_xml_format(df).first().xml
+        assert '<tag k="na&lt;me&gt;" v="M&amp;&quot;s&apos;"/>' in xml
+        assert "M&\"" not in xml
+        mem = spark.createDataFrame(
+            [(10, 1, 100), (10, 2, 101)], "way_id long, seq int, node_ref long"
+        )
+        wtags = spark.createDataFrame(
+            [(10, {"name": "A&B"})], "way_id long, tags map<string,string>"
+        )
+        wxml = writers.osm_xml_way_format(mem, tags_df=wtags).first().xml
+        assert '<nd ref="100"/>' in wxml and '<tag k="name" v="A&amp;B"/>' in wxml
+        members = spark.createDataFrame(
+            [(20, 1, "way", 10, 'out"er&')],
+            "rel_id long, seq int, mtype string, ref long, role string",
+        )
+        rtags = spark.createDataFrame(
+            [(20, {"type": "route"})], "rel_id long, tags map<string,string>"
+        )
+        rxml = writers.osm_xml_relation_format(members, tags_df=rtags).first().xml
+        assert 'role="out&quot;er&amp;"' in rxml
+        assert '<tag k="type" v="route"/>' in rxml
+
+    def test_geojson_feature_collection_wrapper(self, spark, tmp_path):
+        """GeoJsonFeaturePrinter.java:42-57: wrapped FeatureCollection
+        around the distributed GEOJSONL parts, parse-valid JSON."""
+        import json
+
+        df = spark.createDataFrame(
+            [(i, i * 1000, -i * 1000) for i in range(25)], "id long, x long, y long"
+        ).repartition(4)
+        feats = writers.geojson_format(df)
+        out = str(tmp_path / "fc.geojson")
+        n = writers.write_geojson_collection(feats, out)
+        doc = json.load(open(out))
+        assert doc["type"] == "FeatureCollection"
+        assert n == 25 and len(doc["features"]) == 25
+        assert {f["id"] for f in doc["features"]} == set(range(25))
+
+    def test_geometry_collection_for_mixed_relations(self, spark):
+        """GeoJsonFeaturePrinter.java:87-143: a non-area relation prints a
+        GeometryCollection of its members' geometries, member order kept."""
+        import json
+
+        members = spark.createDataFrame(
+            [
+                (5, 2, '{"type":"Point","coordinates":[1.0000000,2.0000000]}'),
+                (5, 1, '{"type":"LineString","coordinates":[[0.0000000,0.0000000],[1.0000000,1.0000000]]}'),
+            ],
+            "rel_id long, seq int, geom_json string",
+        )
+        feat = writers.geojson_geometrycollection_format(members).first().feature
+        doc = json.loads(feat)
+        assert doc["geometry"]["type"] == "GeometryCollection"
+        kinds = [g["type"] for g in doc["geometry"]["geometries"]]
+        assert kinds == ["LineString", "Point"]  # seq order, not input order
+
 
 class TestWindowedStreaming:
     def test_tumbling_counts(self, spark, tmp_path):
