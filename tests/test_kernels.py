@@ -221,6 +221,74 @@ class TestSegmentIntersect:
         )
 
 
+class TestBatchPolylineIntersect:
+    """round-2 VERDICT item 7: the batched kernel must agree with the
+    per-way scalar kernel bit-for-bit and beat it >=3x on 10k ways."""
+
+    SQ = np.array([[0, 0], [100, 0], [100, 100], [0, 100]])
+    HOLE = np.array([[20, 20], [80, 20], [80, 80], [20, 80]])
+
+    @staticmethod
+    def _random_ways(n, rng, lo=-150, hi=250):
+        flat_x, flat_y, offsets, ways = [], [], [0], []
+        for _ in range(n):
+            m = int(rng.integers(2, 8))
+            xs = rng.integers(lo, hi, m).astype(np.int64)
+            ys = rng.integers(lo, hi, m).astype(np.int64)
+            ways.append((xs, ys))
+            flat_x.extend(xs)
+            flat_y.extend(ys)
+            offsets.append(offsets[-1] + m)
+        return (
+            ways,
+            np.array(flat_x, np.int64),
+            np.array(flat_y, np.int64),
+            np.array(offsets, np.int64),
+        )
+
+    def test_matches_scalar(self):
+        from gol_tool_spark.kernels import geometry as G
+
+        rng = np.random.default_rng(7)
+        ways, fx, fy, off = self._random_ways(300, rng)
+        got = G.polylines_intersect_polygon(fx, fy, off, self.SQ, [self.HOLE])
+        want = np.array(
+            [
+                G.polyline_intersects_polygon(xs, ys, self.SQ, [self.HOLE])
+                for xs, ys in ways
+            ]
+        )
+        assert np.array_equal(got, want)
+        assert got.any() and not got.all()  # both classes exercised
+
+    def test_chunking_is_invariant(self):
+        from gol_tool_spark.kernels import geometry as G
+
+        rng = np.random.default_rng(11)
+        _, fx, fy, off = self._random_ways(100, rng)
+        a = G.polylines_intersect_polygon(fx, fy, off, self.SQ, [self.HOLE])
+        b = G.polylines_intersect_polygon(
+            fx, fy, off, self.SQ, [self.HOLE], pair_budget=64
+        )
+        assert np.array_equal(a, b)
+
+    def test_batch_beats_scalar_3x_on_10k_ways(self):
+        import time
+
+        from gol_tool_spark.kernels import geometry as G
+
+        rng = np.random.default_rng(3)
+        ways, fx, fy, off = self._random_ways(10_000, rng)
+        t0 = time.perf_counter()
+        G.polylines_intersect_polygon(fx, fy, off, self.SQ, [self.HOLE])
+        batch_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for xs, ys in ways:
+            G.polyline_intersects_polygon(xs, ys, self.SQ, [self.HOLE])
+        scalar_s = time.perf_counter() - t0
+        assert batch_s * 3 <= scalar_s, (batch_s, scalar_s)
+
+
 class TestMortonInvariants:
     @given(x=COORD, y=COORD)
     @settings(max_examples=150, deadline=None)

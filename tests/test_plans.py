@@ -73,6 +73,16 @@ class TestPlanShapes:
         assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan  # cell join, not all-pairs
 
+    def test_knn_exact_residue_is_broadcast(self, spark, pts):
+        """round-2 VERDICT 'What's wrong' #2: the exact fallback for
+        unconverged queries must broadcast the residue (nested-loop over
+        the points table), never an unbroadcast cartesian shuffle."""
+        q = spark.createDataFrame([(1, 0, 0)], "qid long, qx long, qy long")
+        df = spatial_query.knn_join(pts, q, k=3, levels=(1,), exact=True)
+        plan = plan_of(df, mode="simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
     def test_store_scan_pushdown_and_pruning(self, spark, sf_dir, tmp_path):
         from gol_tool_spark.plans import build_pipeline as BP
 
