@@ -103,11 +103,25 @@ def main():
     timed("q1_pricing", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity"), F.sum(cents * (100 - disc)), F.count(F.lit(1))).collect())
 
-    # -- training-data ops
+    # -- training-data ops (driver tables: capped at 5k docs even at sf0.1)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, n=3, threshold=0.3).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("ann_cosine", lambda: ann.cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count())
+
+    # -- training-data ops at sf-SCALED corpus size (50k docs at sf0.1):
+    # the driver tables are overhead-dominated; these entries measure the
+    # designs at a size where the plan shape is the cost (a *_500 twin of
+    # each gives the 500 -> n_corpus scaling ratio in one bench file)
+    n_corpus = synth.corpus_size(SF_DIR)
+    docs_500 = synth.documents_synth(spark, 500)
+    docs_syn = synth.documents_synth(spark, n_corpus)
+    emb_syn = synth.embeddings_synth(spark, n_corpus, dim=64)
+    timed("minhash_lsh_syn500", lambda: dedup.minhash_lsh_pairs(docs_500, n=3, threshold=0.3).count())
+    timed("minhash_lsh_syn", lambda: dedup.minhash_lsh_pairs(docs_syn, n=3, threshold=0.3).count())
+    timed("simhash_syn500", lambda: dedup.simhash_near_dups(docs_500, max_hamming=3, n=3).count())
+    timed("simhash_syn", lambda: dedup.simhash_near_dups(docs_syn, max_hamming=3, n=3).count())
+    timed("ann_lsh_syn", lambda: ann.ann_topk_lsh(emb_syn, [0, 1, 2, 3, 4], k=10, dim=64).count())
 
     # -- image payload pipeline (generate -> place -> verify)
     imgs = fixtures.images(spark, N_IMAGES, partitions=64)
@@ -137,6 +151,7 @@ def main():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_points": n_points,
         "n_join_rows": n_join_rows,
+        "n_corpus": n_corpus,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }))
 

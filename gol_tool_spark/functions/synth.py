@@ -94,6 +94,83 @@ def membership_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- sf-scaled text corpora
+
+VOCAB_SIZE = 512
+N_LANGS = ("en", "de", "fr", "es")
+
+
+def documents_synth(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic synthetic document corpus with the driver's documents
+    schema (doc_id, text, lang, source, n_chars), at ANY size — the driver
+    tables cap at 5k docs at sf0.1, so dedup/ANN bench numbers there are
+    overhead-dominated; this generator gives the 50k+ corpus the 100-TB
+    story needs (round-2 VERDICT item 4).  Pure column expressions over
+    spark.range: generation is distributed and embarrassingly parallel.
+
+    Near-dup structure for the dedup operators: every 11th doc re-uses the
+    word stream of doc_id-5 with one appended mutation word, so MinHash/
+    SimHash find a known ~9% near-dup rate."""
+    base = spark.range(n_docs).withColumn(
+        "_dup", (F.col("id") % 11 == 10) & (F.col("id") >= 5)
+    )
+    seed = F.when(F.col("_dup"), F.col("id") - 5).otherwise(F.col("id"))
+    length = (seed * 37 % 41 + 20).cast("int")
+    # word index via xxhash64(seed, i): a REAL mixer — a linear congruence
+    # here makes every doc an arithmetic progression mod the vocab, whose
+    # shingle sets all overlap (degenerate corpus: every pair near-dup)
+    words = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(seed, i), F.lit(VOCAB_SIZE)).cast("string")
+        ),
+    )
+    mut = F.when(
+        F.col("_dup"), F.concat(F.lit(" m"), (F.col("id") % 97).cast("string"))
+    ).otherwise(F.lit(""))
+    text = F.concat(F.concat_ws(" ", words), mut)
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in N_LANGS]), (seed % len(N_LANGS) + 1).cast("int")
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("src"), (seed % 8).cast("string")).alias("source"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
+def embeddings_synth(spark: SparkSession, n: int, dim: int = 64, n_labels: int = 16) -> DataFrame:
+    """Deterministic synthetic embeddings (vec_id, embedding array<float>,
+    label) at ANY size, with real cluster structure: each label contributes
+    a fixed centroid, rows add a small deterministic jitter — so ANN recall
+    against the exact oracle is a meaningful number at 100k+ rows."""
+    base = spark.range(n)
+    label = (F.col("id") % n_labels).cast("int")
+    d = F.sequence(F.lit(1), F.lit(dim))
+    emb = F.transform(
+        d,
+        lambda i: (
+            (F.pmod(F.xxhash64(label, i), F.lit(1000)) / 250.0)
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / 1000.0
+        ).cast("float"),
+    )
+    return base.select(
+        F.col("id").alias("vec_id"), emb.alias("embedding"), label.alias("label")
+    )
+
+
+def corpus_size(sf_dir: str, per_unit: int = 500_000, floor: int = 500) -> int:
+    """sf-scaled corpus size: sf0.001 -> 500 docs, sf0.1 -> 50_000."""
+    tail = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = 0.001
+    return max(floor, int(per_unit * sf))
+
+
 # ---------------------------------------------------------------- SQL side
 
 POINTS_CTE = f"""
