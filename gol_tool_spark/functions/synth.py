@@ -141,7 +141,14 @@ def documents_synth(spark: SparkSession, n_docs: int) -> DataFrame:
     )
 
 
-def embeddings_synth(spark: SparkSession, n: int, dim: int = 64, n_labels: int = 16) -> DataFrame:
+def embeddings_synth(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_labels: int = 16,
+    seed: int = 0,
+    spread: float = 1.0,
+) -> DataFrame:
     """Deterministic synthetic embeddings (vec_id, embedding array<float>,
     label) at ANY size, with real cluster structure: each label contributes
     a fixed centroid, rows add a small deterministic jitter — so ANN recall
@@ -152,8 +159,9 @@ def embeddings_synth(spark: SparkSession, n: int, dim: int = 64, n_labels: int =
     emb = F.transform(
         d,
         lambda i: (
-            (F.pmod(F.xxhash64(label, i), F.lit(1000)) / 250.0)
-            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / 1000.0
+            (F.pmod(F.xxhash64(label, i, F.lit(seed)), F.lit(1000)) / 250.0)
+            + (F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed)), F.lit(2001)) - 1000)
+            * (spread / 1000.0)
         ).cast("float"),
     )
     return base.select(
