@@ -748,6 +748,71 @@ def q_way_quads(spark, sf_dir):  # oracle: recursive-CTE zoom-out in oracle_sql(
     return tiling.way_quads(_ways(spark, sf_dir)).select("way_id", "n_tiles", "quad")
 
 
+def q_store_merge(spark, sf_dir):
+    """A10 end-state oracle: bulk-load a typed store (nodes + ways), stream
+    one change batch through apply_changes_full (node moves across pile
+    boundaries + node deletes), and return the ways store's (id, pile)
+    spread.  The ENTIRE incremental machinery — winner resolution, index-
+    pruned dirty closure, C2 re-spread, purgatory routing, dynamic
+    partition overwrite — must land on the state the oracle recomputes
+    declaratively from the post-change inputs (update/Updater.java
+    semantics: incremental == from-scratch)."""
+    import shutil
+    import tempfile
+
+    from gol_tool_spark.streaming import changes_full as CF
+
+    mem = synth.membership_df(spark, sf_dir).filter(F.col("way_id") % 101 == 0)
+    pts = _points(spark, sf_dir)
+    refs = mem.select(F.col("node_ref").alias("id")).distinct()
+    empty_tags = F.lit(None).cast("map<string,string>")
+    nodes = pts.join(refs, "id").select("id", "x", "y", empty_tags.alias("tags"))
+    ways = (
+        mem.groupBy("way_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seq", "node_ref"))).alias("srt")
+        )
+        .select(
+            F.col("way_id").alias("id"),
+            F.transform("srt", lambda s: s["node_ref"]).alias("refs"),
+            empty_tags.alias("tags"),
+        )
+    )
+    no_refs = F.lit(None).cast("array<long>")
+    no_members = F.lit(None).cast(
+        "array<struct<mtype:string,ref:long,role:string>>"
+    )
+    movers = nodes.filter(F.col("id") % 5 == 0).select(
+        F.lit("upsert").alias("op"), F.lit("n").alias("ftype"), "id",
+        F.lit(2).alias("version"), (-F.col("x") - 1).alias("x"), F.col("y"),
+        empty_tags.alias("tags"), no_refs.alias("refs"),
+        no_members.alias("members"), F.lit(1).alias("seq"),
+    )
+    dels = nodes.filter((F.col("id") % 7 == 3) & (F.col("id") % 5 != 0)).select(
+        F.lit("delete").alias("op"), F.lit("n").alias("ftype"), "id",
+        F.lit(2).alias("version"), F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("y"), empty_tags.alias("tags"),
+        no_refs.alias("refs"), no_members.alias("members"),
+        F.lit(2).alias("seq"),
+    )
+    tmp = tempfile.mkdtemp(prefix="golmerge_")
+    try:
+        store = os.path.join(tmp, "store")
+        CF.write_full_store(nodes, ways, None, store)
+        changes_dir = os.path.join(tmp, "changes")
+        movers.unionByName(dels).coalesce(1).write.mode("overwrite").json(changes_dir)
+        q = CF.apply_changes_full(spark, changes_dir, store, os.path.join(tmp, "ck"))
+        q.awaitTermination(300)
+        out = (
+            CF.read_store(spark, store, "ways")
+            .select("id", F.col("pile").cast("long").alias("pile"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -768,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ways_xml": q_ways_xml,
         "rels_xml": q_rels_xml,
         "geom_collection": q_geom_collection,
+        "store_merge": q_store_merge,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
@@ -1017,6 +1083,20 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT rel_id, string_agg(s, '' ORDER BY seq) AS ms FROM ms GROUP BY rel_id) "
             "SELECT '<relation id=\"' || rel_id || '\">' || chr(10) || ms "
             "|| '  <tag k=\"type\" v=\"route&amp;&quot;x\"/>' || chr(10) || '</relation>' AS xml FROM agg"
+        ),
+        "store_merge": _with_points(
+            f", mem AS (SELECT * FROM ({_MEM}) WHERE way_id % 101 = 0), "
+            "refs AS (SELECT DISTINCT node_ref AS id FROM mem), "
+            "nodes AS (SELECT p.id, p.x, p.y FROM t12 p JOIN refs r ON p.id = r.id), "
+            "after AS (SELECT id, CASE WHEN id % 5 = 0 THEN -x - 1 ELSE x END AS x, y "
+            "FROM nodes WHERE NOT (id % 7 = 3 AND id % 5 <> 0)), "
+            f"piled AS (SELECT id, CAST({synth.tile_sql('x', 'y', 3)} AS BIGINT) AS pile FROM after), "
+            "spread AS (SELECT DISTINCT m.way_id, p.pile FROM mem m JOIN piled p ON m.node_ref = p.id), "
+            "missed AS (SELECT way_id, CAST(-1 AS BIGINT) AS pile FROM "
+            "(SELECT DISTINCT way_id FROM mem) w WHERE way_id NOT IN "
+            "(SELECT way_id FROM spread)) "
+            "SELECT way_id AS id, pile FROM spread "
+            "UNION ALL SELECT way_id AS id, pile FROM missed"
         ),
         "geom_collection": _with_points(
             ", sel AS (SELECT id, x, y FROM t12 WHERE id % 199 = 0), g AS ("

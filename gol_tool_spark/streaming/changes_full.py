@@ -786,3 +786,63 @@ def apply_changes_full(
 def read_store(spark: SparkSession, store_path: str, kind: str) -> DataFrame:
     """Read one typed sub-store (kind in nodes/ways/relations)."""
     return spark.read.parquet(_paths(store_path)[kind])
+
+
+def verify_full_store(spark: SparkSession, store_path: str) -> dict:
+    """`gol check` for the typed store: every invariant the merge cascade
+    maintains, checked store-wide.  Returns {ok, ...counts} — a standing
+    violation means external tampering or a merge bug (a crash between the
+    store and index writes self-heals on the next merge, like changes.py).
+
+    Invariants: (1) node index == node store on (id, pile), no dup ids;
+    (2) way index rows == way store spread rows exactly; (3) every way
+    store copy's pile is justified by a node of that way in that pile, or
+    is the PURGATORY copy of a way with zero resolvable nodes; (4)
+    node_ways covers exactly the (ref, way) edges of the way store."""
+    p = _paths(store_path)
+    nodes = spark.read.parquet(p["nodes"]).select("id", "pile")
+    nidx = spark.read.parquet(p["idx_nodes"]).select("id", "pile")
+    node_dups = nodes.groupBy("id").count().filter(F.col("count") > 1).count()
+    nidx_diff = (
+        nodes.exceptAll(nidx).count() + nidx.exceptAll(nodes).count()
+    )
+    out = {"node_dups": node_dups, "node_idx_diff": nidx_diff}
+    if os.path.exists(p["ways"]):
+        ways = spark.read.parquet(p["ways"]).select("id", "refs", "pile")
+        widx = spark.read.parquet(p["idx_ways"]).select("id", "pile")
+        out["way_idx_diff"] = (
+            ways.select("id", "pile").exceptAll(widx).count()
+            + widx.exceptAll(ways.select("id", "pile")).count()
+        )
+        justified = (
+            ways.select("id", "pile", F.explode("refs").alias("ref"))
+            .join(nodes.select(F.col("id").alias("ref"), F.col("pile").alias("npile")), "ref")
+            .filter(F.col("pile") == F.col("npile"))
+            .select("id", "pile")
+            .distinct()
+        )
+        resolvable = (
+            ways.select("id", F.explode("refs").alias("ref"))
+            .join(nodes.select(F.col("id").alias("ref")), "ref", "left_semi")
+            .select("id")
+            .distinct()
+        )
+        legit_purgatory = ways.filter(F.col("pile") == PURGATORY).join(
+            resolvable, "id", "left_anti"
+        )
+        out["way_unjustified"] = (
+            ways.select("id", "pile")
+            .exceptAll(justified.unionByName(legit_purgatory.select("id", "pile")))
+            .count()
+        )
+        nw = spark.read.parquet(p["idx_node_ways"]).select("node_id", "way_id")
+        edges = (
+            ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("node_id"))
+            .select("node_id", "way_id")
+            .distinct()
+        )
+        out["node_ways_diff"] = (
+            nw.exceptAll(edges).count() + edges.exceptAll(nw).count()
+        )
+    out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
+    return out

@@ -334,6 +334,44 @@ class TestCascades:
         )
 
 
+class TestVerifyFullStore:
+    def test_invariants_hold_after_merges(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [
+                {"op": "upsert", "ftype": "n", "id": 1, "version": 2,
+                 "x": px(3), "y": 1000, "tags": {"name": "a"}, "seq": 1},
+                {"op": "delete", "ftype": "n", "id": 2, "version": 2, "seq": 2},
+                {"op": "upsert", "ftype": "w", "id": 12, "version": 1,
+                 "refs": [99], "tags": {}, "seq": 3},
+            ],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        rep = CF.verify_full_store(spark, store)
+        assert rep["ok"], rep
+
+    def test_detects_tampering(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        # tamper: rewrite a way copy into the wrong pile
+        ways = CF.read_store(spark, store, "ways")
+        bad = ways.filter(F.col("id") == 11).withColumn(
+            "pile", F.col("pile") + 1
+        ).localCheckpoint(eager=True)
+        keep = ways.filter(F.col("id") != 11).localCheckpoint(eager=True)
+        import shutil
+
+        shutil.rmtree(f"{store}/ways")
+        keep.unionByName(bad).write.mode("overwrite").partitionBy("pile").parquet(
+            f"{store}/ways"
+        )
+        rep = CF.verify_full_store(spark, store)
+        assert not rep["ok"]
+        assert rep["way_unjustified"] > 0
+
+
 class TestOscReader:
     OSC = b"""<?xml version='1.0' encoding='UTF-8'?>
 <osmChange version="0.6">
