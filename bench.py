@@ -62,7 +62,7 @@ def main():
         tiling.rollup(tiling.density(pts_tiled.select("x", "y"))),
         max_tiles=256, min_density=50,
     )
-    timed("density_catalog", lambda: cat.collect())
+    timed("density_catalog", lambda: cat.collect(), repeats=2)
     timed("pile_assignment", lambda: force(tiling.pile_assignment(pts_tiled, cat)), repeats=2)
 
     # -- spatial-join stage (C2 way assembly — the big shuffle join)
@@ -79,14 +79,14 @@ def main():
         pts_tiled, [(300000007, 0), (0, 300000007), (-300000007, 0), (0, -300000007)]).count())
     timed("knn", lambda: spatial_query.knn_cell_ring(
         pts_tiled, [(1, 0, 0), (2, 5_000_000, -3_000_000), (3, -1_200_000_000, 900_000_000)],
-        k=10, zoom=4).collect())
+        k=10, zoom=4).collect(), repeats=2)
     # relational batch kNN: 1000-query DataFrame side, no driver loops
     qdf = spark.range(1, 1001).select(
         F.col("id").alias("qid"),
         ((F.col("id") * 1597334677) % (1 << 32) - (1 << 31)).alias("qx"),
         ((F.col("id") * 3812015801 + 999331) % (1 << 32) - (1 << 31)).alias("qy"),
     )
-    timed("knn_batch_1k", lambda: force(spatial_query.knn_join(pts_tiled, qdf, k=5, zoom=8)))
+    timed("knn_batch_1k", lambda: force(spatial_query.knn_join(pts_tiled, qdf, k=5, zoom=8)), repeats=2)
 
     # non-point geometry sink: assemble + distributed GeoJSON string build
     from gol_tool_spark.operators import measures
@@ -103,9 +103,13 @@ def main():
     timed("q1_pricing", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity"), F.sum(cents * (100 - disc)), F.count(F.lit(1))).collect())
 
+    # drop caches between sections: cached subplans (catalog, LSH sigs)
+    # accumulate over the session and the GC pressure skews later entries
+    spark.catalog.clearCache()
+
     # -- training-data ops (driver tables: capped at 5k docs even at sf0.1)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, n=3, threshold=0.3).count())
+    timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, n=3, threshold=0.3).count(), repeats=2)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("ann_cosine", lambda: ann.cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count())
 
@@ -124,8 +128,9 @@ def main():
     timed("ann_lsh_syn", lambda: ann.ann_topk_lsh(emb_syn, [0, 1, 2, 3, 4], k=10, dim=64).count())
 
     # -- image payload pipeline (generate -> place -> verify)
+    spark.catalog.clearCache()
     imgs = fixtures.images(spark, N_IMAGES, partitions=64)
-    timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)))
+    timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)), repeats=2)
 
     # -- full resumable build pipeline (analyze..compile) end to end
     import shutil
