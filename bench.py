@@ -132,9 +132,59 @@ def main():
     imgs = fixtures.images(spark, N_IMAGES, partitions=64)
     timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)), repeats=2)
 
-    # -- full resumable build pipeline (analyze..compile) end to end
+    # -- typed-store incremental merge (gol update): bulk-load a store
+    # subset, then apply a 1k-node delta — measures the partition-scoped
+    # dirty-closure cascade (node moves re-spread parent ways), the cost
+    # that stays O(delta) at 100 TB
     import shutil
     import tempfile
+
+    from gol_tool_spark.streaming import changes_full as CF
+
+    merge_dir = tempfile.mkdtemp(prefix="golmergebench_")
+    try:
+        sub = pts_tiled.filter(F.col("id") % 16 == 0)
+        mem_sub = mem.filter(F.col("way_id") % 16 == 0)
+        nodes_in = sub.select(
+            "id", "x", "y", F.lit(None).cast("map<string,string>").alias("tags")
+        )
+        ways_in = (
+            mem_sub.groupBy("way_id")
+            .agg(F.array_sort(F.collect_list(F.struct("seq", "node_ref"))).alias("s"))
+            .select(
+                F.col("way_id").alias("id"),
+                F.transform("s", lambda e: e["node_ref"]).alias("refs"),
+                F.lit(None).cast("map<string,string>").alias("tags"),
+            )
+        )
+        store = os.path.join(merge_dir, "store")
+        timed("store_bulk_load", lambda: CF.write_full_store(nodes_in, ways_in, None, store))
+        delta = (
+            nodes_in.filter(F.col("id") % 800 == 0)
+            .select(
+                F.lit("upsert").alias("op"), F.lit("n").alias("ftype"), "id",
+                F.lit(2).alias("version"), (-F.col("x") - 1).alias("x"), "y",
+                F.col("tags"), F.lit(None).cast("array<long>").alias("refs"),
+                F.lit(None).cast(
+                    "array<struct<mtype:string,ref:long,role:string>>"
+                ).alias("members"),
+                F.lit(1).alias("seq"),
+            )
+        )
+        delta.coalesce(1).write.mode("overwrite").json(os.path.join(merge_dir, "delta"))
+
+        def run_merge():
+            q = CF.apply_changes_full(
+                spark, os.path.join(merge_dir, "delta"), store,
+                os.path.join(merge_dir, "ck"),
+            )
+            q.awaitTermination(300)
+
+        timed("store_merge_delta", run_merge)
+    finally:
+        shutil.rmtree(merge_dir, ignore_errors=True)
+
+    # -- full resumable build pipeline (analyze..compile) end to end
 
     from gol_tool_spark.plans import build_pipeline as BP
 
