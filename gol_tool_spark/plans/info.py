@@ -65,3 +65,22 @@ def store_info(store_dir: str, tileset_dir: str | None = None) -> dict:
             with open(ts) as fh:
                 out["guid"] = json.load(fh).get("guid")
     return out
+
+
+def full_store_info(store_path: str) -> dict:
+    """`gol info` for the typed store (changes_full layout): one footer-only
+    report per sub-store (nodes/ways/relations) plus every index —
+    InfoCommand.java's tile inventory, generalized to the typed layout."""
+    out: dict = {}
+    for kind in ("nodes", "ways", "relations"):
+        d = os.path.join(store_path, kind)
+        if os.path.isdir(d):
+            out[kind] = store_info(d)
+    idx_root = store_path.rstrip("/") + "_idx"
+    if os.path.isdir(idx_root):
+        out["indexes"] = {
+            k: store_info(os.path.join(idx_root, k))
+            for k in sorted(os.listdir(idx_root))
+            if os.path.isdir(os.path.join(idx_root, k))
+        }
+    return out

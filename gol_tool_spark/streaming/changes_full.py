@@ -788,6 +788,44 @@ def read_store(spark: SparkSession, store_path: str, kind: str) -> DataFrame:
     return spark.read.parquet(_paths(store_path)[kind])
 
 
+def query_store(
+    spark: SparkSession,
+    store_path: str,
+    minx: int,
+    miny: int,
+    maxx: int,
+    maxy: int,
+    goql: str | None = None,
+    kind: str = "nodes",
+) -> DataFrame:
+    """`gol query` against the typed store: the bbox resolves to its zoom-3
+    pile cells, which Catalyst turns into PartitionFilters — only the pile
+    directories the bbox touches are listed or read (the TileIndexWalker
+    analogue on the store layout, QueryCommand.java:176-179).  Nodes get
+    the exact coordinate filter + optional GOQL over the tags map; ways/
+    relations return the pile-pruned candidate copies (their exact
+    geometry lives through their nodes — join way_spread output onward)."""
+    from ..functions import spatial as S
+    from ..functions.goql import compile_goql
+
+    piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, PILE_ZOOM)]
+    df = read_store(spark, store_path, kind)
+    pile_pred = F.col("pile").isin(piles)
+    if kind != "nodes":
+        # a way/relation with unresolvable members lives in PURGATORY and
+        # scopes into every bbox (the reference returns purgatory features
+        # for any query — they have no location to exclude them by)
+        pile_pred = pile_pred | (F.col("pile") == PURGATORY)
+        return df.filter(pile_pred)
+    df = df.filter(pile_pred).filter(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)
+    )
+    if goql:
+        df = df.filter(compile_goql(goql, ftype=F.lit("n"), tags=F.col("tags")))
+    return df
+
+
 def verify_full_store(spark: SparkSession, store_path: str) -> dict:
     """`gol check` for the typed store: every invariant the merge cascade
     maintains, checked store-wide.  Returns {ok, ...counts} — a standing

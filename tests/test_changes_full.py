@@ -372,6 +372,90 @@ class TestVerifyFullStore:
         assert rep["way_unjustified"] > 0
 
 
+class TestQueryStore:
+    def test_bbox_prunes_piles_exact_filter_and_goql(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        out = CF.query_store(spark, store, px(0) - 500, 0, px(1) + 500, 2000)
+        assert {r.id for r in out.collect()} == {1, 2}
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # the pile IN-list must reach the scan as a partition filter (only
+        # the bbox's zoom-3 pile dirs are read)
+        assert "PartitionFilters" in plan
+        seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
+        assert "pile" in seg and "IN" in seg
+        tagged = CF.query_store(
+            spark, store, px(0) - 500, 0, px(1) + 500, 2000, goql="n[name=a]"
+        )
+        assert {r.id for r in tagged.collect()} == {1}
+
+    def test_ways_pruned_with_purgatory(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "upsert", "ftype": "w", "id": 12, "version": 1,
+              "refs": [99], "tags": {}, "seq": 1}],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        ways = CF.query_store(
+            spark, store, px(0) - 500, 0, px(0) + 500, 2000, kind="ways"
+        )
+        ids = {r.id for r in ways.collect()}
+        assert 10 in ids      # spread copy in the bbox pile
+        assert 12 in ids      # purgatory scopes into every query
+        assert 11 not in ids  # far pile pruned out
+
+
+class TestTypedStoreEndToEnd:
+    OSC = b"""<osmChange version="0.6">
+ <modify>
+  <node id="1" version="2" lat="0.002" lon="0.002">
+   <tag k="name" v="a &amp; b"/><tag k="amenity" v="cafe"/>
+  </node>
+ </modify>
+ <create>
+  <node id="50" version="1" lat="0.001" lon="0.0015">
+   <tag k="amenity" v="cafe"/>
+  </node>
+ </create>
+</osmChange>"""
+
+    def test_build_update_query_export(self, spark, tmp_path):
+        """gol build -> gol update (OsmChange) -> gol query -b -g ->
+        GeoJSON FeatureCollection export -> gol check, on the typed store."""
+        import json as _json
+
+        from gol_tool_spark.sinks import writers
+
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        oscdir = tmp_path / "osc"
+        oscdir.mkdir()
+        (oscdir / "1.osc").write_bytes(self.OSC)
+        OSC.stage_osc(spark, str(oscdir), str(tmp_path / "staged"))
+        run_merge(spark, str(tmp_path / "staged"), store, str(tmp_path / "ck"))
+
+        grid = 4294967296.0
+        span = int(0.01 / 360.0 * grid)
+        cafes = CF.query_store(
+            spark, store, -span, -span, span, span, goql="n[amenity=cafe]"
+        )
+        assert {r.id for r in cafes.collect()} == {1, 50}
+
+        out_file = str(tmp_path / "out.geojson")
+        n = writers.write_geojson_collection(
+            writers.geojson_format(cafes.select("id", "x", "y")), out_file
+        )
+        doc = _json.load(open(out_file))
+        assert n == 2 and {f["id"] for f in doc["features"]} == {1, 50}
+
+        rep = CF.verify_full_store(spark, store)
+        assert rep["ok"], rep
+
+
 class TestOscReader:
     OSC = b"""<?xml version='1.0' encoding='UTF-8'?>
 <osmChange version="0.6">
