@@ -802,7 +802,9 @@ def q_store_merge(spark, sf_dir):
         changes_dir = os.path.join(tmp, "changes")
         movers.unionByName(dels).coalesce(1).write.mode("overwrite").json(changes_dir)
         q = CF.apply_changes_full(spark, changes_dir, store, os.path.join(tmp, "ck"))
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("store_merge: change stream did not finish in 300s")
         out = (
             CF.read_store(spark, store, "ways")
             .select("id", F.col("pile").cast("long").alias("pile"))

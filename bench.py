@@ -178,7 +178,9 @@ def main():
                 spark, os.path.join(merge_dir, "delta"), store,
                 os.path.join(merge_dir, "ck"),
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("store_merge_delta did not finish in 300s")
 
         timed("store_merge_delta", run_merge)
     finally:

@@ -189,7 +189,12 @@ def polylines_intersect_polygon(
     # consecutive-vertex pairs, minus the pairs that span a way boundary
     if len(xs) > 1:
         seg_mask = np.ones(len(xs) - 1, bool)
-        seg_mask[offsets[1:-1] - 1] = False
+        # empty ways make interior offsets 0 (index -1 would clear the LAST
+        # pair) or len(xs) (out of range); such boundaries have no spanning
+        # pair to mask
+        bounds = offsets[1:-1]
+        bounds = bounds[(bounds > 0) & (bounds < len(xs))]
+        seg_mask[bounds - 1] = False
         ax, bx = xs[:-1][seg_mask], xs[1:][seg_mask]
         ay, by = ys[:-1][seg_mask], ys[1:][seg_mask]
         seg_way = np.repeat(np.arange(n), np.maximum(lengths - 1, 0))

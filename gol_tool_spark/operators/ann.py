@@ -188,8 +188,11 @@ def ann_topk_ivf(
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest centroid lists per query, exact
     rerank inside. Candidates ~ N * nprobe / n_centroids per query.
-    Pass `stride` (centroid sampling stride) to keep plan construction
-    job-free; None falls back to a count.  lloyd_iters refines the sampled
+    Pass `stride` (centroid sampling stride) to avoid the row-count job in
+    the coarse assignment (None falls back to a count); note the Lloyd
+    default below runs bounded refinement jobs during construction — for
+    a FULLY job-free plan build pass lloyd_iters=0 AND a stride.
+    lloyd_iters refines the sampled
     centroids with Lloyd passes (better-balanced lists -> higher recall at
     the same nprobe).  Default 2 from the round-3 sweep (nprobe x
     lloyd_iters x 3 seeds on embeddings_synth, 64 overlapping clusters,

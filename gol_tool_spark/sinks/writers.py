@@ -179,12 +179,15 @@ def write_geojson_collection(features: DataFrame, out_file: str) -> int:
     parts_dir = out_file + "_parts"
     features.select(F.col(col)).write.mode("overwrite").text(parts_dir)
     import glob as _glob
+    import shutil as _shutil
 
     n = 0
-    with open(out_file, "w") as out:
+    # explicit utf-8 on both ends: Spark writes the parts as UTF-8, and a
+    # C-locale driver would otherwise stitch (or crash) in ASCII
+    with open(out_file, "w", encoding="utf-8") as out:
         out.write('{"type":"FeatureCollection","generator":"gol_tool_spark","features":[\n')
         for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
-            with open(part) as fh:
+            with open(part, encoding="utf-8") as fh:
                 for line in fh:
                     line = line.rstrip("\n")
                     if not line:
@@ -193,6 +196,7 @@ def write_geojson_collection(features: DataFrame, out_file: str) -> int:
                     out.write("\t" + line)
                     n += 1
         out.write("\n]}\n")
+    _shutil.rmtree(parts_dir, ignore_errors=True)
     return n
 
 

@@ -109,12 +109,17 @@ def read_full_change_stream(spark: SparkSession, path: str) -> DataFrame:
 def _winners(batch: DataFrame) -> DataFrame:
     """Deterministic intra-batch resolution per (ftype, id): highest seq
     wins, delete beats upsert on a tie — same rule as changes.py, so
-    replays always pick the same winner and the merge stays idempotent."""
+    replays always pick the same winner and the merge stays idempotent.
+    A final content-hash tiebreaker makes the order TOTAL: two upserts
+    with equal (seq, op) would otherwise be broken by partition scan
+    order, and a checkpoint replay could crown the other row — the exact
+    divergence the determinism rule exists to prevent."""
     from pyspark.sql import Window
 
     pri = F.when(F.col("op") == "delete", 1).otherwise(0)
+    content = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in batch.columns])))
     w = Window.partitionBy("ftype", "id").orderBy(
-        F.coalesce(F.col("seq"), F.lit(0)).desc(), pri.desc()
+        F.coalesce(F.col("seq"), F.lit(0)).desc(), pri.desc(), content.desc()
     )
     return (
         batch.withColumn("_rn", F.row_number().over(w))
@@ -190,20 +195,26 @@ def rel_piles(
     seed_rel_piles: DataFrame | None = None,
     max_iters: int = 10,
 ) -> DataFrame:
-    """Relation pile = min over member piles, iterated to a fixed point
-    through relation-type members (super-relations, C5 analogue at pile
-    granularity); no member resolvable -> PURGATORY.
+    """Relation pile = min over LOCATABLE member piles, iterated to a
+    fixed point through relation-type members (super-relations, C5
+    analogue at pile granularity); a relation lands in PURGATORY only when
+    NO member is locatable — a purgatory member (pile -1) never drags a
+    relation with locatable members down there (min would otherwise always
+    pick -1), it is simply not a location.
     rels: (id, members); node_piles/way_piles: (ref, pile);
     seed_rel_piles: (ref, pile) for relation members OUTSIDE `rels`."""
     m = rels.select("id", F.explode_outer("members").alias("mm")).select(
         "id", F.col("mm.mtype").alias("mtype"), F.col("mm.ref").alias("ref")
     )
+    located = F.col("pile") != PURGATORY
     leaf = (
         m.filter(F.col("mtype") == "node")
-        .join(node_piles, "ref")
+        .join(node_piles.filter(located), "ref")
         .select("id", "pile")
         .unionByName(
-            m.filter(F.col("mtype") == "way").join(way_piles, "ref").select("id", "pile")
+            m.filter(F.col("mtype") == "way")
+            .join(way_piles.filter(located), "ref")
+            .select("id", "pile")
         )
     )
     if seed_rel_piles is not None:
@@ -211,7 +222,7 @@ def rel_piles(
         ext = (
             m.filter(F.col("mtype") == "relation")
             .join(inner, "ref", "left_anti")
-            .join(seed_rel_piles, "ref")
+            .join(seed_rel_piles.filter(located), "ref")
             .select("id", "pile")
         )
         leaf = leaf.unionByName(ext)
@@ -277,6 +288,7 @@ def write_full_store(
     nidx.write.mode("overwrite").partitionBy("ib").parquet(p["idx_nodes"])
 
     node_piles = nrows.select(F.col("id").alias("ref"), "pile")
+    wrows = None
     if ways is not None:
         wsrc = ways.select("id", "refs", F.coalesce("tags", empty).alias("tags"))
         wrows = way_spread(wsrc, node_piles).localCheckpoint(eager=True)
@@ -294,15 +306,13 @@ def write_full_store(
         )
     if rels is not None:
         rsrc = rels.select("id", "members", F.coalesce("tags", empty).alias("tags"))
+        # reuse the checkpointed spread — recomputing it would repeat the
+        # dominant explode+join of the bulk load
         way_piles = (
-            way_spread(
-                ways.select("id", "refs", F.coalesce("tags", empty).alias("tags")),
-                node_piles,
-            )
-            .groupBy("id")
+            wrows.groupBy("id")
             .agg(F.min("pile").alias("pile"))
             .select(F.col("id").alias("ref"), "pile")
-            if ways is not None
+            if wrows is not None
             else spark.createDataFrame([], "ref long, pile long")
         )
         rrows = rel_piles(rsrc, node_piles, way_piles).localCheckpoint(eager=True)
@@ -881,6 +891,45 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
         )
         out["node_ways_diff"] = (
             nw.exceptAll(edges).count() + edges.exceptAll(nw).count()
+        )
+    if os.path.exists(p["relations"]):
+        rels = spark.read.parquet(p["relations"]).select("id", "members", "pile")
+        ridx = spark.read.parquet(p["idx_rels"]).select("id", "pile")
+        out["rel_idx_diff"] = (
+            rels.select("id", "pile").exceptAll(ridx).count()
+            + ridx.exceptAll(rels.select("id", "pile")).count()
+        )
+        mr = spark.read.parquet(p["idx_member_rels"]).select("mtype", "ref", "rel_id")
+        medges = (
+            rels.select(F.col("id").alias("rel_id"), F.explode("members").alias("mm"))
+            .select(
+                F.col("mm.mtype").alias("mtype"), F.col("mm.ref").alias("ref"), "rel_id"
+            )
+            .distinct()
+        )
+        out["member_rels_diff"] = (
+            mr.exceptAll(medges).count() + medges.exceptAll(mr).count()
+        )
+        # pile justification: re-run the min-member-pile fixed point from
+        # the current stores and compare — a tampered pile (or a stale
+        # index that let a relation skip re-piling) surfaces here
+        node_piles = nodes.select(F.col("id").alias("ref"), "pile")
+        way_piles = (
+            spark.read.parquet(p["ways"])
+            .groupBy("id")
+            .agg(F.min("pile").alias("pile"))
+            .select(F.col("id").alias("ref"), "pile")
+            if os.path.exists(p["ways"])
+            else spark.createDataFrame([], "ref long, pile long")
+        )
+        want = rel_piles(
+            rels.withColumn("tags", F.lit(None).cast("map<string,string>")),
+            node_piles,
+            way_piles,
+        ).select("id", "pile")
+        out["rel_pile_mismatch"] = (
+            rels.select("id", "pile").exceptAll(want).count()
+            + want.exceptAll(rels.select("id", "pile")).count()
         )
     out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
     return out

@@ -110,15 +110,14 @@ def osc_to_changes(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import Window
 
-    files = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-        .withColumn(
-            "frank",
-            F.row_number().over(Window.orderBy("path")).cast("long") - 1,
-        )
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    # rank over a PATH-ONLY projection, then join back: a global window
+    # directly on `raw` would collapse every file's bytes into one
+    # partition and serialize the parse on a single task
+    ranked = raw.select("path").withColumn(
+        "frank", F.row_number().over(Window.orderBy("path")).cast("long") - 1
     )
+    files = raw.join(F.broadcast(ranked), "path")
 
     def run(batches):
         import pandas as pd
@@ -145,6 +144,11 @@ def stage_osc(spark: SparkSession, osc_glob: str, changes_dir: str) -> int:
     `changes_dir` — the file-source feed of apply_changes_full's stream
     (the reference's Updater reads the .osc directly; the Spark stream
     wants a replayable JSON source directory).  Returns the record count."""
-    df = osc_to_changes(spark, osc_glob)
-    df.write.mode("append").json(changes_dir)
-    return df.count()
+    # cache across the write + count: without it the count re-scans and
+    # re-parses every .osc a second time (and races newly arriving files)
+    df = osc_to_changes(spark, osc_glob).cache()
+    try:
+        df.write.mode("append").json(changes_dir)
+        return df.count()
+    finally:
+        df.unpersist()

@@ -37,7 +37,7 @@ def write_changes(tmp_path, name: str, recs: list[dict]) -> str:
 
 def run_merge(spark, changes_dir: str, store: str, ckpt: str) -> None:
     q = CF.apply_changes_full(spark, changes_dir, store, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "merge stream did not finish in 180s"
 
 
 def pile_files(root: str) -> dict[str, dict[str, int]]:
@@ -370,6 +370,28 @@ class TestVerifyFullStore:
         rep = CF.verify_full_store(spark, store)
         assert not rep["ok"]
         assert rep["way_unjustified"] > 0
+
+
+class TestRelPurgatoryMember:
+    def test_locatable_member_wins_over_purgatory_member(self, spark, tmp_path):
+        """A purgatory member (way with no resolvable nodes, pile -1) must
+        not drag a relation with locatable members into purgatory — min
+        over member piles ignores -1 unless nothing is locatable."""
+        store = str(tmp_path / "s")
+        nodes = node_df(spark, [(1, px(2), 1000, None)])
+        ways = way_df(spark, [(10, [99], None)])  # ref 99 unresolvable
+        rels = rel_df(
+            spark,
+            [
+                (20, [("way", 10, ""), ("node", 1, "")], None),
+                (21, [("way", 10, "")], None),  # ONLY the purgatory way
+            ],
+        )
+        CF.write_full_store(nodes, ways, rels, store)
+        rp = {r.id: r.pile for r in read_kind(spark, store, "relations").collect()}
+        n1_pile = read_kind(spark, store, "nodes").collect()[0].pile
+        assert rp[20] == n1_pile          # locatable member wins
+        assert rp[21] == CF.PURGATORY     # nothing locatable -> purgatory
 
 
 class TestQueryStore:

@@ -261,7 +261,18 @@ class TestBatchPolylineIntersect:
         assert np.array_equal(got, want)
         assert got.any() and not got.all()  # both classes exercised
 
-    def test_chunking_is_invariant(self):
+    def test_empty_ways_in_batch(self):
+        """Empty polylines anywhere in the batch (leading offset 0 would
+        index seg_mask[-1]; trailing offset len(xs) would overrun) must
+        neither crash nor perturb their neighbors."""
+        from gol_tool_spark.kernels import geometry as G
+
+        xs = np.array([-10, 110, 10], np.int64)
+        ys = np.array([50, 50, 10], np.int64)
+        # way0 empty, way1 crosses, way2 empty, way3 = single inside vertex
+        off = np.array([0, 0, 2, 2, 3], np.int64)
+        got = G.polylines_intersect_polygon(xs, ys, off, self.SQ)
+        assert got.tolist() == [False, True, False, True]
         from gol_tool_spark.kernels import geometry as G
 
         rng = np.random.default_rng(11)
