@@ -122,6 +122,14 @@ def load_tileset(repo: str, store_dir: str, verify: bool = True) -> dict:
         with open(os.path.join(repo, "tileset.json")) as fh:
             manifest = json.load(fh)
     os.makedirs(store_dir, exist_ok=True)
+    # validate the WHOLE manifest before any fetch or copy: a hostile pile
+    # name or file entry must fail the load up front, not after some piles
+    # already landed
+    for d, info in manifest["piles"].items():
+        _safe_join(store_dir, d)
+        if isinstance(info, dict):
+            for rel in info.get("files", []):
+                _safe_join(store_dir, d, rel)
     loaded, skipped = [], []
     for d, info in manifest["piles"].items():
         checksum = info["checksum"] if isinstance(info, dict) else info

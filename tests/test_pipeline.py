@@ -327,6 +327,28 @@ class TestTileset:
         with pytest.raises(ValueError, match="checksum mismatch"):
             TS.load_tileset(ts, str(tmp_path / "r2"))
 
+    def test_hostile_manifest_path_traversal_rejected(self, tmp_path):
+        """ADVICE r2: a compromised repo must not write outside the store —
+        '..' and absolute segments in manifest pile names / file lists are
+        rejected before any byte lands on disk."""
+        import json as _json
+
+        from gol_tool_spark.plans import tileset as TS
+
+        repo = tmp_path / "evilrepo"
+        repo.mkdir()
+        for d, files in (
+            ("../escape", ["x.parquet"]),
+            ("pile=1", ["../../outside.parquet"]),
+            ("/abs/pile", ["x.parquet"]),
+        ):
+            manifest = {"piles": {d: {"checksum": "00", "files": files}}, "guid": "g"}
+            (repo / "tileset.json").write_text(_json.dumps(manifest))
+            with pytest.raises(ValueError, match="escapes the store"):
+                TS.load_tileset(str(repo), str(tmp_path / "victim"), verify=False)
+        assert not (tmp_path / "escape").exists()
+        assert not (tmp_path / "outside.parquet").exists()
+
 
 class TestSinkWrites:
     def test_csv_and_geojsonl_files(self, spark, tmp_path):
@@ -749,6 +771,26 @@ class TestChangeStreamEdge:
         ]
         assert len(files) <= 3, files
         assert spark.read.parquet(store).count() == 4
+
+    def test_bootstrap_crash_missing_index_rebuilt(self, spark, tmp_path):
+        """ADVICE r2: batch 0 created the store but crashed before the
+        first index write — the next merge must rebuild the index from the
+        store instead of failing permanently on the missing path."""
+        import shutil
+
+        changes = tmp_path / "chb"
+        store = str(tmp_path / "stb")
+        changes.mkdir()
+        (changes / "a.json").write_text('{"op": "upsert", "id": 1, "x": 1, "y": 2, "seq": 1}\n')
+        q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ckb"))
+        q.awaitTermination(120)
+        shutil.rmtree(store + "_idx")  # simulate the bootstrap crash window
+        (changes / "b.json").write_text('{"op": "upsert", "id": 2, "x": 9, "y": 9, "seq": 2}\n')
+        q = CH.apply_changes(spark, str(changes), store, str(tmp_path / "ckb"))
+        q.awaitTermination(120)
+        assert spark.read.parquet(store).count() == 2
+        rep = CH.verify_change_store(spark, store)
+        assert rep["ok"], rep
 
     def test_only_deletes_batch(self, spark, tmp_path):
         changes = tmp_path / "ch"
