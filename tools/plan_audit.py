@@ -85,6 +85,21 @@ def main():
             "lands in PartitionFilters: key-index buckets whose category bits "
             "don't cover the query's required bits are pruned at planning time.")
 
+        # typed-store query path (gol query against the changes_full store)
+        from gol_tool_spark.streaming import changes_full as CF
+
+        tstore = os.path.join(td, "typed")
+        nodes_in = pts.limit(5000).select(
+            "id", "x", "y", F.lit(None).cast("map<string,string>").alias("tags")
+        )
+        CF.write_full_store(nodes_in, None, None, tstore)
+        tq = CF.query_store(spark, tstore, -(1 << 29), -(1 << 29), 1 << 29, 1 << 29)
+        add("Typed store bbox query (pile partition pruning)", tq,
+            "query_store resolves the bbox to its zoom-3 pile cells; the IN-list "
+            "shows up as PartitionFilters on the nodes sub-store scan — only the "
+            "touched pile directories are listed/read, the TileIndexWalker "
+            "analogue on the update-path store layout.")
+
     header = (
         "# PLANS — physical-plan audit of the key operators\n\n"
         "Generated by `python tools/plan_audit.py` (condensed: only plan lines "
