@@ -340,20 +340,10 @@ def write_full_store(
 # -------------------------------------------------------------------- merge
 
 
-def apply_changes_full(
-    spark: SparkSession,
-    changes_path: str,
-    store_path: str,
-    checkpoint_path: str,
-    zoom: int = 12,
-    index_buckets: int = 16,
-    max_rel_iters: int = 10,
-):
-    """One availableNow pass applying pending typed change files to the
-    store.  See module docstring for the cascade; every read in the merge
-    is partition-pruned by pile or index bucket, so a small delta costs
-    I/O proportional to its dirty closure, never the store size."""
-    p = _paths(store_path)
+def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters: int):
+    """Build the per-batch merge closure over a store layout — shared by
+    the JSON change stream (apply_changes_full) and the direct OsmChange
+    stream (apply_osc_changes)."""
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -783,9 +773,97 @@ def apply_changes_full(
                     new_mem,
                 )
 
+    return merge
+
+
+def apply_changes_full(
+    spark: SparkSession,
+    changes_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    zoom: int = 12,
+    index_buckets: int = 16,
+    max_rel_iters: int = 10,
+):
+    """One availableNow pass applying pending typed change files to the
+    store.  See module docstring for the cascade; every read in the merge
+    is partition-pruned by pile or index bucket, so a small delta costs
+    I/O proportional to its dirty closure, never the store size."""
+    merge = _make_merge(_paths(store_path), zoom, index_buckets, max_rel_iters)
     q = (
         read_full_change_stream(spark, changes_path)
         .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def apply_osc_changes(
+    spark: SparkSession,
+    osc_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    zoom: int = 12,
+    index_buckets: int = 16,
+    max_rel_iters: int = 10,
+):
+    """OsmChange files straight into the store — the reference's
+    `gol update <gol> <file.osc>` as ONE stream: a binaryFile source over
+    .osc/.osc.gz, per-file XML parse inside the micro-batch (distributed
+    over files), then the same merge cascade as apply_changes_full.  No
+    JSON staging step, no second scan; the streaming checkpoint tracks
+    the .osc files themselves, so re-running after new diffs land applies
+    only the new ones.
+
+    Ordering: within a batch files are ranked by name (minutely diffs
+    sort chronologically) and records keep their in-file position —
+    seq = (batch_id+1)<<44 | rank<<32 | position, monotone across batches
+    and stable under checkpoint replay (batch content is replayed
+    identically), so the winner-per-id rule is deterministic."""
+    merge = _make_merge(_paths(store_path), zoom, index_buckets, max_rel_iters)
+    from .osc import parse_osc
+
+    def osc_merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        paths = sorted(r.path for r in batch.select("path").distinct().collect())
+        rank = {pth: i for i, pth in enumerate(paths)}
+        base = (batch_id + 1) << 44
+
+        def run(pdfs):
+            import pandas as pd
+
+            for pdf in pdfs:
+                rows = []
+                for pth, content in zip(pdf["path"], pdf["content"]):
+                    rows.extend(
+                        parse_osc(bytes(content), seq_base=base + (rank[pth] << 32))
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "op", "ftype", "id", "version", "x", "y",
+                        "tags", "refs", "members", "seq",
+                    ],
+                )
+
+        changes = batch.select("path", "content").mapInPandas(
+            run, CHANGE_SCHEMA_FULL
+        )
+        merge(changes, batch_id)
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(osc_path)
+        .writeStream.foreachBatch(osc_merge)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -334,6 +334,43 @@ class TestCascades:
         )
 
 
+class TestDirectOscStream:
+    def test_osc_files_merge_without_staging(self, spark, tmp_path):
+        """apply_osc_changes: .osc files are the stream source — parse and
+        merge in one job, checkpoint tracks the files, later diffs apply
+        incrementally."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        oscdir = tmp_path / "osc"
+        oscdir.mkdir()
+        (oscdir / "0001.osc").write_bytes(
+            b"""<osmChange version="0.6"><modify>
+ <node id="1" version="2" lat="0.003" lon="0.003">
+  <tag k="name" v="moved"/></node>
+</modify></osmChange>"""
+        )
+        q = CF.apply_osc_changes(spark, str(oscdir), store, str(tmp_path / "ck"))
+        assert q.awaitTermination(180)
+        n1 = read_kind(spark, store, "nodes").filter(F.col("id") == 1).collect()[0]
+        assert dict(n1.tags) == {"name": "moved"}
+        grid = 4294967296.0
+        assert n1.x == round(0.003 / 360.0 * grid)
+        # a later diff deletes the node; only the new file is processed
+        import gzip
+
+        (oscdir / "0002.osc.gz").write_bytes(
+            gzip.compress(
+                b'<osmChange version="0.6"><delete>'
+                b'<node id="1" version="3"/></delete></osmChange>'
+            )
+        )
+        q = CF.apply_osc_changes(spark, str(oscdir), store, str(tmp_path / "ck"))
+        assert q.awaitTermination(180)
+        assert read_kind(spark, store, "nodes").filter(F.col("id") == 1).count() == 0
+        rep = CF.verify_full_store(spark, store)
+        assert rep["ok"], rep
+
+
 class TestVerifyFullStore:
     def test_invariants_hold_after_merges(self, spark, tmp_path):
         store = str(tmp_path / "s")
