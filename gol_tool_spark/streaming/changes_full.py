@@ -264,6 +264,111 @@ def rel_piles(
     )
 
 
+BBOX_COLS = ("minx", "miny", "maxx", "maxy")
+
+
+def rel_bboxes(
+    rels: DataFrame,
+    node_xy: DataFrame,
+    way_bboxes: DataFrame,
+    seed_rel_bboxes: DataFrame | None = None,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Relation bbox = min/max over member footprints, iterated to a fixed
+    point through relation-type members — the update-path twin of
+    relations.resolve_bboxes (build/Validator.java:1287-1397), extended
+    with SEEDS: bboxes of child relations outside `rels` (in a merge, the
+    non-dirty children contribute their STORED footprint).  Unresolvable
+    relations keep NULL bboxes (their quad stays NULL — the purgatory
+    footprint).  rels: (id, members); node_xy: (ref, x, y); way_bboxes /
+    seed_rel_bboxes: (ref, minx, miny, maxx, maxy)."""
+    m = rels.select("id", F.explode_outer("members").alias("mm")).select(
+        "id", F.col("mm.mtype").alias("mtype"), F.col("mm.ref").alias("ref")
+    )
+    node_leaf = (
+        m.filter(F.col("mtype") == "node")
+        .join(node_xy, "ref")
+        .select(
+            "id",
+            F.col("x").alias("minx"), F.col("y").alias("miny"),
+            F.col("x").alias("maxx"), F.col("y").alias("maxy"),
+        )
+    )
+    leaf = node_leaf.unionByName(
+        m.filter(F.col("mtype") == "way").join(way_bboxes, "ref").select("id", *BBOX_COLS)
+    )
+    if seed_rel_bboxes is not None:
+        inner = rels.select(F.col("id").alias("ref"))
+        ext = (
+            m.filter(F.col("mtype") == "relation")
+            .join(inner, "ref", "left_anti")
+            .join(seed_rel_bboxes.filter(F.col("minx").isNotNull()), "ref")
+            .select("id", *BBOX_COLS)
+        )
+        leaf = leaf.unionByName(ext)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("id").agg(
+            F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+            F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+        )
+
+    static = agg(leaf)
+    edges = (
+        m.filter(F.col("mtype") == "relation")
+        .join(rels.select(F.col("id").alias("ref")), "ref", "left_semi")
+        .filter(F.col("ref") != F.col("id"))
+        .select("id", "ref")
+    )
+    cur = static
+    for _ in range(max_iters):
+        child = cur.select(
+            F.col("id").alias("ref"), *[F.col(c).alias(f"c_{c}") for c in BBOX_COLS]
+        )
+        contrib = edges.join(child, "ref").select(
+            "id", *[F.col(f"c_{c}").alias(c) for c in BBOX_COLS]
+        )
+        nxt = agg(static.unionByName(contrib)).localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(
+                cur.alias("c"),
+                (F.col("n.id") == F.col("c.id"))
+                & (F.col("n.minx") == F.col("c.minx"))
+                & (F.col("n.miny") == F.col("c.miny"))
+                & (F.col("n.maxx") == F.col("c.maxx"))
+                & (F.col("n.maxy") == F.col("c.maxy")),
+                "left_anti",
+            )
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return rels.select("id").distinct().join(cur, "id", "left")
+
+
+def _with_rel_geometry(rrows: DataFrame, bboxes: DataFrame) -> DataFrame:
+    """Join resolved bboxes + packed tile quad (F4 zoom-desc placement,
+    tiling.way_quads packing) onto relation rows."""
+    from ..operators.tiling import way_quads
+
+    resolved = bboxes.filter(F.col("minx").isNotNull())
+    quads = way_quads(
+        resolved.select(F.col("id").alias("way_id"), *BBOX_COLS)
+    ).select(F.col("way_id").alias("id"), "quad")
+    return (
+        rrows.join(bboxes, "id", "left")
+        .join(quads, "id", "left")
+        .select(
+            "id", "members", "tags",
+            *BBOX_COLS, "quad",
+            "pile",
+        )
+    )
+
+
 def write_full_store(
     nodes: DataFrame,
     ways: DataFrame | None,
@@ -316,9 +421,24 @@ def write_full_store(
             else spark.createDataFrame([], "ref long, pile long")
         )
         rrows = rel_piles(rsrc, node_piles, way_piles).localCheckpoint(eager=True)
-        rrows.select("id", "members", "tags", "pile").write.mode(
-            "overwrite"
-        ).partitionBy("pile").parquet(p["relations"])
+        node_xy = nrows.select(F.col("id").alias("ref"), "x", "y")
+        way_bb = (
+            wsrc.select("id", F.explode("refs").alias("ref"))
+            .join(node_xy, "ref")
+            .groupBy("id")
+            .agg(
+                F.min("x").alias("minx"), F.min("y").alias("miny"),
+                F.max("x").alias("maxx"), F.max("y").alias("maxy"),
+            )
+            .select(F.col("id").alias("ref"), *BBOX_COLS)
+            if ways is not None
+            else spark.createDataFrame(
+                [], "ref long, minx long, miny long, maxx long, maxy long"
+            )
+        )
+        bboxes = rel_bboxes(rsrc, node_xy, way_bb)
+        rrows = _with_rel_geometry(rrows, bboxes).localCheckpoint(eager=True)
+        rrows.write.mode("overwrite").partitionBy("pile").parquet(p["relations"])
         rrows.select(
             "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
         ).write.mode("overwrite").partitionBy("ib").parquet(p["idx_rels"])
@@ -702,20 +822,86 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 if rp_idx is not None
                 else None
             )
-            new_r = rel_piles(
-                r_targets, node_piles_r, way_piles_r, seed, max_rel_iters
+
+            # member FOOTPRINTS for the bbox fixed point — same pruned-read
+            # discipline: store reads scoped to the piles the (already
+            # pruned) indexes report
+            def _pruned_rows(store_key, idx, ids, cols):
+                if idx is None:
+                    return None
+                piles = [r.pile for r in idx.select("pile").distinct().collect()]
+                if not piles:
+                    return None
+                return (
+                    sp.read.parquet(p[store_key])
+                    .filter(F.col("pile").isin(piles))
+                    .join(F.broadcast(ids.distinct()), "id", "left_semi")
+                    .select(*cols)
+                )
+
+            empty_xy = sp.createDataFrame([], "ref long, x long, y long")
+            empty_bb = sp.createDataFrame(
+                [], "ref long, minx long, miny long, maxx long, maxy long"
+            )
+            node_ids_m = mrefs.filter(F.col("mtype") == "node").select(
+                F.col("ref").alias("id")
+            )
+            nxy = _pruned_rows("nodes", np_idx, node_ids_m, ["id", "x", "y"])
+            node_xy_m = (
+                nxy.select(F.col("id").alias("ref"), "x", "y")
+                if nxy is not None
+                else empty_xy
+            )
+            way_ids_m = mrefs.filter(F.col("mtype") == "way").select(
+                F.col("ref").alias("id")
+            )
+            way_rows_m = _pruned_rows("ways", wp_idx, way_ids_m, ["id", "refs"])
+            if way_rows_m is not None:
+                way_rows_m = way_rows_m.dropDuplicates(["id"]).localCheckpoint(
+                    eager=True
+                )
+                wref_ids = way_rows_m.select(F.explode("refs").alias("id")).distinct()
+                wref_idx = _pruned_index(
+                    sp, p["idx_nodes"], wref_ids, "id", index_buckets
+                )
+                wref_xy = _pruned_rows("nodes", wref_idx, wref_ids, ["id", "x", "y"])
+                way_bb_m = (
+                    way_rows_m.select("id", F.explode("refs").alias("nref"))
+                    .join(
+                        wref_xy.select(F.col("id").alias("nref"), "x", "y"), "nref"
+                    )
+                    .groupBy("id")
+                    .agg(
+                        F.min("x").alias("minx"), F.min("y").alias("miny"),
+                        F.max("x").alias("maxx"), F.max("y").alias("maxy"),
+                    )
+                    .select(F.col("id").alias("ref"), *BBOX_COLS)
+                    if wref_xy is not None
+                    else empty_bb
+                )
+            else:
+                way_bb_m = empty_bb
+            seed_bb = None
+            if have_rels and set(BBOX_COLS) <= set(
+                sp.read.parquet(p["relations"]).columns
+            ):
+                seed_rows = _pruned_rows(
+                    "relations", rp_idx, rel_refs, ["id", *BBOX_COLS]
+                )
+                if seed_rows is not None:
+                    seed_bb = seed_rows.select(F.col("id").alias("ref"), *BBOX_COLS)
+            bboxes_m = rel_bboxes(
+                r_targets, node_xy_m, way_bb_m, seed_bb, max_rel_iters
+            )
+            new_r = _with_rel_geometry(
+                rel_piles(r_targets, node_piles_r, way_piles_r, seed, max_rel_iters),
+                bboxes_m,
             ).localCheckpoint(eager=True)
             r_new_piles = {r.pile for r in new_r.select("pile").distinct().collect()}
             r_affected = sorted(r_old_piles | r_new_piles)
             if r_affected:
                 _merge_part(
-                    sp,
-                    p["relations"],
-                    "pile",
-                    r_affected,
-                    dirty_r,
-                    "id",
-                    new_r.select("id", "members", "tags", "pile"),
+                    sp, p["relations"], "pile", r_affected, dirty_r, "id", new_r
                 )
             r_buckets = [
                 r.ib

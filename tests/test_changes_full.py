@@ -409,6 +409,49 @@ class TestVerifyFullStore:
         assert rep["way_unjustified"] > 0
 
 
+class TestRelGeometry:
+    def test_bbox_and_quad_resolved_bulk(self, spark, tmp_path):
+        """Relations carry their resolved bbox + packed tile quad (the
+        reference's Validator bbox aggregation + quad placement), fixed
+        point through super-relations."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        rels = {r.id: r for r in read_kind(spark, store, "relations").collect()}
+        r1, r2 = rels[20], rels[21]
+        # r1 members: n1 (px(0),1000) + w1 over n1,n2 (px(0..1), 1000)
+        assert (r1.minx, r1.maxx) == (px(0), px(1))
+        assert (r1.miny, r1.maxy) == (1000, 1000)
+        assert r1.quad is not None
+        # super-relation inherits the child footprint through the fixed point
+        assert (r2.minx, r2.miny, r2.maxx, r2.maxy) == (
+            r1.minx, r1.miny, r1.maxx, r1.maxy,
+        )
+
+    def test_merge_updates_bbox(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "upsert", "ftype": "n", "id": 2, "version": 2,
+              "x": px(6), "y": 9000, "tags": {"name": "b"}, "seq": 1}],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        rels = {r.id: r for r in read_kind(spark, store, "relations").collect()}
+        # n2 moved east+north: w1's bbox grew, so r1 and the super follow
+        assert rels[20].maxx == px(6) and rels[20].maxy == 9000
+        assert rels[21].maxx == px(6) and rels[21].maxy == 9000
+
+    def test_unresolvable_relation_null_bbox(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        nodes = node_df(spark, [(1, px(2), 1000, None)])
+        ways = way_df(spark, [(10, [99], None)])
+        rels = rel_df(spark, [(30, [("way", 10, "")], None)])
+        CF.write_full_store(nodes, ways, rels, store)
+        r = read_kind(spark, store, "relations").collect()[0]
+        assert r.minx is None and r.quad is None
+        assert r.pile == CF.PURGATORY
+
+
 class TestRelPurgatoryMember:
     def test_locatable_member_wins_over_purgatory_member(self, spark, tmp_path):
         """A purgatory member (way with no resolvable nodes, pile -1) must
