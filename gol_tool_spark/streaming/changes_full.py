@@ -1090,7 +1090,18 @@ def query_store(
         # scopes into every bbox (the reference returns purgatory features
         # for any query — they have no location to exclude them by)
         pile_pred = pile_pred | (F.col("pile") == PURGATORY)
-        return df.filter(pile_pred)
+        df = df.filter(pile_pred)
+        if kind == "relations" and set(BBOX_COLS) <= set(df.columns):
+            # relations carry their resolved bbox: exact overlap test on
+            # top of the pile prune (NULL bbox = purgatory, stays in scope)
+            df = df.filter(
+                F.col("minx").isNull()
+                | (
+                    (F.col("minx") <= maxx) & (F.col("maxx") >= minx)
+                    & (F.col("miny") <= maxy) & (F.col("maxy") >= miny)
+                )
+            )
+        return df
     df = df.filter(pile_pred).filter(
         (F.col("x") >= minx) & (F.col("x") <= maxx)
         & (F.col("y") >= miny) & (F.col("y") <= maxy)

@@ -493,6 +493,20 @@ class TestQueryStore:
         )
         assert {r.id for r in tagged.collect()} == {1}
 
+    def test_relations_exact_bbox_overlap(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        # r1/r2 footprint spans px(0)..px(1); a bbox far east of it but in
+        # an overlapping z3 pile row must NOT return them
+        hits = CF.query_store(
+            spark, store, px(0) - 500, 0, px(0) + 500, 2000, kind="relations"
+        )
+        assert {r.id for r in hits.collect()} == {20, 21}
+        misses = CF.query_store(
+            spark, store, px(7), 0, px(7) + 500, 2000, kind="relations"
+        )
+        assert misses.count() == 0
+
     def test_ways_pruned_with_purgatory(self, spark, tmp_path):
         store = str(tmp_path / "s")
         base_store(spark, store)
