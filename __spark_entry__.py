@@ -748,6 +748,14 @@ def q_way_quads(spark, sf_dir):  # oracle: recursive-CTE zoom-out in oracle_sql(
     return tiling.way_quads(_ways(spark, sf_dir)).select("way_id", "n_tiles", "quad")
 
 
+def q_goql_value_list(spark, sf_dir):
+    """B1: GOQL value-list clause [k=v1,v2] (docs.geodesk.com/goql
+    multiple values) — one scan, any-of semantics."""
+    pts = _points(spark, sf_dir)
+    out = pts.filter(compile_goql("n[returnflag=R,A][qty>30]", ftype=F.lit("n")))
+    return out.select("id", "returnflag", "qty")
+
+
 def q_store_merge(spark, sf_dir):
     """A10 end-state oracle: bulk-load a typed store (nodes + ways), stream
     one change batch through apply_changes_full (node moves across pile
@@ -836,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rels_xml": q_rels_xml,
         "geom_collection": q_geom_collection,
         "store_merge": q_store_merge,
+        "goql_value_list": q_goql_value_list,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
@@ -1085,6 +1094,10 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT rel_id, string_agg(s, '' ORDER BY seq) AS ms FROM ms GROUP BY rel_id) "
             "SELECT '<relation id=\"' || rel_id || '\">' || chr(10) || ms "
             "|| '  <tag k=\"type\" v=\"route&amp;&quot;x\"/>' || chr(10) || '</relation>' AS xml FROM agg"
+        ),
+        "goql_value_list": _with_points(
+            "SELECT id, returnflag, qty FROM t12 "
+            "WHERE returnflag IN ('R', 'A') AND qty > 30"
         ),
         "store_merge": _with_points(
             f", mem AS (SELECT * FROM ({_MEM}) WHERE way_id % 101 = 0), "

@@ -9,7 +9,9 @@ Supported subset (covers the reference's documented clause forms):
     clauses:  [k]        key present
               [!k]       key absent
               [k=v]      equals (v bare, "quoted", or number)
-              [k!=v]     not equals
+              [k=v1,v2]  value list (docs.geodesk.com/goql: any of the
+                         values matches; wildcard members allowed)
+              [k!=v]     not equals; [k!=v1,v2] none-of; wildcards allowed
               [k=val*]   / [k=*fix] / [k=*mid*]  wildcard
               [k~re]     regex match
               [k>n] [k>=n] [k<n] [k<=n]  numeric compare (try_cast semantics:
@@ -53,6 +55,49 @@ def _unquote(v: str) -> str:
     return v
 
 
+def _split_values(s: str) -> list[str]:
+    """Split a clause value on commas outside quotes ([k=v1,v2] lists)."""
+    out: list[str] = []
+    cur: list[str] = []
+    q: str | None = None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p.strip() for p in out]
+
+
+def _split_selectors(goql: str) -> list[str]:
+    """Split on commas OUTSIDE bracket clauses — a comma inside [...] is a
+    value list, not a selector union (so `n[shop=bakery,butcher]` is ONE
+    selector, while `n[shop=bakery], w[highway]` is two)."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for ch in goql:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s for s in out if s.strip()]
+
+
 def _compile_clause(cond: str, tags: Column) -> Column:
     m = _COND_RE.match(cond)
     if not m:
@@ -65,10 +110,28 @@ def _compile_clause(cond: str, tags: Column) -> Column:
         return ~tag.isNotNull() if neg else present
     if neg:
         raise GoqlError(f"'!' only valid for absence tests: [{cond}]")
-    val = _unquote(m.group("val") or "")
+    raw = (m.group("val") or "").strip()
+
+    def _one_eq(v: str) -> Column:
+        v = _unquote(v)
+        if "*" in v:
+            pat = v.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+            return tag.isNotNull() & tag.like(pat)
+        return tag == F.lit(v)
+
+    if op in ("=", "!=") and _split_values(raw) != [raw]:
+        # value list [k=v1,v2,...]: any-of for '=', none-of for '!='
+        # (docs.geodesk.com/goql multiple-values form)
+        anyof = None
+        for v in _split_values(raw):
+            c = _one_eq(v)
+            anyof = c if anyof is None else (anyof | c)
+        return anyof if op == "=" else (tag.isNull() | ~anyof)
+    val = _unquote(raw)
     if op == "=" and "*" in val:
-        pat = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
-        return tag.isNotNull() & tag.like(pat)
+        return _one_eq(raw)
+    if op == "!=" and "*" in val:
+        return tag.isNull() | ~_one_eq(raw)
     if op == "~":
         return tag.isNotNull() & tag.rlike(val)
     if op in (">", ">=", "<", "<="):
@@ -140,7 +203,7 @@ def compile_goql(
     tags = F.col(tags) if isinstance(tags, str) else tags
     closed = F.col(closed) if isinstance(closed, str) else closed
     is_area = F.col(is_area) if isinstance(is_area, str) else is_area
-    selectors = [s for s in goql.split(",") if s.strip()]
+    selectors = _split_selectors(goql)
     if not selectors:
         raise GoqlError("empty GOQL query")
     out = _compile_selector(selectors[0], ftype, tags, closed, is_area)

@@ -782,6 +782,27 @@ class TestGoqlEdges:
         assert df.filter(compile_goql("n[maxspeed>30]")).count() == 1
         assert df.filter(compile_goql("n[maxspeed<30]")).count() == 0
 
+    def test_value_lists(self, spark):
+        """docs.geodesk.com/goql multiple-values form: [shop=bakery,butcher]
+        — a comma INSIDE a clause is a value list, not a selector union."""
+        rows = [
+            ("n", {"shop": "bakery"}),
+            ("n", {"shop": "butcher"}),
+            ("n", {"shop": "beverages"}),
+            ("n", {"name": "a,b"}),
+            ("w", {"highway": "residential"}),
+        ]
+        df = spark.createDataFrame(rows, "ftype string, tags map<string,string>")
+        assert df.filter(compile_goql("n[shop=bakery,butcher]")).count() == 2
+        # wildcard member inside the list
+        assert df.filter(compile_goql("n[shop=bakery,bev*]")).count() == 2
+        # none-of: absent or not in the list
+        assert df.filter(compile_goql("n[shop!=bakery,butcher]")).count() == 2
+        # selector union still splits OUTSIDE brackets
+        assert df.filter(compile_goql("n[shop=bakery,butcher], w[highway]")).count() == 3
+        # quoted comma is literal, not a list separator
+        assert df.filter(compile_goql('n[name="a,b"]')).count() == 1
+
 
 class TestShortDocEdges:
     def test_short_docs_dont_crash_dedup(self, spark):
