@@ -334,6 +334,100 @@ class TestCascades:
         )
 
 
+class TestRandomizedRebuildEquivalence:
+    def test_multi_batch_random_changes_match_rebuild(self, spark, tmp_path):
+        """Property: after ANY sequence of change batches, the incremental
+        store equals a from-scratch store over the final feature state —
+        randomized (seeded) moves/deletes/creates/tag-changes across
+        nodes, ways and relations, applied over 3 separate micro-batch
+        passes."""
+        import random
+
+        rng = random.Random(42)
+        # base: 24 nodes across several piles, 8 ways, 3 relations (one super)
+        nodes = {
+            i: (px(rng.randrange(8), off=1000 + i), 1000 + 37 * i, {"v": str(i)})
+            for i in range(1, 25)
+        }
+        ways = {100 + w: [rng.randrange(1, 25) for _ in range(3)] for w in range(8)}
+        rels = {
+            200: [("node", 1, ""), ("way", 100, "r")],
+            201: [("way", 101, ""), ("way", 102, "")],
+            202: [("relation", 200, ""), ("node", 2, "")],
+        }
+        store = str(tmp_path / "s")
+        CF.write_full_store(
+            node_df(spark, [(i, x, y, t) for i, (x, y, t) in nodes.items()]),
+            way_df(spark, [(w, refs, {"w": str(w)}) for w, refs in ways.items()]),
+            rel_df(spark, [(r, m, None) for r, m in rels.items()]),
+            store,
+        )
+        seq = 0
+        for batch in range(3):
+            recs = []
+            for _ in range(6):
+                seq += 1
+                kind = rng.choice(["move", "del_node", "retag", "way_edit", "new_node"])
+                if kind == "move" and nodes:
+                    nid = rng.choice(list(nodes))
+                    x, y, t = nodes[nid]
+                    nodes[nid] = (px(rng.randrange(8), off=5000 + seq), y, t)
+                    recs.append({"op": "upsert", "ftype": "n", "id": nid, "seq": seq,
+                                 "x": nodes[nid][0], "y": y, "tags": t})
+                elif kind == "del_node" and len(nodes) > 4:
+                    nid = rng.choice(list(nodes))
+                    del nodes[nid]
+                    recs.append({"op": "delete", "ftype": "n", "id": nid, "seq": seq})
+                elif kind == "retag" and nodes:
+                    nid = rng.choice(list(nodes))
+                    x, y, _ = nodes[nid]
+                    t = {"v": f"b{seq}", "new": "y"}
+                    nodes[nid] = (x, y, t)
+                    recs.append({"op": "upsert", "ftype": "n", "id": nid, "seq": seq,
+                                 "x": x, "y": y, "tags": t})
+                elif kind == "way_edit" and ways:
+                    wid = rng.choice(list(ways))
+                    ways[wid] = [rng.randrange(1, 30) for _ in range(3)]
+                    recs.append({"op": "upsert", "ftype": "w", "id": wid, "seq": seq,
+                                 "refs": ways[wid], "tags": {"w": str(wid)}})
+                elif kind == "new_node":
+                    nid = 1000 + seq
+                    nodes[nid] = (px(rng.randrange(8), off=9000 + seq), 777, {"v": "n"})
+                    recs.append({"op": "upsert", "ftype": "n", "id": nid, "seq": seq,
+                                 "x": nodes[nid][0], "y": 777, "tags": {"v": "n"}})
+            write_changes(tmp_path, f"b{batch}.json", recs)
+            run_merge(spark, str(tmp_path / "changes"), store, str(tmp_path / "ck"))
+
+        # oracle: rebuild from the mutated python-side state
+        store2 = str(tmp_path / "s2")
+        CF.write_full_store(
+            node_df(spark, [(i, x, y, t) for i, (x, y, t) in nodes.items()]),
+            way_df(spark, [(w, refs, {"w": str(w)}) for w, refs in ways.items()]),
+            rel_df(spark, [(r, m, None) for r, m in rels.items()]),
+            store2,
+        )
+        for kind in ("nodes", "ways", "relations"):
+            cols = [
+                c
+                for c in read_kind(spark, store, kind).columns
+                if c not in ("tags", "members")
+            ]
+            got = sorted(tuple(r) for r in read_kind(spark, store, kind).select(*cols).collect())
+            want = sorted(tuple(r) for r in read_kind(spark, store2, kind).select(*cols).collect())
+            assert got == want, kind
+            ga = sorted(
+                (r.id, sorted((r.tags or {}).items()))
+                for r in read_kind(spark, store, kind).select("id", "tags").collect()
+            )
+            gb = sorted(
+                (r.id, sorted((r.tags or {}).items()))
+                for r in read_kind(spark, store2, kind).select("id", "tags").collect()
+            )
+            assert ga == gb, kind
+        rep = CF.verify_full_store(spark, store)
+        assert rep["ok"], rep
+
+
 class TestDirectOscStream:
     def test_osc_files_merge_without_staging(self, spark, tmp_path):
         """apply_osc_changes: .osc files are the stream source — parse and
