@@ -119,11 +119,12 @@ def _compile_clause(cond: str, tags: Column) -> Column:
             return tag.isNotNull() & tag.like(pat)
         return tag == F.lit(v)
 
-    if op in ("=", "!=") and _split_values(raw) != [raw]:
+    parts = _split_values(raw) if op in ("=", "!=") else [raw]
+    if len(parts) > 1:
         # value list [k=v1,v2,...]: any-of for '=', none-of for '!='
         # (docs.geodesk.com/goql multiple-values form)
         anyof = None
-        for v in _split_values(raw):
+        for v in parts:
             c = _one_eq(v)
             anyof = c if anyof is None else (anyof | c)
         return anyof if op == "=" else (tag.isNull() | ~anyof)

@@ -226,7 +226,11 @@ def rel_piles(
             .select("id", "pile")
         )
         leaf = leaf.unionByName(ext)
-    static = leaf.groupBy("id").agg(F.min("pile").alias("pile"))
+    # eager: the leaf plan can embed pruned store reads (merge path) —
+    # without the checkpoint every fixed-point pass re-runs them
+    static = (
+        leaf.groupBy("id").agg(F.min("pile").alias("pile")).localCheckpoint(eager=True)
+    )
     edges = (
         m.filter(F.col("mtype") == "relation")
         .join(rels.select(F.col("id").alias("ref")), "ref", "left_semi")
@@ -313,7 +317,9 @@ def rel_bboxes(
             F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
         )
 
-    static = agg(leaf)
+    # eager for the same reason as rel_piles: leaf embeds pruned store
+    # reads in the merge path; checkpoint once, iterate cheap
+    static = agg(leaf).localCheckpoint(eager=True)
     edges = (
         m.filter(F.col("mtype") == "relation")
         .join(rels.select(F.col("id").alias("ref")), "ref", "left_semi")
@@ -813,8 +819,14 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 if wp_idx is not None
                 else sp.createDataFrame([], "ref long, pile long")
             )
-            rel_refs = mrefs.filter(F.col("mtype") == "relation").select(
-                F.col("ref").alias("id")
+            # relation-type member lookups must not see children DELETED in
+            # this batch: the relations store/index are read pre-merge, so
+            # without the anti-join a deleted child would seed its STALE
+            # pile/bbox into its dirty parents
+            rel_refs = (
+                mrefs.filter(F.col("mtype") == "relation")
+                .select(F.col("ref").alias("id"))
+                .join(F.broadcast(r_deleted), "id", "left_anti")
             )
             rp_idx = _pruned_index(sp, p["idx_rels"], rel_refs, "id", index_buckets)
             seed = (
@@ -1084,16 +1096,18 @@ def query_store(
 
     piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, PILE_ZOOM)]
     df = read_store(spark, store_path, kind)
+    goql_pred = (
+        compile_goql(goql, ftype=F.lit(kind[0]), tags=F.col("tags")) if goql else None
+    )
     pile_pred = F.col("pile").isin(piles)
     if kind != "nodes":
-        # a way/relation with unresolvable members lives in PURGATORY and
-        # scopes into every bbox (the reference returns purgatory features
-        # for any query — they have no location to exclude them by)
-        pile_pred = pile_pred | (F.col("pile") == PURGATORY)
-        df = df.filter(pile_pred)
         if kind == "relations" and set(BBOX_COLS) <= set(df.columns):
-            # relations carry their resolved bbox: exact overlap test on
-            # top of the pile prune (NULL bbox = purgatory, stays in scope)
+            # a relation is stored at ONE pile (min over member piles) but
+            # its footprint can span piles the query bbox doesn't cover —
+            # the pile prune would silently drop overlapping relations, so
+            # scope relations by their STORED bbox instead (exact overlap;
+            # NULL bbox = purgatory, which scopes into every query — the
+            # reference returns purgatory features for any query)
             df = df.filter(
                 F.col("minx").isNull()
                 | (
@@ -1101,14 +1115,17 @@ def query_store(
                     & (F.col("miny") <= maxy) & (F.col("maxy") >= miny)
                 )
             )
-        return df
+        else:
+            # ways spread one copy into EVERY touched pile, so the pile
+            # IN-list is a correct (and partition-pruned) scope for them;
+            # purgatory copies stay in scope
+            df = df.filter(pile_pred | (F.col("pile") == PURGATORY))
+        return df.filter(goql_pred) if goql_pred is not None else df
     df = df.filter(pile_pred).filter(
         (F.col("x") >= minx) & (F.col("x") <= maxx)
         & (F.col("y") >= miny) & (F.col("y") <= maxy)
     )
-    if goql:
-        df = df.filter(compile_goql(goql, ftype=F.lit("n"), tags=F.col("tags")))
-    return df
+    return df.filter(goql_pred) if goql_pred is not None else df
 
 
 def verify_full_store(spark: SparkSession, store_path: str) -> dict:

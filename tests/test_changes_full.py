@@ -600,6 +600,40 @@ class TestQueryStore:
             spark, store, px(7), 0, px(7) + 500, 2000, kind="relations"
         )
         assert misses.count() == 0
+        # footprint spans px(0)..px(1) but the row is STORED at the min
+        # member pile (cell 0): a bbox over cell 1 only must still hit —
+        # relations scope by stored bbox, not by the pile prune
+        east = CF.query_store(
+            spark, store, px(1) - 500, 0, px(1) + 500, 2000, kind="relations"
+        )
+        assert {r.id for r in east.collect()} == {20, 21}
+
+    def test_deleted_child_relation_does_not_seed_parents(self, spark, tmp_path):
+        """A relation deleted in the batch must not contribute its stale
+        stored pile/bbox to dirty parents — the parent falls back to its
+        other members (or purgatory if none)."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        c = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "delete", "ftype": "r", "id": 20, "version": 2, "seq": 1}],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        rels = {r.id: r for r in read_kind(spark, store, "relations").collect()}
+        assert 20 not in rels
+        assert rels[21].pile == CF.PURGATORY  # only member was the deleted child
+        assert rels[21].minx is None
+        rep = CF.verify_full_store(spark, store)
+        assert rep["ok"], rep
+
+    def test_goql_applies_to_way_queries(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        ways = CF.query_store(
+            spark, store, px(0) - 500, 0, px(1) + 500, 2000,
+            kind="ways", goql="w[highway=x]",
+        )
+        assert {r.id for r in ways.collect()} == {10}
 
     def test_ways_pruned_with_purgatory(self, spark, tmp_path):
         store = str(tmp_path / "s")

@@ -273,6 +273,8 @@ class TestBatchPolylineIntersect:
         off = np.array([0, 0, 2, 2, 3], np.int64)
         got = G.polylines_intersect_polygon(xs, ys, off, self.SQ)
         assert got.tolist() == [False, True, False, True]
+
+    def test_chunking_is_invariant(self):
         from gol_tool_spark.kernels import geometry as G
 
         rng = np.random.default_rng(11)
