@@ -84,11 +84,14 @@ def _selector_required_bits(clauses: str, schema: dict[str, int]) -> int:
 
 
 def query_required_bits(goql: str, schema: dict[str, int]) -> list[int]:
-    """Per-selector required-bit masks for a GOQL selector union."""
+    """Per-selector required-bit masks for a GOQL selector union.  Splits
+    selectors the way compile_goql does (bracket-aware — a comma inside a
+    clause is a value list, not a selector boundary; naive splitting fell
+    back to no-pruning on any value-list query)."""
+    from .goql import _split_selectors
+
     reqs = []
-    for sel in goql.split(","):
-        if not sel.strip():
-            continue
+    for sel in _split_selectors(goql):
         m = _TOKEN_RE.match(sel)
         reqs.append(_selector_required_bits(m.group("clauses") if m else "", schema))
     return reqs

@@ -375,6 +375,28 @@ def _with_rel_geometry(rrows: DataFrame, bboxes: DataFrame) -> DataFrame:
     )
 
 
+def _meta_path(store_path: str) -> str:
+    return os.path.join(store_path, "_gol_meta.json")
+
+
+def _load_meta(store_path: str) -> dict:
+    import json
+
+    try:
+        with open(_meta_path(store_path)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _node_keybits(tags_col, indexed_keys: str | None):
+    if not indexed_keys:
+        return F.lit(0).cast("int")
+    from ..functions import keybits as KB
+
+    return KB.keybits_col(tags_col, KB.parse_schema(indexed_keys))
+
+
 def write_full_store(
     nodes: DataFrame,
     ways: DataFrame | None,
@@ -382,19 +404,42 @@ def write_full_store(
     store_path: str,
     zoom: int = 12,
     index_buckets: int = 16,
+    indexed_keys: str | None = None,
 ) -> None:
     """Bulk-load a typed store + every index apply_changes_full merges into.
     nodes: (id, x, y, tags); ways: (id, refs, tags); rels: (id, members,
-    tags)."""
+    tags).  With `indexed_keys` (the reference's indexed-keys config,
+    KeyIndexSchema grammar) nodes carry a `keybits` column and each pile's
+    files sort by it, so a GOQL tag query's keybits prefilter prunes row
+    groups via parquet min/max stats (SIndexTree bucket pruning without a
+    second partition level — the merge path stays single-level and just
+    recomputes the column); the schema string persists in the store's
+    meta file so query_store applies the prefilter automatically."""
+    import json
+
     p = _paths(store_path)
     spark = nodes.sparkSession
     empty = F.expr(_EMPTY_TAGS)
     nrows = (
         _with_pile(nodes, zoom)
-        .select("id", "x", "y", F.coalesce("tags", empty).alias("tags"), "tile", "pile")
+        .select(
+            "id", "x", "y",
+            F.coalesce("tags", empty).alias("tags"),
+            "tile", "pile",
+            _node_keybits(F.coalesce("tags", empty), indexed_keys).alias("keybits"),
+        )
         .localCheckpoint(eager=True)
     )
-    nrows.write.mode("overwrite").partitionBy("pile").parquet(p["nodes"])
+    (
+        nrows.repartition("pile")
+        .sortWithinPartitions("keybits", "tile", "id")
+        .write.mode("overwrite")
+        .partitionBy("pile")
+        .parquet(p["nodes"])
+    )
+    os.makedirs(store_path, exist_ok=True)
+    with open(_meta_path(store_path), "w") as fh:
+        json.dump({"indexed_keys": indexed_keys, "zoom": zoom}, fh)
     nidx = nrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
     nidx.write.mode("overwrite").partitionBy("ib").parquet(p["idx_nodes"])
 
@@ -470,6 +515,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
     """Build the per-batch merge closure over a store layout — shared by
     the JSON change stream (apply_changes_full) and the direct OsmChange
     stream (apply_osc_changes)."""
+    store_root = os.path.dirname(p["nodes"])
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -518,8 +564,10 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
             .select("id", "x", "y", "tags")
         )
+        indexed_keys = _load_meta(store_root).get("indexed_keys")
         ups_n = _with_pile(ups_n, zoom).select(
-            "id", "x", "y", "tags", "tile", "pile"
+            "id", "x", "y", "tags", "tile", "pile",
+            _node_keybits(F.col("tags"), indexed_keys).alias("keybits"),
         ).localCheckpoint(eager=True)
         n_new_piles = {r.pile for r in ups_n.select("pile").distinct().collect()}
         n_affected = sorted(n_old_piles | n_new_piles)
@@ -1125,7 +1173,19 @@ def query_store(
         (F.col("x") >= minx) & (F.col("x") <= maxx)
         & (F.col("y") >= miny) & (F.col("y") <= maxy)
     )
-    return df.filter(goql_pred) if goql_pred is not None else df
+    if goql_pred is not None:
+        indexed_keys = _load_meta(store_path).get("indexed_keys")
+        if indexed_keys and "keybits" in df.columns:
+            # SIndexTree-style prefilter: keybits IN (covering masks) ANDs
+            # in front of the tag predicate — the sorted-by-keybits layout
+            # turns it into parquet row-group skips via min/max stats
+            from ..functions import keybits as KB
+
+            df = df.filter(
+                KB.keybits_prefilter(goql, KB.parse_schema(indexed_keys))
+            )
+        df = df.filter(goql_pred)
+    return df
 
 
 def verify_full_store(spark: SparkSession, store_path: str) -> dict:

@@ -334,6 +334,52 @@ class TestCascades:
         )
 
 
+class TestTypedStoreKeybits:
+    def test_keybits_column_query_and_merge(self, spark, tmp_path):
+        """indexed-keys on the typed store: nodes carry a keybits column
+        (sorted within each pile for row-group pruning), query_store ANDs
+        the SIndexTree-style prefilter automatically, and the merge
+        recomputes the bits when tags change."""
+        from gol_tool_spark.functions import keybits as KB
+
+        store = str(tmp_path / "s")
+        nodes = node_df(
+            spark,
+            [
+                (1, px(0), 1000, {"amenity": "pub"}),
+                (2, px(0) + 10, 1000, {"shop": "bakery"}),
+                (3, px(0) + 20, 1000, {"name": "x"}),
+            ],
+        )
+        CF.write_full_store(nodes, None, None, store, indexed_keys="amenity shop")
+        stored = {r.id: r.keybits for r in CF.read_store(spark, store, "nodes").collect()}
+        assert stored == {1: 1, 2: 2, 3: 0}
+        hits = CF.query_store(
+            spark, store, px(0) - 500, 0, px(0) + 500, 2000, goql="n[amenity=pub]"
+        )
+        assert {r.id for r in hits.collect()} == {1}
+        # tag change through the merge updates the bits
+        c = write_changes(
+            tmp_path, "c1.json",
+            [{"op": "patch", "ftype": "n", "id": 3, "version": 2,
+              "tags": {"amenity": "cafe"}, "seq": 1}],
+        )
+        run_merge(spark, c, store, str(tmp_path / "ck"))
+        rows = {r.id: r for r in CF.read_store(spark, store, "nodes").collect()}
+        assert rows[3].keybits == 1
+        # and every stored keybits equals a fresh recompute over its tags
+        schema = KB.parse_schema("amenity shop")
+        nd = CF.read_store(spark, store, "nodes")
+        mismatch = nd.filter(
+            F.col("keybits") != KB.keybits_col(F.col("tags"), schema)
+        ).count()
+        assert mismatch == 0
+        cafes = CF.query_store(
+            spark, store, px(0) - 500, 0, px(0) + 500, 2000, goql="n[amenity]"
+        )
+        assert {r.id for r in cafes.collect()} == {1, 3}
+
+
 class TestRandomizedRebuildEquivalence:
     def test_multi_batch_random_changes_match_rebuild(self, spark, tmp_path):
         """Property: after ANY sequence of change batches, the incremental
