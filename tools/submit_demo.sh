@@ -27,7 +27,24 @@ cat = tiling.catalog_topk(tiling.rollup(tiling.density(pts.select("x", "y"))), 6
 n_assigned = tiling.pile_assignment(pts, cat).filter(F.col("assigned_tile").isNotNull()).count()
 n_query = spatial_query.bbox_query(
     pts, -(1 << 29), -(1 << 29), 1 << 29, 1 << 29, goql="n[returnflag=R]").count()
-print("SUBMIT_DEMO_RESULT " + json.dumps({"assigned": n_assigned, "bbox_goql": n_query}))
+
+# gol update spine: typed store bulk-load + OsmChange merge + store query
+import json as _json, os, tempfile
+from pyspark.sql import functions as F2
+from gol_tool_spark.streaming import changes_full as CF
+td = tempfile.mkdtemp(prefix="submit_upd_")
+store = os.path.join(td, "store")
+nodes = pts.limit(2000).select("id", "x", "y", F2.lit(None).cast("map<string,string>").alias("tags"))
+CF.write_full_store(nodes, None, None, store)
+os.makedirs(os.path.join(td, "ch"))
+some = [r.id for r in nodes.limit(5).collect()]
+with open(os.path.join(td, "ch", "d.json"), "w") as fh:
+    for i, nid in enumerate(some):
+        fh.write(_json.dumps({"op": "upsert", "ftype": "n", "id": nid, "x": 7 + i, "y": 9, "seq": i}) + "\n")
+q = CF.apply_changes_full(spark, os.path.join(td, "ch"), store, os.path.join(td, "ck"))
+assert q.awaitTermination(300)
+n_moved = CF.query_store(spark, store, 0, 0, 100, 100).count()
+print("SUBMIT_DEMO_RESULT " + json.dumps({"assigned": n_assigned, "bbox_goql": n_query, "updated_in_bbox": n_moved}))
 spark.stop()
 EOF
 SPARK_BIN="$(python -c 'import pyspark, os; print(os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit"))')"
