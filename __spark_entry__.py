@@ -832,7 +832,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Gate-coverage discipline: the driver's CORRECTNESS snapshot checks only
+    # the FIRST 50 entries (dict order). Head = queries that still need a
+    # driver-recorded oracle row this round (never/rarely snapshotted, or code
+    # touched this round); tail = entries already driver-green in r3 whose
+    # code paths are stable. New queries: insert inside the first 50 when they
+    # need gate coverage, otherwise append at the very end.
     return {
+        # -- never/rarely driver-checked (r1/r2-only or local-only evidence) --
+        "gst_weighted": q_gst_weighted,
+        "area_classify": q_area_classify,
+        "goql_area": q_goql_area,
+        "goql_parent_child": q_goql_parent_child,
+        "goql_members_of": q_goql_members_of,
+        "goql_chain": q_goql_chain,
+        "fab_export": q_fab_export,
+        "events_json": q_events_json,
+        "way_quads": q_way_quads,
+        "pip_holes": q_pip_holes,
+        "tally_length": q_tally_length,
+        "tally_area": q_tally_area,
+        "tally_length_m": q_tally_length_m,
+        # -- r3-green, code paths touched or load-bearing this round --
         "tile_assign": q_tile_assign,
         "tile_density": q_tile_density,
         "density_rollup": q_density_rollup,
@@ -851,11 +872,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_query": q_bbox_query,
         "goql_query": q_goql_query,
         "goql_union": q_goql_union,
-        "duplicate_coarse": q_duplicate_coarse,
         "knn_grid": q_knn_grid,
         "knn_cell_ring": q_knn_cell_ring,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "tally_priority": q_tally_priority,
+        "tally_tags": q_tally_tags,
+        "ann_cosine": q_ann_cosine,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh": q_ann_lsh,
+        "image_tile_density": q_image_tile_density,
+        "image_roundtrip": q_image_roundtrip,
+        "image_tile_rollup": q_image_tile_rollup,
+        "way_l1_length": q_way_l1_length,
+        "ghost_copies": q_ghost_copies,
+        # ----- entry 50 boundary: everything below rides on r3 driver green -----
         "q1_pricing": q_q1_pricing,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
@@ -867,35 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_sigs": q_minhash_sigs,
-        "simhash": q_simhash,
         "string_freq": q_string_freq,
-        "tally_priority": q_tally_priority,
-        "tally_tags": q_tally_tags,
+        "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
-        "ann_cosine": q_ann_cosine,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_lsh": q_ann_lsh,
-        "image_tile_density": q_image_tile_density,
-        "image_roundtrip": q_image_roundtrip,
-        "image_tile_rollup": q_image_tile_rollup,
-        "way_l1_length": q_way_l1_length,
-        "ghost_copies": q_ghost_copies,
-        "gst_weighted": q_gst_weighted,
-        "area_classify": q_area_classify,
-        "goql_area": q_goql_area,
-        "goql_parent_child": q_goql_parent_child,
-        "goql_members_of": q_goql_members_of,
-        "goql_chain": q_goql_chain,
-        "fab_export": q_fab_export,
-        "events_json": q_events_json,
-        "way_quads": q_way_quads,
-        "pip_holes": q_pip_holes,
-        "tally_length": q_tally_length,
-        "tally_area": q_tally_area,
-        "tally_length_m": q_tally_length_m,
     }
 
 
