@@ -56,7 +56,13 @@ def _unquote(v: str) -> str:
 
 
 def _split_values(s: str) -> list[str]:
-    """Split a clause value on commas outside quotes ([k=v1,v2] lists)."""
+    """Split a clause value on commas outside quotes ([k=v1,v2] lists).
+
+    A quote only OPENS a quoted span at the start of a token (value start
+    or right after a list comma) — a bare apostrophe mid-value
+    (`[brand=McDonald's,KFC]`) is literal text, not a quote, so the comma
+    still splits.  An opened quote left unbalanced is an error rather
+    than silently swallowing the rest of the list."""
     out: list[str] = []
     cur: list[str] = []
     q: str | None = None
@@ -65,7 +71,7 @@ def _split_values(s: str) -> list[str]:
             cur.append(ch)
             if ch == q:
                 q = None
-        elif ch in "'\"":
+        elif ch in "'\"" and not "".join(cur).strip():
             q = ch
             cur.append(ch)
         elif ch == ",":
@@ -73,6 +79,8 @@ def _split_values(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+    if q:
+        raise GoqlError(f"unbalanced quote in value list: {s!r}")
     out.append("".join(cur))
     return [p.strip() for p in out]
 

@@ -1,20 +1,24 @@
-"""Image payload kernels: deterministic codec, PSNR, 64-bit perceptual hash.
+"""Image payload kernels: real PNG codec, PSNR, 64-bit perceptual hash.
 
 The BASELINE input table carries (bytes:binary, w, h, fmt, caption, phash);
 per-row invariants after any pipeline are decoded-pixel PSNR>=40dB (lossy)
-and caption byte-equality.  The sandbox has no image libraries, so the
-codecs are deterministic stand-ins with the real Spark-side plumbing:
+and caption byte-equality.  Formats:
 
-    fmt="raw"  : bytes = H*W*3 uint8 RGB, row-major          (lossless)
-    fmt="png"  : zlib-compressed raw stream (stdlib only)    (lossless)
-    fmt="jpg"  : quantize-to-16-levels then zlib             (lossy, PSNR~34-44dB)
+    fmt="raw"  : bytes = H*W*3 uint8 RGB, row-major               (lossless)
+    fmt="png"  : REAL PNG — signature/IHDR/IDAT/IEND chunks, CRCs,
+                 8-bit RGB, scanline filters (pure numpy + stdlib
+                 zlib; interoperable with any PNG reader)          (lossless)
+    fmt="jpg"  : quantize-to-16-levels then zlib, a deterministic
+                 stand-in for a lossy codec (PSNR~34-44dB)         (lossy)
 
-A real deployment swaps `decode`/`encode` for libvips/Pillow inside the same
-mapInPandas batches — the schema, batching and invariants don't change.
+JPEG/WebP remain behind the plug-in seam (a real DCT codec needs an image
+library this sandbox doesn't ship); swapping one in changes no Spark-side
+plumbing — schema, batching and invariants stay identical.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np

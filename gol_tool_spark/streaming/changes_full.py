@@ -53,10 +53,13 @@ MERGE INTO is the fully-transactional form).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from ..functions import tags as TG
 from .changes import PILE_ZOOM, _bucket, _dynamic_overwrite, _with_pile
@@ -142,10 +145,14 @@ def _pruned_index(
     ]
     if not buckets:
         return None
-    return (
-        spark.read.parquet(idx_path)
-        .filter(F.col("ib").isin(buckets))
-        .join(F.broadcast(keys.select(key).distinct()), key)
+    try:
+        idx = spark.read.parquet(idx_path)
+    except Exception:
+        # dir exists but holds no parquet footers (store bulk-loaded from
+        # an empty DataFrame writes only _SUCCESS) — an empty index
+        return None
+    return idx.filter(F.col("ib").isin(buckets)).join(
+        F.broadcast(keys.select(key).distinct()), key
     )
 
 
@@ -261,6 +268,14 @@ def rel_piles(
         cur = nxt
         if changed == 0:
             break
+    else:
+        # cap reached while the last pass still changed piles — deeper
+        # nesting than max_iters would stay stale with no signal otherwise
+        _log.warning(
+            "rel_piles fixed point did not converge in %d iterations; "
+            "relations nested deeper may carry stale piles — raise max_iters",
+            max_iters,
+        )
     return (
         rels.select("id", "members", "tags")
         .join(cur, "id", "left")
@@ -352,6 +367,12 @@ def rel_bboxes(
         cur = nxt
         if changed == 0:
             break
+    else:
+        _log.warning(
+            "rel_bboxes fixed point did not converge in %d iterations; "
+            "relations nested deeper may carry stale bboxes — raise max_iters",
+            max_iters,
+        )
     return rels.select("id").distinct().join(cur, "id", "left")
 
 
@@ -419,6 +440,12 @@ def write_full_store(
 
     p = _paths(store_path)
     spark = nodes.sparkSession
+    # an empty DataFrame partitionBy-writes only _SUCCESS (no schema) —
+    # treat it as absent; the merge path creates the store on first use
+    if ways is not None and ways.isEmpty():
+        ways = None
+    if rels is not None and rels.isEmpty():
+        rels = None
     empty = F.expr(_EMPTY_TAGS)
     nrows = (
         _with_pile(nodes, zoom)
@@ -781,6 +808,15 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             frontier = new_parents.select(
                 F.lit("relation").alias("mtype"), F.col("id").alias("ref")
             )
+        else:
+            # loop exhausted with a non-empty frontier: super-relations
+            # above max_rel_iters levels would silently miss the dirty set
+            _log.warning(
+                "super-relation dirty closure still expanding after %d "
+                "iterations; deeper parents may keep stale piles/bboxes — "
+                "raise max_rel_iters",
+                max_rel_iters,
+            )
         have_rels = os.path.exists(p["relations"])
         r_deleted = rw.filter(F.col("op") == "delete").select("id").distinct()
         if have_rels or not rw.isEmpty():
@@ -1070,9 +1106,14 @@ def apply_osc_changes(
 
     Ordering: within a batch files are ranked by name (minutely diffs
     sort chronologically) and records keep their in-file position —
-    seq = (batch_id+1)<<44 | rank<<32 | position, monotone across batches
-    and stable under checkpoint replay (batch content is replayed
-    identically), so the winner-per-id rule is deterministic."""
+    seq = (batch_id+1)<<44 | rank<<32 | position.  rank has 12 bits, so
+    the source is capped at maxFilesPerTrigger=4096 (a larger backlog
+    simply splits into more availableNow micro-batches, applied in
+    order).  seq is monotone WITHIN a batch and deterministic under
+    checkpoint replay (batch content is replayed identically); across
+    batches ordering comes from batches being applied sequentially —
+    later batches physically overwrite — not from comparing seq values
+    across batches."""
     merge = _make_merge(_paths(store_path), zoom, index_buckets, max_rel_iters)
     from .osc import parse_osc
 
@@ -1108,6 +1149,8 @@ def apply_osc_changes(
     q = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
+        # rank is packed into 12 bits of seq — bound files/batch to match
+        .option("maxFilesPerTrigger", 4096)
         .load(osc_path)
         .writeStream.foreachBatch(osc_merge)
         .option("checkpointLocation", checkpoint_path)

@@ -101,12 +101,14 @@ def parse_osc(data: bytes, seq_base: int = 0) -> Iterator[dict]:
         el.clear()
 
 
-def osc_to_changes(spark: SparkSession, path: str) -> DataFrame:
+def osc_to_changes(spark: SparkSession, path: str, rank_base: int = 0) -> DataFrame:
     """Distributed OsmChange parse: binaryFile scan over `path` (glob ok,
     .osc and .osc.gz), each file parsed in a mapInPandas worker.  Files are
-    ordered by name (minutely diffs sort chronologically): file rank *
-    2^32 + in-file position = the global `seq`, so later diffs beat
-    earlier ones in the merge's winner-per-id rule."""
+    ordered by name (minutely diffs sort chronologically): (rank_base +
+    file rank) * 2^32 + in-file position = the global `seq`, so later
+    diffs beat earlier ones in the merge's winner-per-id rule.  rank_base
+    lets a caller staging several batches into one directory keep seq
+    monotone ACROSS batches (see stage_osc)."""
     from pyspark.sql import functions as F
     from pyspark.sql import Window
 
@@ -115,7 +117,8 @@ def osc_to_changes(spark: SparkSession, path: str) -> DataFrame:
     # directly on `raw` would collapse every file's bytes into one
     # partition and serialize the parse on a single task
     ranked = raw.select("path").withColumn(
-        "frank", F.row_number().over(Window.orderBy("path")).cast("long") - 1
+        "frank",
+        F.row_number().over(Window.orderBy("path")).cast("long") - 1 + rank_base,
     )
     files = raw.join(F.broadcast(ranked), "path")
 
@@ -139,16 +142,64 @@ def osc_to_changes(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, CHANGE_SCHEMA_FULL)
 
 
+def _stage_meta_path(changes_dir: str) -> str:
+    import os
+
+    return os.path.join(changes_dir, "_staged_meta.json")
+
+
+def _load_rank_base(changes_dir: str) -> int:
+    import json
+    import os
+
+    meta = _stage_meta_path(changes_dir)
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return int(json.load(fh)["next_rank_base"])
+    return 0
+
+
+def _store_rank_base(changes_dir: str, next_base: int) -> None:
+    import json
+    import os
+
+    meta = _stage_meta_path(changes_dir)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"next_rank_base": next_base}, fh)
+    os.replace(tmp, meta)  # atomic on posix
+
+
 def stage_osc(spark: SparkSession, osc_glob: str, changes_dir: str) -> int:
     """Convert OsmChange file(s) into JSON-lines change files under
     `changes_dir` — the file-source feed of apply_changes_full's stream
     (the reference's Updater reads the .osc directly; the Spark stream
-    wants a replayable JSON source directory).  Returns the record count."""
+    wants a replayable JSON source directory).  Returns the record count.
+
+    seq across stagings: file ranks continue from a persisted monotone
+    counter (`_staged_meta.json` in changes_dir) instead of restarting at
+    0, so when TWO stagings land before one apply_changes_full run — both
+    JSON sets then share a single availableNow micro-batch — a feature
+    changed in both diffs still resolves to the LATER staging's record
+    (last-diff-wins), matching the reference's sequential apply order
+    (update/Updater.java applies .osc files strictly in sequence)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(changes_dir, exist_ok=True)
+    base = _load_rank_base(changes_dir)
     # cache across the write + count: without it the count re-scans and
     # re-parses every .osc a second time (and races newly arriving files)
-    df = osc_to_changes(spark, osc_glob).cache()
+    df = osc_to_changes(spark, osc_glob, rank_base=base).cache()
     try:
         df.write.mode("append").json(changes_dir)
-        return df.count()
+        n = df.count()
+        # highest staged rank (seq >> 32), +1 = next base; records staged
+        # so the count is exact even if the glob raced new arrivals
+        hi = df.select(F.max(F.shiftright("seq", 32)).alias("h")).collect()[0]["h"]
+        if hi is not None:
+            _store_rank_base(changes_dir, int(hi) + 1)
+        return n
     finally:
         df.unpersist()

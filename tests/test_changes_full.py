@@ -812,3 +812,99 @@ class TestOscReader:
         assert dict(n100.tags) == {"name": "Marks & Spencer"}
         ways = CF.read_store(spark, store, "ways")
         assert ways.filter(F.col("id") == 200).count() >= 1
+
+    @staticmethod
+    def _node_osc(name_val: str) -> bytes:
+        return (
+            '<osmChange version="0.6"><modify>'
+            '<node id="100" version="2" lat="0.001" lon="0.001">'
+            f'<tag k="name" v="{name_val}"/>'
+            "</node></modify></osmChange>"
+        ).encode()
+
+    def test_two_stagings_before_one_apply_last_diff_wins(self, spark, tmp_path):
+        """Two stage_osc calls into the same changes_dir before a single
+        apply: the LATER staging must win for a feature changed in both
+        diffs, even though its file name sorts earlier and the first
+        staging had more files (so under per-call rank restart its rank
+        would be lower).  Ranks continue from the persisted counter."""
+        d1, d2 = tmp_path / "osc1", tmp_path / "osc2"
+        d1.mkdir(), d2.mkdir()
+        # staging 1: two files, the later one (by name) sets name=old
+        (d1 / "y.osc").write_bytes(self._node_osc("older"))
+        (d1 / "z.osc").write_bytes(self._node_osc("old"))
+        # staging 2: ONE file whose name sorts before both of staging 1's
+        (d2 / "a.osc").write_bytes(self._node_osc("new"))
+        staged = str(tmp_path / "staged")
+        assert OSC.stage_osc(spark, str(d1), staged) == 2
+        assert OSC.stage_osc(spark, str(d2), staged) == 1
+        # ranks must be 0,1 then 2 — monotone across stagings
+        ranks = sorted(
+            r.rank
+            for r in spark.read.json(staged)
+            .select(F.shiftright("seq", 32).alias("rank"))
+            .distinct()
+            .collect()
+        )
+        assert ranks == [0, 1, 2]
+        store = str(tmp_path / "s")
+        run_merge(spark, staged, store, str(tmp_path / "ck"))
+        n100 = CF.read_store(spark, store, "nodes").filter("id = 100").collect()
+        assert len(n100) == 1 and dict(n100[0].tags)["name"] == "new"
+
+
+class TestEmptyKindBulkLoad:
+    def test_store_without_relations_accepts_changes(self, spark, tmp_path):
+        """Bulk-loading with an EMPTY ways/rels DataFrame must behave like
+        omitting them: an empty DF partitionBy-writes a schema-less dir
+        that would poison later merges (UNABLE_TO_INFER_SCHEMA on the
+        member_rels index)."""
+        store = str(tmp_path / "s")
+        nodes = node_df(spark, [(1, px(0), 1000, {"name": "a"})])
+        CF.write_full_store(
+            nodes, way_df(spark, []), rel_df(spark, []), store
+        )
+        ch = write_changes(
+            tmp_path,
+            "c.json",
+            [
+                {"op": "upsert", "ftype": "n", "id": 1, "x": px(1), "y": 5,
+                 "tags": {"name": "b"}, "seq": 0},
+            ],
+        )
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        rows = read_kind(spark, store, "nodes").collect()
+        assert len(rows) == 1 and dict(rows[0].tags) == {"name": "b"}
+        assert CF.verify_full_store(spark, store)["ok"]
+
+
+class TestFixedPointConvergenceWarning:
+    def test_rel_piles_warns_at_cap(self, spark, caplog):
+        """A relation chain deeper than max_iters logs a warning instead of
+        silently keeping stale piles (ADVICE r3)."""
+        import logging
+
+        nodes = spark.createDataFrame([(1, 100)], "ref long, pile long")
+        ways = spark.createDataFrame([], "ref long, pile long")
+        # r30 <- r31 <- r32 <- r33: 3 relation hops above the node holder
+        rels = rel_df(
+            spark,
+            [
+                (30, [("node", 1, "")], None),
+                (31, [("relation", 30, "")], None),
+                (32, [("relation", 31, "")], None),
+                (33, [("relation", 32, "")], None),
+            ],
+        )
+        with caplog.at_level(logging.WARNING, logger=CF.__name__):
+            out = CF.rel_piles(rels, nodes, ways, max_iters=1)
+            got = {r.id: r.pile for r in out.collect()}
+        assert got[30] == 100 and got[31] == 100  # one pass resolved these
+        assert any("did not converge" in r.message for r in caplog.records)
+        # and with enough iterations it converges silently
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger=CF.__name__):
+            out = CF.rel_piles(rels, nodes, ways, max_iters=10)
+            got = {r.id: r.pile for r in out.collect()}
+        assert got == {30: 100, 31: 100, 32: 100, 33: 100}
+        assert not any("did not converge" in r.message for r in caplog.records)

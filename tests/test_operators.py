@@ -803,6 +803,25 @@ class TestGoqlEdges:
         # quoted comma is literal, not a list separator
         assert df.filter(compile_goql('n[name="a,b"]')).count() == 1
 
+    def test_mid_value_apostrophe_still_splits(self, spark):
+        """A bare apostrophe mid-value is literal text, not a quote opener:
+        [brand=McDonald's,KFC] is a TWO-element list."""
+        import pytest
+
+        from gol_tool_spark.functions.goql import GoqlError, _split_values
+
+        assert _split_values("McDonald's,KFC") == ["McDonald's", "KFC"]
+        rows = [
+            ("n", {"brand": "McDonald's"}),
+            ("n", {"brand": "KFC"}),
+            ("n", {"brand": "Wendy's"}),
+        ]
+        df = spark.createDataFrame(rows, "ftype string, tags map<string,string>")
+        assert df.filter(compile_goql("n[brand=McDonald's,KFC]")).count() == 2
+        # an opened-but-unbalanced quote is an error, not a silent mis-split
+        with pytest.raises(GoqlError):
+            _split_values("'abc,def")
+
 
 class TestShortDocEdges:
     def test_short_docs_dont_crash_dedup(self, spark):
