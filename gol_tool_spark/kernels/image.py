@@ -57,6 +57,120 @@ def _real_decode(data: bytes) -> np.ndarray:  # pragma: no cover
     return np.asarray(_PIL_Image.open(io.BytesIO(data)).convert("RGB"))
 
 
+# ------------------------------ real PNG codec ------------------------------
+# Pure numpy + stdlib zlib, interoperable with any PNG reader/writer.
+# Encoder: 8-bit RGB (color type 2), filter 0 scanlines, single IDAT.
+# Decoder: 8-bit RGB/RGBA, all five scanline filters, multi-IDAT, CRC-checked.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(pixels: np.ndarray, level: int = 6) -> bytes:
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.empty((h, 1 + w * 3), np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(data: bytes) -> tuple[np.ndarray, int, int, int]:
+    """PNG bytes -> (filtered scanlines (h, 1+w*ch) uint8, h, w, ch)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    n = len(data)
+    while pos + 12 <= n:
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG stream missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth} color={color} interlace={interlace}): "
+            "only 8-bit RGB/RGBA, non-interlaced"
+        )
+    ch = 3 if color == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (1 + w * ch):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    return raw.reshape(h, 1 + w * ch), h, w, ch
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, w, ch) uint8.  The all-None
+    case (what _png_encode emits) is a single vectorized strip; filtered
+    rows reconstruct per-row (Sub via per-lane cumsum; Average/Paeth have
+    an inherent left-to-right dependency)."""
+    ftypes = raw[:, 0]
+    flt = raw[:, 1:]
+    if not ftypes.any():
+        return flt.reshape(h, w, ch).copy()
+    out = np.empty((h, w * ch), np.uint8)
+    prior = np.zeros(w * ch, np.int32)
+    for i in range(h):
+        f = int(ftypes[i])
+        row = flt[i].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = (row.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f == 3:  # Average
+            rec = np.empty(w * ch, np.int32)
+            for x in range(w * ch):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(w * ch, np.int32)
+            for x in range(w * ch):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[i] = rec
+        prior = rec
+    return out.reshape(h, w, ch)
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    raw, h, w, ch = _png_parse(data)
+    px = _png_unfilter(raw, h, w, ch)
+    return px[:, :, :3] if ch == 4 else px
+
+
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """pixels: (h, w, 3) uint8 -> payload bytes."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
@@ -64,7 +178,7 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return pixels.tobytes()
     if fmt == "png":
-        return zlib.compress(pixels.tobytes(), 6)
+        return _png_encode(pixels)
     if fmt == "jpg":
         q = (pixels.astype(np.int32) // _QUANT * _QUANT + _QUANT // 2).astype(np.uint8)
         return zlib.compress(q.tobytes(), 6)
@@ -81,7 +195,13 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """payload bytes -> (h, w, 3) uint8."""
     if fmt == "raw":
         buf = np.frombuffer(data, np.uint8)
-    elif fmt in ("png", "jpg"):
+    elif fmt == "png":
+        if data[:8] == _PNG_SIG:
+            return _png_decode(data)
+        # legacy stand-in stream (stores written before the real codec):
+        # bare zlib of the raw pixel block
+        buf = np.frombuffer(zlib.decompress(data), np.uint8)
+    elif fmt == "jpg":
         buf = np.frombuffer(zlib.decompress(data), np.uint8)
     elif fmt in _REAL_FMTS:
         if HAVE_REAL_CODEC:
@@ -121,7 +241,24 @@ def decode_batch(payloads: list[bytes], w: int, h: int, fmt: str) -> np.ndarray:
     """Equal-shape payloads -> one (N, h, w, 3) uint8 stack (single copy)."""
     if fmt == "raw":
         buf = np.frombuffer(b"".join(payloads), np.uint8)
-    elif fmt in ("png", "jpg"):
+    elif fmt == "png":
+        if payloads and payloads[0][:8] != _PNG_SIG:
+            # legacy stand-in streams: bare zlib of the raw pixel block
+            buf = np.frombuffer(
+                b"".join(zlib.decompress(p) for p in payloads), np.uint8
+            )
+            return buf.reshape(len(payloads), h, w, 3)
+        # real PNGs: per-payload inflate (independent streams), then ONE
+        # vectorized filter-byte strip when no scanline is filtered (the
+        # common case — our encoder always writes filter None)
+        raws = [_png_parse(p) for p in payloads]
+        if all(c == 3 and hh == h and ww == w for _, hh, ww, c in raws) and not any(
+            r[:, 0].any() for r, *_ in raws
+        ):
+            stack = np.stack([r for r, *_ in raws])  # (N, h, 1+w*3)
+            return stack[:, :, 1:].reshape(len(payloads), h, w, 3).copy()
+        return np.stack([_png_unfilter(r, hh, ww, c)[:, :, :3] for r, hh, ww, c in raws])
+    elif fmt == "jpg":
         buf = np.frombuffer(b"".join(zlib.decompress(p) for p in payloads), np.uint8)
     elif fmt in _REAL_FMTS:
         # real codecs decode per payload (independent byte streams), the

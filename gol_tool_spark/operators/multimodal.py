@@ -54,20 +54,29 @@ def verify_roundtrip(images: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
                 p = IMG.psnr_batch(px, rt)
                 lossless = fmt in ("raw", "png")
                 ok = np.isinf(p) if lossless else (p >= psnr_floor)
-                ph = IMG.phash64_batch(px)
-                carried = sub["phash"].to_numpy(np.int64)
-                x = (ph.view(np.uint64) ^ carried.view(np.uint64))
-                dist = np.zeros(len(sub), np.int64)
-                for _ in range(64):  # vectorized popcount (64 shifts, no per-row work)
-                    dist += (x & np.uint64(1)).astype(np.int64)
-                    x >>= np.uint64(1)
-                cap_ok = sub["caption"].map(lambda c: isinstance(c, str) and len(c) > 0)
+                if "phash" in sub.columns:
+                    ph = IMG.phash64_batch(px)
+                    carried = sub["phash"].to_numpy(np.int64)
+                    x = (ph.view(np.uint64) ^ carried.view(np.uint64))
+                    dist = np.zeros(len(sub), np.int64)
+                    for _ in range(64):  # vectorized popcount (64 shifts, no per-row work)
+                        dist += (x & np.uint64(1)).astype(np.int64)
+                        x >>= np.uint64(1)
+                    dist = dist.astype(np.int32)
+                else:  # no carried hash to compare against
+                    dist = np.zeros(len(sub), np.int32)
+                if "caption" in sub.columns:
+                    cap_ok = sub["caption"].map(
+                        lambda c: isinstance(c, str) and len(c) > 0
+                    ).to_numpy()
+                else:  # nothing carried, nothing to violate
+                    cap_ok = np.ones(len(sub), bool)
                 parts.append(pd.DataFrame({
                     "image_id": sub["image_id"].to_numpy(),
                     "psnr": np.minimum(p, 1e9),
                     "psnr_ok": ok,
-                    "caption_ok": cap_ok.to_numpy(),
-                    "phash_dist": dist.astype(np.int32),
+                    "caption_ok": cap_ok,
+                    "phash_dist": dist,
                 }))
             if parts:
                 yield pd.concat(parts, ignore_index=True)
