@@ -381,6 +381,15 @@ def q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_neardup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
+def q_embedding_neardup_srp(spark, sf_dir):
+    """Unlabeled near-dup: SRP-bucket blocking (no label column), exact
+    quantized cosine within buckets — full DuckDB oracle via exact-float
+    left-fold hyperplane signs."""
+    return dedup.embedding_neardup_srp_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, nbits=8
+    )
+
+
 def q_ann_lsh(spark, sf_dir):  # full oracle: exact-float left-fold SRP buckets in SQL
     return ann.ann_topk_lsh(_read(spark, sf_dir, "embeddings"), ANN_QIDS, k=10, nbits=10, dim=64)
 
@@ -884,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tally_tags": q_tally_tags,
         "ann_cosine": q_ann_cosine,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_srp": q_embedding_neardup_srp,
         "ann_lsh": q_ann_lsh,
         "image_tile_density": q_image_tile_density,
         "image_roundtrip": q_image_roundtrip,
@@ -1017,6 +1027,11 @@ def oracle_sql() -> dict[str, str]:
     _flips = [0] + [1 << i for i in range(10)] + [
         (1 << i) | (1 << j) for i in range(10) for j in range(i + 1, 10)
     ]
+    # 8-bit SRP bucket for embedding_neardup_srp: standard_normal fills
+    # C-order, so rng(23).standard_normal((8, 64)) == _planes[:8]
+    _bucket8_sql = " + ".join(
+        f"(CASE WHEN {_dots[i]} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
 
     def _band_hash_sql(i: int) -> str:
         acc = "0"
@@ -1388,6 +1403,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid, nid, rank, round(cos, 6) AS cos_r FROM ("
             "SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank "
             "FROM d) WHERE rank <= 10"
+        ),
+        "embedding_neardup_srp": (
+            f"WITH base AS (SELECT vec_id, {qv} AS qv, "
+            f"CAST({_bucket8_sql} AS BIGINT) AS bucket FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * "
+            "sqrt(list_dot_product(b.qv, b.qv))), 6) AS cos_r "
+            "FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * "
+            "sqrt(list_dot_product(b.qv, b.qv))) >= 0.3"
         ),
         "embedding_neardup": (
             f"WITH q AS (SELECT vec_id, label, {qv} AS qv FROM embeddings) "

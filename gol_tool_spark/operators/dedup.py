@@ -267,3 +267,51 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99, scale: int 
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
                 F.round("cos", 6).alias("cos_r"))
     )
+
+
+def embedding_neardup_srp_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    scale: int = 1000,
+    nbits: int = 10,
+    dim: int = 64,
+    seed: int = 23,
+) -> DataFrame:
+    """Embedding near-dups WITHOUT a label column: sign-random-projection
+    buckets replace the label as the blocking key, so unlabeled corpora
+    never fall back to the all-pairs quadratic (VERDICT r3 item 5).
+    Pairs sharing an SRP bucket take the exact quantized-integer cosine
+    test — for a near-dup pair at angle theta, P[any of nbits hyperplanes
+    splits it] = nbits*theta/pi, small as cos -> 1 (recall vs the labeled
+    blocker pinned in tests).  Cost: one bucket shuffle + within-bucket
+    pairs (~N^2/2^nbits for uniform buckets), the same bounding story as
+    MinHash bands."""
+    from . import ann as A
+
+    b = A.srp_bucket(emb, nbits=nbits, dim=dim, seed=seed)
+    q = (
+        A.quantize(b, scale)
+        .select("vec_id", "bucket", "q", "n2")
+        .cache()  # both self-join sides
+    )
+    a, bb = q.alias("a"), q.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.round("cos", 6).alias("cos_r"),
+        )
+    )

@@ -51,10 +51,17 @@ def bbox_query(
         raise ValueError("bbox_query needs a W,S,E,N box or a tile_spec")
     out = points_tiled
     # IN-list prune only while the list stays sane — and COUNT before
-    # enumerating (a world bbox at z12 is a 16.7M-element list)
-    if S.count_tiles_covering_bbox(minx, miny, maxx, maxy, zoom) <= 10000:
-        tiles = S.tiles_covering_bbox(minx, miny, maxx, maxy, zoom)
-        out = out.filter(F.col("tile").isin(tiles))
+    # enumerating (a world bbox at z12 is a 16.7M-element list).  When the
+    # native-zoom list is too big, fall back to the coarsest zoom whose
+    # covering list fits instead of dropping the prune entirely: a
+    # country-scale bbox still carries a zoomed-out tile filter that
+    # Catalyst can push to row-group stats / partition pruning.
+    for z in range(zoom, -1, -3):
+        if S.count_tiles_covering_bbox(minx, miny, maxx, maxy, z) <= 10000:
+            tiles = S.tiles_covering_bbox(minx, miny, maxx, maxy, z)
+            tcol = F.col("tile") if z == zoom else S.zoomed_out(F.col("tile"), zoom, z)
+            out = out.filter(tcol.isin(tiles))
+            break
     out = out.filter(
         (F.col("x") >= minx) & (F.col("x") <= maxx)
         & (F.col("y") >= miny) & (F.col("y") <= maxy)

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 _log = logging.getLogger(__name__)
 
 from ..functions import tags as TG
+from . import txstore
 from .changes import PILE_ZOOM, _bucket, _dynamic_overwrite, _with_pile
 
 CHANGE_SCHEMA_FULL = (
@@ -131,51 +132,30 @@ def _winners(batch: DataFrame) -> DataFrame:
     )
 
 
-def _pruned_index(
-    spark: SparkSession, idx_path: str, keys: DataFrame, key: str, nb: int
-) -> DataFrame | None:
-    """Partition-pruned index lookup: index rows whose `key` appears in
+def _pruned_index(tx, key: str, keys: DataFrame, keycol: str, nb: int) -> DataFrame | None:
+    """Partition-pruned index lookup: index rows whose `keycol` appears in
     `keys` (a small DataFrame — bounded by the batch's dirty closure),
-    reading ONLY the buckets those keys hash to."""
-    if not os.path.exists(idx_path):
+    reading ONLY the buckets those keys hash to (manifest file-list prune
+    on versioned stores, Catalyst PartitionFilters on legacy)."""
+    if not tx.has(key):
         return None
     buckets = [
         r.ib
-        for r in keys.select(_bucket(F.col(key), nb).alias("ib")).distinct().collect()
+        for r in keys.select(_bucket(F.col(keycol), nb).alias("ib")).distinct().collect()
     ]
     if not buckets:
         return None
     try:
-        idx = spark.read.parquet(idx_path)
+        idx = tx.read_parts(key, "ib", buckets)
     except Exception:
         # dir exists but holds no parquet footers (store bulk-loaded from
         # an empty DataFrame writes only _SUCCESS) — an empty index
         return None
+    if idx is None:
+        return None
     return idx.filter(F.col("ib").isin(buckets)).join(
-        F.broadcast(keys.select(key).distinct()), key
+        F.broadcast(keys.select(keycol).distinct()), keycol
     )
-
-
-def _merge_part(
-    spark: SparkSession,
-    path: str,
-    part: str,
-    affected: list,
-    drop_keys: DataFrame,
-    key: str,
-    new_rows: DataFrame,
-) -> None:
-    """The one merge shape every table here uses: within the affected
-    partitions, drop rows whose `key` is in drop_keys, union the new rows,
-    dynamic-overwrite only those partitions."""
-    if os.path.exists(path):
-        cur = spark.read.parquet(path).filter(F.col(part).isin(affected))
-        merged = cur.join(
-            F.broadcast(drop_keys.select(key).distinct()), key, "left_anti"
-        ).unionByName(new_rows.select(*cur.columns))
-        _dynamic_overwrite(merged, path, part, affected)
-    elif not new_rows.isEmpty():
-        new_rows.write.mode("overwrite").partitionBy(part).parquet(path)
 
 
 # ---------------------------------------------------------------- bulk load
@@ -426,6 +406,7 @@ def write_full_store(
     zoom: int = 12,
     index_buckets: int = 16,
     indexed_keys: str | None = None,
+    layout: str = "legacy",
 ) -> None:
     """Bulk-load a typed store + every index apply_changes_full merges into.
     nodes: (id, x, y, tags); ways: (id, refs, tags); rels: (id, members,
@@ -435,7 +416,13 @@ def write_full_store(
     groups via parquet min/max stats (SIndexTree bucket pruning without a
     second partition level — the merge path stays single-level and just
     recomputes the column); the schema string persists in the store's
-    meta file so query_store applies the prefilter automatically."""
+    meta file so query_store applies the prefilter automatically.
+
+    layout="versioned" writes a snapshot-manifest store (txstore.py):
+    subsequent merges publish each batch with ONE atomic manifest swap, so
+    a crash mid-merge can never expose a torn store — the journaled-store
+    crash contract of the reference (clarisma/common/store/,
+    update/Updater.java:34-55) on plain parquet."""
     import json
 
     p = _paths(store_path)
@@ -446,6 +433,19 @@ def write_full_store(
         ways = None
     if rels is not None and rels.isEmpty():
         rels = None
+    if layout not in ("legacy", "versioned"):
+        raise ValueError(f"layout={layout!r}: expected 'legacy' or 'versioned'")
+    tx = txstore.StoreTx(spark, store_path, p) if layout == "versioned" else None
+
+    def _bulk(key: str, df: DataFrame, part: str, sort_within=None):
+        if tx is not None:
+            tx.overwrite_parts(key, df, part, affected=[], sort_within=sort_within)
+        else:
+            out = df
+            if sort_within:  # nodes: Hilbert/keybits row-group locality
+                out = out.repartition(F.col(part)).sortWithinPartitions(*sort_within)
+            out.write.mode("overwrite").partitionBy(part).parquet(p[key])
+
     empty = F.expr(_EMPTY_TAGS)
     nrows = (
         _with_pile(nodes, zoom)
@@ -457,35 +457,30 @@ def write_full_store(
         )
         .localCheckpoint(eager=True)
     )
-    (
-        nrows.repartition("pile")
-        .sortWithinPartitions("keybits", "tile", "id")
-        .write.mode("overwrite")
-        .partitionBy("pile")
-        .parquet(p["nodes"])
-    )
+    _bulk("nodes", nrows, "pile", sort_within=["keybits", "tile", "id"])
     os.makedirs(store_path, exist_ok=True)
     with open(_meta_path(store_path), "w") as fh:
         json.dump({"indexed_keys": indexed_keys, "zoom": zoom}, fh)
     nidx = nrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
-    nidx.write.mode("overwrite").partitionBy("ib").parquet(p["idx_nodes"])
+    _bulk("idx_nodes", nidx, "ib")
 
     node_piles = nrows.select(F.col("id").alias("ref"), "pile")
     wrows = None
     if ways is not None:
         wsrc = ways.select("id", "refs", F.coalesce("tags", empty).alias("tags"))
         wrows = way_spread(wsrc, node_piles).localCheckpoint(eager=True)
-        wrows.write.mode("overwrite").partitionBy("pile").parquet(p["ways"])
-        wrows.select(
-            "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
-        ).write.mode("overwrite").partitionBy("ib").parquet(p["idx_ways"])
-        (
+        _bulk("ways", wrows, "pile")
+        _bulk(
+            "idx_ways",
+            wrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")),
+            "ib",
+        )
+        _bulk(
+            "idx_node_ways",
             wsrc.select(F.col("id").alias("way_id"), F.explode("refs").alias("node_id"))
             .distinct()
-            .select("node_id", "way_id", _bucket(F.col("node_id"), index_buckets).alias("ib"))
-            .write.mode("overwrite")
-            .partitionBy("ib")
-            .parquet(p["idx_node_ways"])
+            .select("node_id", "way_id", _bucket(F.col("node_id"), index_buckets).alias("ib")),
+            "ib",
         )
     if rels is not None:
         rsrc = rels.select("id", "members", F.coalesce("tags", empty).alias("tags"))
@@ -516,11 +511,14 @@ def write_full_store(
         )
         bboxes = rel_bboxes(rsrc, node_xy, way_bb)
         rrows = _with_rel_geometry(rrows, bboxes).localCheckpoint(eager=True)
-        rrows.write.mode("overwrite").partitionBy("pile").parquet(p["relations"])
-        rrows.select(
-            "id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")
-        ).write.mode("overwrite").partitionBy("ib").parquet(p["idx_rels"])
-        (
+        _bulk("relations", rrows, "pile")
+        _bulk(
+            "idx_rels",
+            rrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib")),
+            "ib",
+        )
+        _bulk(
+            "idx_member_rels",
             rsrc.select(F.col("id").alias("rel_id"), F.explode("members").alias("mm"))
             .select(
                 F.col("mm.mtype").alias("mtype"),
@@ -528,11 +526,11 @@ def write_full_store(
                 "rel_id",
             )
             .distinct()
-            .withColumn("ib", _bucket(F.col("ref"), index_buckets))
-            .write.mode("overwrite")
-            .partitionBy("ib")
-            .parquet(p["idx_member_rels"])
+            .withColumn("ib", _bucket(F.col("ref"), index_buckets)),
+            "ib",
         )
+    if tx is not None:
+        tx.commit()
 
 
 # -------------------------------------------------------------------- merge
@@ -548,23 +546,28 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         if batch.isEmpty():
             return
         sp = batch.sparkSession
+        # versioned stores: every read below resolves the committed
+        # snapshot (or this tx's staged epochs), every write stages into
+        # the tx, and ONE manifest swap at the end publishes the batch —
+        # crash anywhere = old snapshot intact.  Legacy stores keep the
+        # dynamic-overwrite behavior behind the same interface.
+        tx = txstore.open_tx(sp, store_root, p)
         empty = F.expr(_EMPTY_TAGS)
         win = _winners(batch).localCheckpoint(eager=True)
 
         # ---------------- 1. nodes ----------------
         nw = win.filter(F.col("ftype") == "n")
         n_ids = nw.select("id").distinct()
-        have_nodes = os.path.exists(p["nodes"])
+        have_nodes = tx.has("nodes")
         old_n = None
         n_old_piles: set = set()
         if have_nodes and not nw.isEmpty():
-            nidx = _pruned_index(sp, p["idx_nodes"], n_ids, "id", index_buckets)
+            nidx = _pruned_index(tx, "idx_nodes", n_ids, "id", index_buckets)
             if nidx is not None:
                 n_old_piles = {r.pile for r in nidx.select("pile").distinct().collect()}
             if n_old_piles:
                 old_n = (
-                    sp.read.parquet(p["nodes"])
-                    .filter(F.col("pile").isin(sorted(n_old_piles)))
+                    tx.read_parts("nodes", "pile", sorted(n_old_piles))
                     .join(F.broadcast(n_ids), "id", "left_semi")
                     .select(
                         F.col("id"),
@@ -599,16 +602,15 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         n_new_piles = {r.pile for r in ups_n.select("pile").distinct().collect()}
         n_affected = sorted(n_old_piles | n_new_piles)
         if n_affected:
-            _merge_part(sp, p["nodes"], "pile", n_affected, n_ids, "id", ups_n)
+            tx.merge_part("nodes", "pile", n_affected, n_ids, "id", ups_n)
             n_buckets = [
                 r.ib
                 for r in n_ids.select(_bucket(F.col("id"), index_buckets).alias("ib"))
                 .distinct()
                 .collect()
             ]
-            _merge_part(
-                sp,
-                p["idx_nodes"],
+            tx.merge_part(
+                "idx_nodes",
                 "ib",
                 n_buckets,
                 n_ids,
@@ -620,8 +622,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         ww = win.filter(F.col("ftype") == "w")
         w_direct = ww.select("id").distinct()
         via_node = _pruned_index(
-            sp,
-            p["idx_node_ways"],
+            tx,
+            "idx_node_ways",
             n_ids.select(F.col("id").alias("node_id")),
             "node_id",
             index_buckets,
@@ -632,13 +634,13 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 via_node.select(F.col("way_id").alias("id"))
             ).distinct()
         dirty_w = dirty_w.localCheckpoint(eager=True)
-        have_ways = os.path.exists(p["ways"])
+        have_ways = tx.has("ways")
         w_deleted = ww.filter(F.col("op") == "delete").select("id").distinct()
         if have_ways or not ww.isEmpty():
             old_w = None
             w_old_piles: set = set()
             if have_ways:
-                widx = _pruned_index(sp, p["idx_ways"], dirty_w, "id", index_buckets)
+                widx = _pruned_index(tx, "idx_ways", dirty_w, "id", index_buckets)
                 if widx is not None:
                     w_old_piles = {
                         r.pile for r in widx.select("pile").distinct().collect()
@@ -647,8 +649,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     # eager: consumed again after the ways store is
                     # overwritten (node_ways bucket computation)
                     old_w = (
-                        sp.read.parquet(p["ways"])
-                        .filter(F.col("pile").isin(sorted(w_old_piles)))
+                        tx.read_parts("ways", "pile", sorted(w_old_piles))
                         .join(F.broadcast(dirty_w), "id", "left_semi")
                         .select("id", "refs", "tags")
                         .dropDuplicates(["id"])
@@ -695,8 +696,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             # POST-merge node index (moved nodes resolve to their new pile)
             all_refs = targets.select(F.explode("refs").alias("ref")).distinct()
             npiles = _pruned_index(
-                sp,
-                p["idx_nodes"],
+                tx,
+                "idx_nodes",
                 all_refs.select(F.col("ref").alias("id")),
                 "id",
                 index_buckets,
@@ -711,7 +712,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             w_affected = sorted(w_old_piles | w_new_piles)
             if w_affected or not dirty_w.isEmpty():
                 if w_affected:
-                    _merge_part(sp, p["ways"], "pile", w_affected, dirty_w, "id", new_w)
+                    tx.merge_part("ways", "pile", w_affected, dirty_w, "id", new_w)
                 w_buckets = [
                     r.ib
                     for r in dirty_w.select(
@@ -721,9 +722,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     .collect()
                 ]
                 if w_buckets:
-                    _merge_part(
-                        sp,
-                        p["idx_ways"],
+                    tx.merge_part(
+                        "idx_ways",
                         "ib",
                         w_buckets,
                         dirty_w,
@@ -761,9 +761,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                             _bucket(F.col("node_id"), index_buckets).alias("ib"),
                         )
                     )
-                    _merge_part(
-                        sp,
-                        p["idx_node_ways"],
+                    tx.merge_part(
+                        "idx_node_ways",
                         "ib",
                         nw_buckets,
                         dirty_w.select(F.col("id").alias("way_id")),
@@ -791,7 +790,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         frontier = changed_members
         for _ in range(max_rel_iters):
             hits = _pruned_index(
-                sp, p["idx_member_rels"], frontier.select("ref"), "ref", index_buckets
+                tx, "idx_member_rels", frontier.select("ref"), "ref", index_buckets
             )
             if hits is None:
                 break
@@ -817,13 +816,13 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 "raise max_rel_iters",
                 max_rel_iters,
             )
-        have_rels = os.path.exists(p["relations"])
+        have_rels = tx.has("relations")
         r_deleted = rw.filter(F.col("op") == "delete").select("id").distinct()
         if have_rels or not rw.isEmpty():
             old_r = None
             r_old_piles: set = set()
             if have_rels:
-                ridx = _pruned_index(sp, p["idx_rels"], dirty_r, "id", index_buckets)
+                ridx = _pruned_index(tx, "idx_rels", dirty_r, "id", index_buckets)
                 if ridx is not None:
                     r_old_piles = {
                         r.pile for r in ridx.select("pile").distinct().collect()
@@ -832,8 +831,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     # eager: consumed again after the relations store is
                     # overwritten (member_rels bucket computation)
                     old_r = (
-                        sp.read.parquet(p["relations"])
-                        .filter(F.col("pile").isin(sorted(r_old_piles)))
+                        tx.read_parts("relations", "pile", sorted(r_old_piles))
                         .join(F.broadcast(dirty_r), "id", "left_semi")
                         .select("id", "members", "tags")
                         .dropDuplicates(["id"])
@@ -878,8 +876,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 F.col("mm.mtype").alias("mtype"), F.col("mm.ref").alias("ref")
             )
             np_idx = _pruned_index(
-                sp,
-                p["idx_nodes"],
+                tx,
+                "idx_nodes",
                 mrefs.filter(F.col("mtype") == "node").select(F.col("ref").alias("id")),
                 "id",
                 index_buckets,
@@ -890,8 +888,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 else sp.createDataFrame([], "ref long, pile long")
             )
             wp_idx = _pruned_index(
-                sp,
-                p["idx_ways"],
+                tx,
+                "idx_ways",
                 mrefs.filter(F.col("mtype") == "way").select(F.col("ref").alias("id")),
                 "id",
                 index_buckets,
@@ -912,7 +910,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 .select(F.col("ref").alias("id"))
                 .join(F.broadcast(r_deleted), "id", "left_anti")
             )
-            rp_idx = _pruned_index(sp, p["idx_rels"], rel_refs, "id", index_buckets)
+            rp_idx = _pruned_index(tx, "idx_rels", rel_refs, "id", index_buckets)
             seed = (
                 rp_idx.select(F.col("id").alias("ref"), "pile")
                 if rp_idx is not None
@@ -929,7 +927,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 if not piles:
                     return None
                 return (
-                    sp.read.parquet(p[store_key])
+                    tx.read_parts(store_key, "pile", sorted(piles))
                     .filter(F.col("pile").isin(piles))
                     .join(F.broadcast(ids.distinct()), "id", "left_semi")
                     .select(*cols)
@@ -958,7 +956,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 )
                 wref_ids = way_rows_m.select(F.explode("refs").alias("id")).distinct()
                 wref_idx = _pruned_index(
-                    sp, p["idx_nodes"], wref_ids, "id", index_buckets
+                    tx, "idx_nodes", wref_ids, "id", index_buckets
                 )
                 wref_xy = _pruned_rows("nodes", wref_idx, wref_ids, ["id", "x", "y"])
                 way_bb_m = (
@@ -978,9 +976,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             else:
                 way_bb_m = empty_bb
             seed_bb = None
-            if have_rels and set(BBOX_COLS) <= set(
-                sp.read.parquet(p["relations"]).columns
-            ):
+            if have_rels and set(BBOX_COLS) <= set(tx.columns("relations")):
                 seed_rows = _pruned_rows(
                     "relations", rp_idx, rel_refs, ["id", *BBOX_COLS]
                 )
@@ -996,9 +992,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             r_new_piles = {r.pile for r in new_r.select("pile").distinct().collect()}
             r_affected = sorted(r_old_piles | r_new_piles)
             if r_affected:
-                _merge_part(
-                    sp, p["relations"], "pile", r_affected, dirty_r, "id", new_r
-                )
+                tx.merge_part("relations", "pile", r_affected, dirty_r, "id", new_r)
             r_buckets = [
                 r.ib
                 for r in dirty_r.select(_bucket(F.col("id"), index_buckets).alias("ib"))
@@ -1006,9 +1000,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 .collect()
             ]
             if r_buckets:
-                _merge_part(
-                    sp,
-                    p["idx_rels"],
+                tx.merge_part(
+                    "idx_rels",
                     "ib",
                     r_buckets,
                     dirty_r,
@@ -1045,15 +1038,17 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     .distinct()
                     .withColumn("ib", _bucket(F.col("ref"), index_buckets))
                 )
-                _merge_part(
-                    sp,
-                    p["idx_member_rels"],
+                tx.merge_part(
+                    "idx_member_rels",
                     "ib",
                     mr_buckets,
                     dirty_r.select(F.col("id").alias("rel_id")),
                     "rel_id",
                     new_mem,
                 )
+
+        # publish the whole batch as one snapshot (no-op on legacy stores)
+        tx.commit()
 
     return merge
 
@@ -1160,9 +1155,32 @@ def apply_osc_changes(
     return q
 
 
+def _has_table(store_path: str, key: str) -> bool:
+    if txstore.is_versioned(store_path):
+        return key in txstore.load_manifest(store_path)["tables"]
+    return os.path.exists(_paths(store_path)[key])
+
+
+def _read_table(
+    spark: SparkSession, store_path: str, key: str, parts: list | None = None
+) -> DataFrame:
+    """Read one store table, resolving through the snapshot manifest on
+    versioned stores (`parts` prunes the file list at planning time —
+    the PartitionFilters analogue) and straight off the partition dirs on
+    legacy ones (where Catalyst prunes from the isin filters callers
+    apply)."""
+    p = _paths(store_path)
+    if txstore.is_versioned(store_path):
+        entry = txstore.load_manifest(store_path)["tables"].get(key)
+        if entry is None:
+            raise FileNotFoundError(f"store table {key!r} not in manifest")
+        return txstore.read_resolved(spark, p[key], entry, parts)
+    return spark.read.parquet(p[key])
+
+
 def read_store(spark: SparkSession, store_path: str, kind: str) -> DataFrame:
     """Read one typed sub-store (kind in nodes/ways/relations)."""
-    return spark.read.parquet(_paths(store_path)[kind])
+    return _read_table(spark, store_path, kind)
 
 
 def query_store(
@@ -1186,7 +1204,10 @@ def query_store(
     from ..functions.goql import compile_goql
 
     piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, PILE_ZOOM)]
-    df = read_store(spark, store_path, kind)
+    # manifest-level file pruning on versioned stores (relations scope by
+    # stored bbox, not pile, so they read the full — small — table)
+    parts = None if kind == "relations" else piles + [PURGATORY]
+    df = _read_table(spark, store_path, kind, parts=parts)
     goql_pred = (
         compile_goql(goql, ftype=F.lit(kind[0]), tags=F.col("tags")) if goql else None
     )
@@ -1243,16 +1264,16 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
     is the PURGATORY copy of a way with zero resolvable nodes; (4)
     node_ways covers exactly the (ref, way) edges of the way store."""
     p = _paths(store_path)
-    nodes = spark.read.parquet(p["nodes"]).select("id", "pile")
-    nidx = spark.read.parquet(p["idx_nodes"]).select("id", "pile")
+    nodes = _read_table(spark, store_path, "nodes").select("id", "pile")
+    nidx = _read_table(spark, store_path, "idx_nodes").select("id", "pile")
     node_dups = nodes.groupBy("id").count().filter(F.col("count") > 1).count()
     nidx_diff = (
         nodes.exceptAll(nidx).count() + nidx.exceptAll(nodes).count()
     )
     out = {"node_dups": node_dups, "node_idx_diff": nidx_diff}
-    if os.path.exists(p["ways"]):
-        ways = spark.read.parquet(p["ways"]).select("id", "refs", "pile")
-        widx = spark.read.parquet(p["idx_ways"]).select("id", "pile")
+    if _has_table(store_path, "ways"):
+        ways = _read_table(spark, store_path, "ways").select("id", "refs", "pile")
+        widx = _read_table(spark, store_path, "idx_ways").select("id", "pile")
         out["way_idx_diff"] = (
             ways.select("id", "pile").exceptAll(widx).count()
             + widx.exceptAll(ways.select("id", "pile")).count()
@@ -1278,7 +1299,7 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
             .exceptAll(justified.unionByName(legit_purgatory.select("id", "pile")))
             .count()
         )
-        nw = spark.read.parquet(p["idx_node_ways"]).select("node_id", "way_id")
+        nw = _read_table(spark, store_path, "idx_node_ways").select("node_id", "way_id")
         edges = (
             ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("node_id"))
             .select("node_id", "way_id")
@@ -1287,14 +1308,14 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
         out["node_ways_diff"] = (
             nw.exceptAll(edges).count() + edges.exceptAll(nw).count()
         )
-    if os.path.exists(p["relations"]):
-        rels = spark.read.parquet(p["relations"]).select("id", "members", "pile")
-        ridx = spark.read.parquet(p["idx_rels"]).select("id", "pile")
+    if _has_table(store_path, "relations"):
+        rels = _read_table(spark, store_path, "relations").select("id", "members", "pile")
+        ridx = _read_table(spark, store_path, "idx_rels").select("id", "pile")
         out["rel_idx_diff"] = (
             rels.select("id", "pile").exceptAll(ridx).count()
             + ridx.exceptAll(rels.select("id", "pile")).count()
         )
-        mr = spark.read.parquet(p["idx_member_rels"]).select("mtype", "ref", "rel_id")
+        mr = _read_table(spark, store_path, "idx_member_rels").select("mtype", "ref", "rel_id")
         medges = (
             rels.select(F.col("id").alias("rel_id"), F.explode("members").alias("mm"))
             .select(
@@ -1310,11 +1331,11 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
         # index that let a relation skip re-piling) surfaces here
         node_piles = nodes.select(F.col("id").alias("ref"), "pile")
         way_piles = (
-            spark.read.parquet(p["ways"])
+            _read_table(spark, store_path, "ways")
             .groupBy("id")
             .agg(F.min("pile").alias("pile"))
             .select(F.col("id").alias("ref"), "pile")
-            if os.path.exists(p["ways"])
+            if _has_table(store_path, "ways")
             else spark.createDataFrame([], "ref long, pile long")
         )
         want = rel_piles(

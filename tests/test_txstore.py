@@ -1,0 +1,240 @@
+"""Atomic snapshot-manifest store (txstore.py — VERDICT r3 item 2).
+
+The legacy layout's documented crash window — dynamic partition overwrite
+across several pile directories is not one transaction — is closed by the
+versioned layout: immutable epoch files + one atomically-renamed CURRENT
+pointer.  These tests drive the crash points directly: a merge that dies
+mid-staging or just before the pointer swap must leave every reader on
+the complete OLD snapshot; replay then converges to the complete NEW one.
+
+Reference parity: clarisma/common/store/ journaled writes +
+update/Updater.java:34-55 (a .osc applies as one recoverable unit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.streaming import changes_full as CF
+from gol_tool_spark.streaming import txstore
+
+from test_changes_full import (
+    node_df,
+    px,
+    rel_df,
+    run_merge,
+    way_df,
+    write_changes,
+)
+
+
+def base_store(spark, store: str, layout: str = "versioned"):
+    nodes = node_df(
+        spark,
+        [
+            (1, px(0), 1000, {"name": "a"}),
+            (2, px(1), 1000, {"name": "b"}),
+            (3, px(5), 1000, None),
+        ],
+    )
+    ways = way_df(spark, [(10, [1, 2], {"highway": "x"}), (11, [3], {"highway": "y"})])
+    rels = rel_df(
+        spark,
+        [
+            (20, [("node", 1, "stop"), ("way", 10, "")], {"type": "route"}),
+            (21, [("relation", 20, "")], {"type": "super"}),
+        ],
+    )
+    CF.write_full_store(nodes, ways, rels, store, layout=layout)
+
+
+def snapshot_contents(spark, store):
+    out = {}
+    for kind in ("nodes", "ways", "relations"):
+        out[kind] = {
+            (r.id, r.pile)
+            for r in CF.read_store(spark, store, kind).select("id", "pile").collect()
+        }
+    return out
+
+
+MOVE = [
+    {"op": "upsert", "ftype": "n", "id": 1, "x": px(6), "y": 5,
+     "tags": {"name": "a2"}, "seq": 0},
+    {"op": "upsert", "ftype": "n", "id": 50, "x": px(7), "y": 7,
+     "tags": {"amenity": "cafe"}, "seq": 1},
+]
+
+
+class TestVersionedBasics:
+    def test_bulk_load_and_merge_match_legacy(self, spark, tmp_path):
+        """Same inputs, same changes: versioned store content == legacy."""
+        sv, sl = str(tmp_path / "v"), str(tmp_path / "l")
+        base_store(spark, sv, layout="versioned")
+        base_store(spark, sl, layout="legacy")
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, sv, str(tmp_path / "ckv"))
+        run_merge(spark, ch, sl, str(tmp_path / "ckl"))
+        assert snapshot_contents(spark, sv) == snapshot_contents(spark, sl)
+        assert CF.verify_full_store(spark, sv)["ok"]
+        assert txstore.current_version(sv) == 2
+
+    def test_untouched_partition_files_untouched(self, spark, tmp_path):
+        """A merge rewrites only affected piles: files of untouched piles
+        keep their paths and mtimes across the snapshot swap."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        man1 = txstore.load_manifest(store)
+        before = {
+            v: tuple(fl) for v, fl in man1["tables"]["nodes"]["parts"].items()
+        }
+        ch = write_changes(tmp_path, "c.json", MOVE)  # touches cells 0, 6, 7
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        man2 = txstore.load_manifest(store)
+        after = {v: tuple(fl) for v, fl in man2["tables"]["nodes"]["parts"].items()}
+        untouched = [v for v in before if v in after and before[v] == after[v]]
+        # node 2 (cell 1) and node 3 (cell 5) piles were not affected
+        assert len(untouched) >= 2
+        for v in untouched:
+            for f in before[v]:
+                assert os.path.exists(os.path.join(store, "nodes", f))
+
+    def test_empty_partition_drops_from_manifest(self, spark, tmp_path):
+        """Deleting a pile's last feature removes the partition from the
+        manifest — no placeholder files, no schema-poisoning hazard."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        piles_before = set(txstore.load_manifest(store)["tables"]["nodes"]["parts"])
+        ch = write_changes(
+            tmp_path, "c.json",
+            [{"op": "delete", "ftype": "n", "id": 3, "seq": 0}],
+        )
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        piles_after = set(txstore.load_manifest(store)["tables"]["nodes"]["parts"])
+        assert len(piles_after) == len(piles_before) - 1
+        assert CF.read_store(spark, store, "nodes").filter("id = 3").count() == 0
+        assert CF.verify_full_store(spark, store)["ok"]
+
+    def test_gc_removes_superseded_files(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        man1 = txstore.load_manifest(store)
+        all_files_v1 = {
+            (k, f)
+            for k, t in man1["tables"].items()
+            for fl in t["parts"].values()
+            for f in fl
+        }
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        man2 = txstore.load_manifest(store)
+        all_files_v2 = {
+            (k, f)
+            for k, t in man2["tables"].items()
+            for fl in t["parts"].values()
+            for f in fl
+        }
+        p = CF._paths(store)
+        for k, f in all_files_v1 - all_files_v2:  # superseded: gone
+            assert not os.path.exists(os.path.join(p[k], f)), (k, f)
+        for k, f in all_files_v2:  # live: present
+            assert os.path.exists(os.path.join(p[k], f)), (k, f)
+
+
+class TestCrashAtomicity:
+    def _crash_then_recover(self, spark, tmp_path, crash_point: str):
+        """Drive a merge that dies at `crash_point`, assert the store still
+        reads as the complete OLD snapshot, then replay and assert the
+        complete NEW snapshot."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        old = snapshot_contents(spark, store)
+        old_version = txstore.current_version(store)
+        ch = write_changes(tmp_path, "c.json", MOVE)
+
+        class Boom(RuntimeError):
+            pass
+
+        writes_seen = {"n": 0}
+        real_overwrite = txstore.StoreTx.overwrite_parts
+        real_commit = txstore.StoreTx.commit
+
+        def crashing_overwrite(self, key, df, part, affected, sort_within=None):
+            real_overwrite(self, key, df, part, affected, sort_within)
+            writes_seen["n"] += 1
+            if crash_point == "mid_staging" and writes_seen["n"] == 3:
+                raise Boom("crash after staging 3 of 8 tables")
+
+        def crashing_commit(self):
+            if crash_point == "before_swap":
+                # stage everything, write the manifest file, die BEFORE
+                # the CURRENT pointer swap
+                os.makedirs(txstore._manifest_dir(self.root), exist_ok=True)
+                txstore._atomic_write(
+                    os.path.join(
+                        txstore._manifest_dir(self.root), f"v{self.version}.json"
+                    ),
+                    json.dumps({"version": self.version, "tables": self.tables}),
+                )
+                raise Boom("crash before CURRENT swap")
+            real_commit(self)
+
+        mp = pytest.MonkeyPatch()
+        try:
+            mp.setattr(txstore.StoreTx, "overwrite_parts", crashing_overwrite)
+            mp.setattr(txstore.StoreTx, "commit", crashing_commit)
+            q = CF.apply_changes_full(spark, ch, store, str(tmp_path / "ck"))
+            crashed = False
+            try:
+                q.awaitTermination(180)
+                crashed = q.exception() is not None
+            except Exception:
+                crashed = True
+            assert crashed, "merge should have crashed"
+        finally:
+            mp.undo()
+
+        # --- torn-window check: every reader sees the OLD snapshot ---
+        assert txstore.current_version(store) == old_version
+        assert snapshot_contents(spark, store) == old
+        assert CF.verify_full_store(spark, store)["ok"]
+        qr = CF.query_store(
+            spark, store, -(1 << 31), -(1 << 31), (1 << 31) - 1, (1 << 31) - 1
+        )
+        assert {r.id for r in qr.collect()} == {1, 2, 3}
+
+        # --- replay (fresh checkpoint = the stream re-delivers) ---
+        run_merge(spark, ch, store, str(tmp_path / "ck2"))
+        assert txstore.current_version(store) == old_version + 1
+        assert CF.verify_full_store(spark, store)["ok"]
+        ids = {
+            r.id for r in CF.read_store(spark, store, "nodes").collect()
+        }
+        assert ids == {1, 2, 3, 50}
+        moved = CF.read_store(spark, store, "nodes").filter("id = 1").collect()[0]
+        assert dict(moved.tags) == {"name": "a2"}
+
+    def test_crash_mid_staging(self, spark, tmp_path):
+        self._crash_then_recover(spark, tmp_path, "mid_staging")
+
+    def test_crash_before_pointer_swap(self, spark, tmp_path):
+        self._crash_then_recover(spark, tmp_path, "before_swap")
+
+    def test_stale_epochs_swept_on_next_tx(self, spark, tmp_path):
+        """Epoch dirs left by a crashed attempt are unreferenced and get
+        removed when the next transaction opens."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        ndir = CF._paths(store)["nodes"]
+        stale = os.path.join(ndir, "e9")
+        os.makedirs(os.path.join(stale, "pile=1"), exist_ok=True)
+        with open(os.path.join(stale, "pile=1", "part-stale.parquet"), "wb") as fh:
+            fh.write(b"junk")
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        assert not os.path.exists(stale)
+        assert CF.verify_full_store(spark, store)["ok"]
