@@ -136,6 +136,25 @@ def quad_tiles(quad: int) -> list[int]:
     return tiles
 
 
+def quad_piles(quad: int, pile_zoom: int = 3) -> list[int]:
+    """Distinct pile (zoom-`pile_zoom` tile) ids covered by a packed quad's
+    member tiles — the <=4-pile replication target of quad placement
+    (build/Sorter.java:718-802 writes a relation into each quad tile;
+    mapped onto the flat zoom-3 pile store).  Quads coarser than the pile
+    zoom expand to every descendant pile of each member tile."""
+    piles: set[int] = set()
+    for t in quad_tiles(quad):
+        z, r, c = (int(v) for v in unpack(np.int64(t)))
+        if z >= pile_zoom:
+            piles.add(int(pack(pile_zoom, r >> (z - pile_zoom), c >> (z - pile_zoom))))
+        else:
+            dz = pile_zoom - z
+            for rr in range(1 << dz):
+                for cc in range(1 << dz):
+                    piles.add(int(pack(pile_zoom, (r << dz) + rr, (c << dz) + cc)))
+    return sorted(piles)
+
+
 def quad_union(qa: int, qb: int) -> int:
     """Union of two quads (TileQuad.addQuad): zoom both out to a common zoom
     where the combined footprint fits one sibling block."""

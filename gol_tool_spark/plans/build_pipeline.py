@@ -141,10 +141,16 @@ def _stage_analyze(spark, cfg: BuildConfig, t0):
 def _stage_prepare(spark, cfg: BuildConfig, t0):
     dens = spark.read.parquet(os.path.join(cfg.out_dir, "analyze"))
     cat = tiling.catalog_topk(tiling.rollup(dens), cfg.max_tiles, cfg.min_density)
-    # pile = dense ordinal by tile id; pile 1 = Purgatory (TileCatalog.java:69-71)
-    from pyspark.sql import Window
+    # pile = dense ordinal by tile id; pile 1 = Purgatory (TileCatalog.java:69-71).
+    # Numbered on the driver from the collected catalog (bounded by
+    # cfg.max_tiles and collected for the broadcast pyramid anyway) — a
+    # row_number over a global Window would funnel the catalog through one
+    # partition and spam WindowExec warnings (VERDICT r3 item 7).
+    from pyspark.sql.types import IntegerType, StructField
 
-    cat = cat.withColumn("pile", F.row_number().over(Window.orderBy("tile")) + 1)
+    rows = sorted(cat.collect(), key=lambda r: r.tile)
+    schema = cat.schema.add(StructField("pile", IntegerType(), False))
+    cat = spark.createDataFrame([(*r, i + 2) for i, r in enumerate(rows)], schema)
     cat.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "prepare"))
     _write_manifest(cfg, "prepare", cat, t0)
 

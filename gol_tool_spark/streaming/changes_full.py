@@ -376,6 +376,41 @@ def _with_rel_geometry(rrows: DataFrame, bboxes: DataFrame) -> DataFrame:
     )
 
 
+def _apply_placement(rrows: DataFrame, placement: str) -> DataFrame:
+    """Relation placement policy (rrows: _with_rel_geometry output).
+
+    "min" (default): ONE copy at the min-member pile — queries scope
+    relations by their stored bbox instead of pile (ROUND_NOTES
+    limitation 3).  "quad": replicate into every pile of the relation's
+    tile quad (<=4 copies, build/Sorter.java:718-802 /
+    TileCatalog.java:260-306 zoom-down rules) so per-pile contents match
+    the reference's tile-for-tile placement; unresolvable relations
+    (NULL quad) keep their single purgatory/min copy."""
+    if placement != "quad":
+        return rrows
+    import pandas as pd
+    from pyspark.sql import types as Ty
+
+    from ..kernels import tile as KT
+
+    def _qp(quad):
+        return quad.map(
+            lambda q: KT.quad_piles(int(q)) if pd.notna(q) else None
+        )
+
+    _qp.__annotations__ = {"quad": pd.Series, "return": pd.Series}
+    qp = F.pandas_udf(_qp, Ty.ArrayType(Ty.LongType()))
+    return rrows.withColumn(
+        "_qpiles",
+        F.when(F.col("quad").isNotNull(), qp(F.col("quad"))),
+    ).select(
+        "id", "members", "tags", *BBOX_COLS, "quad",
+        F.explode(
+            F.coalesce(F.col("_qpiles"), F.array(F.col("pile")))
+        ).alias("pile"),
+    )
+
+
 def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, "_gol_meta.json")
 
@@ -407,6 +442,7 @@ def write_full_store(
     index_buckets: int = 16,
     indexed_keys: str | None = None,
     layout: str = "legacy",
+    placement: str = "min",
 ) -> None:
     """Bulk-load a typed store + every index apply_changes_full merges into.
     nodes: (id, x, y, tags); ways: (id, refs, tags); rels: (id, members,
@@ -435,6 +471,8 @@ def write_full_store(
         rels = None
     if layout not in ("legacy", "versioned"):
         raise ValueError(f"layout={layout!r}: expected 'legacy' or 'versioned'")
+    if placement not in ("min", "quad"):
+        raise ValueError(f"placement={placement!r}: expected 'min' or 'quad'")
     tx = txstore.StoreTx(spark, store_path, p) if layout == "versioned" else None
 
     def _bulk(key: str, df: DataFrame, part: str, sort_within=None):
@@ -460,7 +498,9 @@ def write_full_store(
     _bulk("nodes", nrows, "pile", sort_within=["keybits", "tile", "id"])
     os.makedirs(store_path, exist_ok=True)
     with open(_meta_path(store_path), "w") as fh:
-        json.dump({"indexed_keys": indexed_keys, "zoom": zoom}, fh)
+        json.dump(
+            {"indexed_keys": indexed_keys, "zoom": zoom, "placement": placement}, fh
+        )
     nidx = nrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
     _bulk("idx_nodes", nidx, "ib")
 
@@ -510,7 +550,9 @@ def write_full_store(
             )
         )
         bboxes = rel_bboxes(rsrc, node_xy, way_bb)
-        rrows = _with_rel_geometry(rrows, bboxes).localCheckpoint(eager=True)
+        rrows = _apply_placement(
+            _with_rel_geometry(rrows, bboxes), placement
+        ).localCheckpoint(eager=True)
         _bulk("relations", rrows, "pile")
         _bulk(
             "idx_rels",
@@ -594,7 +636,9 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
             .select("id", "x", "y", "tags")
         )
-        indexed_keys = _load_meta(store_root).get("indexed_keys")
+        meta = _load_meta(store_root)
+        indexed_keys = meta.get("indexed_keys")
+        placement = meta.get("placement", "min")
         ups_n = _with_pile(ups_n, zoom).select(
             "id", "x", "y", "tags", "tile", "pile",
             _node_keybits(F.col("tags"), indexed_keys).alias("keybits"),
@@ -985,9 +1029,12 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             bboxes_m = rel_bboxes(
                 r_targets, node_xy_m, way_bb_m, seed_bb, max_rel_iters
             )
-            new_r = _with_rel_geometry(
-                rel_piles(r_targets, node_piles_r, way_piles_r, seed, max_rel_iters),
-                bboxes_m,
+            new_r = _apply_placement(
+                _with_rel_geometry(
+                    rel_piles(r_targets, node_piles_r, way_piles_r, seed, max_rel_iters),
+                    bboxes_m,
+                ),
+                placement,
             ).localCheckpoint(eager=True)
             r_new_piles = {r.pile for r in new_r.select("pile").distinct().collect()}
             r_affected = sorted(r_old_piles | r_new_piles)
@@ -1204,9 +1251,16 @@ def query_store(
     from ..functions.goql import compile_goql
 
     piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, PILE_ZOOM)]
-    # manifest-level file pruning on versioned stores (relations scope by
-    # stored bbox, not pile, so they read the full — small — table)
-    parts = None if kind == "relations" else piles + [PURGATORY]
+    placement = _load_meta(store_path).get("placement", "min")
+    # manifest-level file pruning on versioned stores.  min-placement
+    # relations scope by stored bbox, not pile (one copy at min-member
+    # pile), so they read the full — small — table; quad-placement
+    # relations have a copy in every overlapped pile and prune like ways.
+    parts = (
+        None
+        if kind == "relations" and placement != "quad"
+        else piles + [PURGATORY]
+    )
     df = _read_table(spark, store_path, kind, parts=parts)
     goql_pred = (
         compile_goql(goql, ftype=F.lit(kind[0]), tags=F.col("tags")) if goql else None
@@ -1214,19 +1268,26 @@ def query_store(
     pile_pred = F.col("pile").isin(piles)
     if kind != "nodes":
         if kind == "relations" and set(BBOX_COLS) <= set(df.columns):
-            # a relation is stored at ONE pile (min over member piles) but
-            # its footprint can span piles the query bbox doesn't cover —
-            # the pile prune would silently drop overlapping relations, so
-            # scope relations by their STORED bbox instead (exact overlap;
-            # NULL bbox = purgatory, which scopes into every query — the
-            # reference returns purgatory features for any query)
-            df = df.filter(
-                F.col("minx").isNull()
-                | (
-                    (F.col("minx") <= maxx) & (F.col("maxx") >= minx)
-                    & (F.col("miny") <= maxy) & (F.col("maxy") >= miny)
-                )
+            bbox_overlap = F.col("minx").isNull() | (
+                (F.col("minx") <= maxx) & (F.col("maxx") >= minx)
+                & (F.col("miny") <= maxy) & (F.col("maxy") >= miny)
             )
+            if placement == "quad":
+                # quad placement: a copy lives in every overlapped pile,
+                # so the pile IN-list prunes like the reference's tile
+                # walk; the stored-bbox test then exacts the coarser quad
+                # cover (returns candidate copies, like ways)
+                df = df.filter(
+                    (pile_pred | (F.col("pile") == PURGATORY)) & bbox_overlap
+                )
+            else:
+                # min placement: ONE copy at min-member pile — its
+                # footprint can span piles the bbox doesn't cover, so a
+                # pile prune would silently drop overlapping relations;
+                # scope by the STORED bbox instead (exact overlap; NULL
+                # bbox = purgatory, which scopes into every query — the
+                # reference returns purgatory features for any query)
+                df = df.filter(bbox_overlap)
         else:
             # ways spread one copy into EVERY touched pile, so the pile
             # IN-list is a correct (and partition-pruned) scope for them;
@@ -1326,26 +1387,57 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
         out["member_rels_diff"] = (
             mr.exceptAll(medges).count() + medges.exceptAll(mr).count()
         )
-        # pile justification: re-run the min-member-pile fixed point from
-        # the current stores and compare — a tampered pile (or a stale
-        # index that let a relation skip re-piling) surfaces here
-        node_piles = nodes.select(F.col("id").alias("ref"), "pile")
-        way_piles = (
-            _read_table(spark, store_path, "ways")
-            .groupBy("id")
-            .agg(F.min("pile").alias("pile"))
-            .select(F.col("id").alias("ref"), "pile")
-            if _has_table(store_path, "ways")
-            else spark.createDataFrame([], "ref long, pile long")
-        )
-        want = rel_piles(
-            rels.withColumn("tags", F.lit(None).cast("map<string,string>")),
-            node_piles,
-            way_piles,
-        ).select("id", "pile")
-        out["rel_pile_mismatch"] = (
-            rels.select("id", "pile").exceptAll(want).count()
-            + want.exceptAll(rels.select("id", "pile")).count()
-        )
+        placement = _load_meta(store_path).get("placement", "min")
+        if placement == "quad":
+            # quad placement: the stored copies must be exactly the pile
+            # expansion of the stored quad (NULL quad -> its single
+            # purgatory/min copy) — the parity law of quad mode
+            full = _read_table(spark, store_path, "relations").select(
+                "id", "quad", "pile"
+            )
+            import pandas as pd
+            from pyspark.sql import types as Ty
+
+            from ..kernels import tile as KT
+
+            def _qp(quad):
+                return quad.map(
+                    lambda q: KT.quad_piles(int(q)) if pd.notna(q) else None
+                )
+
+            _qp.__annotations__ = {"quad": pd.Series, "return": pd.Series}
+            qp = F.pandas_udf(_qp, Ty.ArrayType(Ty.LongType()))
+            resolved = full.filter(F.col("quad").isNotNull())
+            want = resolved.select("id", "quad").distinct().select(
+                "id", F.explode(qp(F.col("quad"))).alias("pile")
+            ).unionByName(
+                full.filter(F.col("quad").isNull()).select("id", "pile")
+            )
+            out["rel_pile_mismatch"] = (
+                full.select("id", "pile").exceptAll(want).count()
+                + want.exceptAll(full.select("id", "pile")).count()
+            )
+        else:
+            # min placement: re-run the min-member-pile fixed point from
+            # the current stores and compare — a tampered pile (or a stale
+            # index that let a relation skip re-piling) surfaces here
+            node_piles = nodes.select(F.col("id").alias("ref"), "pile")
+            way_piles = (
+                _read_table(spark, store_path, "ways")
+                .groupBy("id")
+                .agg(F.min("pile").alias("pile"))
+                .select(F.col("id").alias("ref"), "pile")
+                if _has_table(store_path, "ways")
+                else spark.createDataFrame([], "ref long, pile long")
+            )
+            want = rel_piles(
+                rels.withColumn("tags", F.lit(None).cast("map<string,string>")),
+                node_piles,
+                way_piles,
+            ).select("id", "pile")
+            out["rel_pile_mismatch"] = (
+                rels.select("id", "pile").exceptAll(want).count()
+                + want.exceptAll(rels.select("id", "pile")).count()
+            )
     out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
     return out

@@ -110,15 +110,16 @@ def osc_to_changes(spark: SparkSession, path: str, rank_base: int = 0) -> DataFr
     lets a caller staging several batches into one directory keep seq
     monotone ACROSS batches (see stage_osc)."""
     from pyspark.sql import functions as F
-    from pyspark.sql import Window
 
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    # rank over a PATH-ONLY projection, then join back: a global window
-    # directly on `raw` would collapse every file's bytes into one
-    # partition and serialize the parse on a single task
-    ranked = raw.select("path").withColumn(
-        "frank",
-        F.row_number().over(Window.orderBy("path")).cast("long") - 1 + rank_base,
+    # rank from the driver-enumerated file listing (bounded by file count;
+    # column pruning means only paths are listed, no bytes read), then
+    # broadcast-join back — a global Window here would both funnel rows
+    # through one partition and trip WindowExec warnings
+    paths = sorted(r.path for r in raw.select("path").distinct().collect())
+    ranked = spark.createDataFrame(
+        [(pth, i + rank_base) for i, pth in enumerate(paths)],
+        "path string, frank long",
     )
     files = raw.join(F.broadcast(ranked), "path")
 

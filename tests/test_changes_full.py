@@ -878,6 +878,85 @@ class TestEmptyKindBulkLoad:
         assert CF.verify_full_store(spark, store)["ok"]
 
 
+class TestQuadPlacement:
+    """Opt-in relation quad placement (VERDICT r3 item 8): replicate a
+    relation into every pile of its tile quad (<=4 copies,
+    build/Sorter.java:718-802 / TileCatalog.java:260-306) so per-pile
+    contents can be compared tile-for-tile; min-member stays the default."""
+
+    def test_bulk_copies_match_quad_column(self, spark, tmp_path):
+        from gol_tool_spark.kernels import tile as KT
+
+        store = str(tmp_path / "s")
+        nodes = node_df(
+            spark,
+            [(1, px(0), 1000, {"name": "a"}), (2, px(1), 1000, {"name": "b"}),
+             (3, px(5), 1000, None)],
+        )
+        ways = way_df(spark, [(10, [1, 2], {"highway": "x"}), (11, [3], {"highway": "y"})])
+        rels = rel_df(
+            spark,
+            [(20, [("node", 1, "stop"), ("way", 10, "")], {"type": "route"}),
+             (21, [("relation", 20, "")], {"type": "super"})],
+        )
+        CF.write_full_store(nodes, ways, rels, store, placement="quad")
+        rows = CF.read_store(spark, store, "relations").collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.id, {"piles": set(), "quad": r.quad})
+            by_id[r.id]["piles"].add(r.pile)
+        for rid, info in by_id.items():
+            assert info["quad"] is not None, rid
+            assert info["piles"] == set(KT.quad_piles(info["quad"])), rid
+        # r20 spans cells 0 and 1 -> more than one copy
+        assert len(by_id[20]["piles"]) >= 2
+        assert CF.verify_full_store(spark, store)["ok"]
+
+    def test_merge_and_query_equivalent_to_min_placement(self, spark, tmp_path):
+        sq, sm = str(tmp_path / "q"), str(tmp_path / "m")
+        for store, placement in ((sq, "quad"), (sm, "min")):
+            nodes = node_df(
+                spark,
+                [(1, px(0), 1000, {"name": "a"}), (2, px(1), 1000, {"name": "b"}),
+                 (3, px(5), 1000, None)],
+            )
+            ways = way_df(
+                spark, [(10, [1, 2], {"highway": "x"}), (11, [3], {"highway": "y"})]
+            )
+            rels = rel_df(
+                spark,
+                [(20, [("node", 1, "stop"), ("way", 10, "")], {"type": "route"}),
+                 (21, [("relation", 20, "")], {"type": "super"})],
+            )
+            CF.write_full_store(nodes, ways, rels, store, placement=placement)
+            ch = write_changes(
+                tmp_path, f"c_{placement}.json",
+                [
+                    # move n1 far away: r20's footprint (and quad) grows
+                    {"op": "upsert", "ftype": "n", "id": 1, "x": px(3), "y": 5,
+                     "tags": None, "seq": 0},
+                    # new relation over n3
+                    {"op": "upsert", "ftype": "r", "id": 22, "version": 1,
+                     "members": [{"mtype": "node", "ref": 3, "role": ""}],
+                     "tags": {"type": "site"}, "seq": 1},
+                ],
+            )
+            run_merge(spark, ch, store, str(tmp_path / f"ck_{placement}"))
+            assert CF.verify_full_store(spark, store)["ok"], placement
+        # same relations visible for any bbox, regardless of placement
+        W = 1 << 31
+        for bbox in ((-W, -W, W - 1, W - 1), (px(0, 0), -1000, px(1, 0) + (1 << 29), 2000)):
+            a = {
+                r.id
+                for r in CF.query_store(spark, sq, *bbox, kind="relations").collect()
+            }
+            b = {
+                r.id
+                for r in CF.query_store(spark, sm, *bbox, kind="relations").collect()
+            }
+            assert a == b, (bbox, a, b)
+
+
 class TestFixedPointConvergenceWarning:
     def test_rel_piles_warns_at_cap(self, spark, caplog):
         """A relation chain deeper than max_iters logs a warning instead of
