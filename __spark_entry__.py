@@ -815,7 +815,11 @@ def q_store_merge(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="golmerge_")
     try:
         store = os.path.join(tmp, "store")
-        CF.write_full_store(nodes, ways, None, store)
+        # versioned layout: the merge publishes through the atomic
+        # snapshot manifest (txstore.py) — this gate run is the hard
+        # evidence that the transactional lane lands on the identical
+        # end state as the declarative recompute
+        CF.write_full_store(nodes, ways, None, store, layout="versioned")
         changes_dir = os.path.join(tmp, "changes")
         movers.unionByName(dels).coalesce(1).write.mode("overwrite").json(changes_dir)
         q = CF.apply_changes_full(spark, changes_dir, store, os.path.join(tmp, "ck"))

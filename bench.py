@@ -143,8 +143,11 @@ def main():
 
     merge_dir = tempfile.mkdtemp(prefix="golmergebench_")
     try:
-        sub = pts_tiled.filter(F.col("id") % 16 == 0)
-        mem_sub = mem.filter(F.col("way_id") % 16 == 0)
+        # strides must be ODD: ids are orderkey*8+linenumber (linenumber
+        # 1..7), so id % even == 0 matches NOTHING — the r2/r3 bench
+        # unknowingly timed empty stores here
+        sub = pts_tiled.filter(F.col("id") % 15 == 0)
+        mem_sub = mem.filter(F.col("way_id") % 15 == 0)
         nodes_in = sub.select(
             "id", "x", "y", F.lit(None).cast("map<string,string>").alias("tags")
         )
@@ -160,7 +163,7 @@ def main():
         store = os.path.join(merge_dir, "store")
         timed("store_bulk_load", lambda: CF.write_full_store(nodes_in, ways_in, None, store))
         delta = (
-            nodes_in.filter(F.col("id") % 800 == 0)
+            nodes_in.filter(F.col("id") % 765 == 0)  # odd multiple of 15
             .select(
                 F.lit("upsert").alias("op"), F.lit("n").alias("ftype"), "id",
                 F.lit(2).alias("version"), (-F.col("x") - 1).alias("x"), "y",
@@ -183,6 +186,23 @@ def main():
                 raise TimeoutError("store_merge_delta did not finish in 300s")
 
         timed("store_merge_delta", run_merge)
+
+        # the atomic snapshot-manifest lane: same store, same delta —
+        # shows the transactional commit costs ~the same as dynamic
+        # overwrite (staging writes + one manifest rename)
+        vstore = os.path.join(merge_dir, "vstore")
+        CF.write_full_store(nodes_in, ways_in, None, vstore, layout="versioned")
+
+        def run_merge_versioned():
+            q = CF.apply_changes_full(
+                spark, os.path.join(merge_dir, "delta"), vstore,
+                os.path.join(merge_dir, "vck"),
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("store_merge_delta_versioned did not finish in 300s")
+
+        timed("store_merge_delta_versioned", run_merge_versioned)
     finally:
         shutil.rmtree(merge_dir, ignore_errors=True)
 
