@@ -1,21 +1,31 @@
 """O(delta) evidence for the typed-store merge (the 100-TB claim).
 
-The partition-scoped merge's promise: applying a fixed-size delta costs
-I/O proportional to the delta's dirty closure, NOT the store size.  This
-probe builds the same-shaped store at two sizes (5x apart), applies the
-IDENTICAL delta to both, and reports the merge wall times + their ratio —
-O(store) behavior would show ~5x, O(delta) shows ~1x (plus the fixed
-Spark job overhead).
+The partition-scoped merge's promise: applying a delta costs I/O
+proportional to the delta's DIRTY CLOSURE (the piles + index buckets it
+touches), not the store size.  This probe builds the same-shaped store
+at two sizes (5x apart) and applies two IDENTICAL 10k-node deltas to
+both:
 
-Sizes default to 1M / 5M nodes (each with n/5 five-node ways) and a
-10k-node delta — big enough that real I/O, not job overhead, dominates
-(VERDICT r3 item 6; the r3 run at 30k/152k nodes measured overhead).
-Override via SPARK_GRAFT_MERGE_NODES="1000000,5000000" and
-SPARK_GRAFT_MERGE_DELTA=10000.
+  * "local"   — all changed nodes inside ONE zoom-3 pile (the realistic
+    minutely-diff shape: edits cluster spatially).  Dirty closure = a
+    couple of piles -> merge cost should be ~flat across store sizes
+    (ratio ~1), the O(delta) claim.
+  * "scatter" — changed nodes spread world-wide, dirtying EVERY pile.
+    This is the documented upper bound: cost ∝ sum of affected piles =
+    the whole store at this pile granularity (64 zoom-3 piles), so the
+    ratio approaches the size ratio.  At deployment scale the pile zoom
+    is a config knob — finer piles shrink the worst case the same way
+    the reference's per-z12-tile patching does.
+
+Sizes default to 1M / 5M nodes (each with n/5 five-node ways) — big
+enough that real I/O, not job overhead, dominates (VERDICT r3 item 6;
+the r3 run at 30k/152k nodes measured overhead).  Override via
+SPARK_GRAFT_MERGE_NODES="1000000,5000000" / SPARK_GRAFT_MERGE_DELTA.
 
 Writes MERGE_SCALE.json:
-  {"sizes": [n1, n2], "merge_sec": {...}, "bulk_sec": {...},
-   "merge_ratio": r, "bulk_ratio": r2, "n_delta": d}
+  {"sizes": [n1, n2], "bulk_sec": {...},
+   "merge_sec": {"local": {...}, "scatter": {...}},
+   "merge_ratio": {"local": r, "scatter": r}, "bulk_ratio": r, ...}
 
 Usage: python tools/merge_scale_probe.py
 """
@@ -44,11 +54,25 @@ SIZES = tuple(
 N_DELTA = int(os.environ.get("SPARK_GRAFT_MERGE_DELTA", "10000"))
 
 
+GRID_W = 1 << 16  # nodes per row; row width = the whole world
+GRID_STEP = 1 << 16  # x spacing -> a row of 65536 nodes spans 2^32
+
+
+def grid_xy(idc):
+    """Locality-preserving node layout: consecutive ids are adjacent in x
+    (rows of GRID_W nodes scattered world-wide in y), so a run of ids is
+    spatially LOCAL — the shape real map data has (ways connect nearby
+    nodes) and the property the "local" delta needs."""
+    x = (idc % GRID_W) * GRID_STEP - (1 << 31)
+    y = (((idc / GRID_W).cast("long") * 7919 * GRID_STEP) % (1 << 32)) - (1 << 31)
+    return x.cast("long"), y.cast("long")
+
+
 def store_inputs(spark, n: int):
-    """n synthetic nodes (same integer-hash x/y mixing as the points
-    table) + n/5 ways of 5 consecutive nodes each."""
+    """n synthetic grid nodes + n/5 ways of 5 consecutive (= spatially
+    adjacent) nodes each."""
     base = spark.range(1, n + 1, numPartitions=32)
-    x, y = synth.point_xy(F.col("id"))
+    x, y = grid_xy(F.col("id"))
     nodes_in = base.select(
         "id", x.alias("x"), y.alias("y"),
         F.lit(None).cast("map<string,string>").alias("tags"),
@@ -61,9 +85,40 @@ def store_inputs(spark, n: int):
     return nodes_in, ways_in
 
 
+def delta_df(spark, shape: str):
+    """10k-node delta over nodes 1..N_DELTA (present in every store).
+    "local": all move INTO one zoom-3 pile (x,y packed near the origin
+    of one cell).  "scatter": each flips to its mirrored-x pile."""
+    base = spark.range(1, N_DELTA + 1)
+    gx, gy = grid_xy(F.col("id"))
+    if shape == "local":
+        # nudge within the same pile: nodes 1..10k sit in the first grid
+        # row (~1-2 adjacent z3 piles), their parent ways too — the
+        # dirty closure stays at a couple of piles + index buckets
+        nx, ny = (gx + 1).alias("x"), gy.alias("y")
+    else:
+        # world-wide re-hash: every z3 pile gets dirty
+        sx, sy = synth.point_xy(F.col("id"))
+        nx, ny = sx.alias("x"), sy.alias("y")
+    return base.select(
+        F.lit("upsert").alias("op"), F.lit("n").alias("ftype"), "id",
+        F.lit(2).alias("version"), nx, ny,
+        F.lit(None).cast("map<string,string>").alias("tags"),
+        F.lit(None).cast("array<long>").alias("refs"),
+        F.lit(None).cast(
+            "array<struct<mtype:string,ref:long,role:string>>"
+        ).alias("members"),
+        F.lit(1).alias("seq"),
+    )
+
+
 def main():
     spark = get_spark("merge-scale-probe")
-    out = {"sizes": [], "bulk_sec": {}, "merge_sec": {}}
+    out = {
+        "sizes": [], "bulk_sec": {},
+        "merge_sec": {"local": {}, "scatter": {}},
+        "n_delta": N_DELTA,
+    }
     for n in SIZES:
         nodes_in, ways_in = store_inputs(spark, n)
         td = tempfile.mkdtemp(prefix=f"mergescale{n}_")
@@ -73,36 +128,21 @@ def main():
             CF.write_full_store(nodes_in, ways_in, None, store)
             out["bulk_sec"][str(n)] = round(time.time() - t0, 2)
             out["sizes"].append(n)
-            # the IDENTICAL delta for every size: nodes 1..N_DELTA exist
-            # in all stores; each moves to a flipped-x pile (dirty-way
-            # respread included in the measured cost)
-            delta = spark.range(1, N_DELTA + 1).select(
-                F.lit("upsert").alias("op"), F.lit("n").alias("ftype"), "id",
-                F.lit(2).alias("version"),
-            )
-            x, y = synth.point_xy(F.col("id"))
-            delta = delta.select(
-                "op", "ftype", "id", "version",
-                (-x - 1).alias("x"), y.alias("y"),
-                F.lit(None).cast("map<string,string>").alias("tags"),
-                F.lit(None).cast("array<long>").alias("refs"),
-                F.lit(None).cast(
-                    "array<struct<mtype:string,ref:long,role:string>>"
-                ).alias("members"),
-                F.lit(1).alias("seq"),
-            )
-            delta.coalesce(1).write.mode("overwrite").json(os.path.join(td, "delta"))
-            t0 = time.time()
-            q = CF.apply_changes_full(
-                spark, os.path.join(td, "delta"), store, os.path.join(td, "ck")
-            )
-            assert q.awaitTermination(1200)
-            out["merge_sec"][str(n)] = round(time.time() - t0, 2)
-            out["n_delta"] = N_DELTA
+            for shape in ("local", "scatter"):
+                d = os.path.join(td, f"delta_{shape}")
+                delta_df(spark, shape).coalesce(1).write.mode("overwrite").json(d)
+                t0 = time.time()
+                q = CF.apply_changes_full(
+                    spark, d, store, os.path.join(td, f"ck_{shape}")
+                )
+                assert q.awaitTermination(1800)
+                out["merge_sec"][shape][str(n)] = round(time.time() - t0, 2)
         finally:
             shutil.rmtree(td, ignore_errors=True)
-    a, b = (out["merge_sec"][str(s)] for s in out["sizes"])
-    out["merge_ratio"] = round(b / a, 2)
+    out["merge_ratio"] = {}
+    for shape in ("local", "scatter"):
+        a, b = (out["merge_sec"][shape][str(s)] for s in out["sizes"])
+        out["merge_ratio"][shape] = round(b / a, 2)
     ba, bb = (out["bulk_sec"][str(s)] for s in out["sizes"])
     out["bulk_ratio"] = round(bb / ba, 2)
     out["size_ratio"] = round(out["sizes"][1] / out["sizes"][0], 2)
