@@ -242,12 +242,18 @@ def decode_batch(payloads: list[bytes], w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "raw":
         buf = np.frombuffer(b"".join(payloads), np.uint8)
     elif fmt == "png":
-        if payloads and payloads[0][:8] != _PNG_SIG:
+        if not payloads:
+            return np.empty((0, h, w, 3), np.uint8)
+        if all(p[:8] != _PNG_SIG for p in payloads):
             # legacy stand-in streams: bare zlib of the raw pixel block
             buf = np.frombuffer(
                 b"".join(zlib.decompress(p) for p in payloads), np.uint8
             )
             return buf.reshape(len(payloads), h, w, 3)
+        if any(p[:8] != _PNG_SIG for p in payloads):
+            # mixed vintages (store partially re-encoded by the real
+            # codec): decode per payload by its own signature
+            return np.stack([decode(p, w, h, fmt) for p in payloads])
         # real PNGs: per-payload inflate (independent streams), then ONE
         # vectorized filter-byte strip when no scanline is filtered (the
         # common case — our encoder always writes filter None)

@@ -288,27 +288,18 @@ def embedding_neardup_srp_pairs(
     MinHash bands."""
     from . import ann as A
 
-    b = A.srp_bucket(emb, nbits=nbits, dim=dim, seed=seed)
     q = (
-        A.quantize(b, scale)
+        A.quantize(A.srp_bucket(emb, nbits=nbits, dim=dim, seed=seed), scale)
         .select("vec_id", "bucket", "q", "n2")
-        .cache()  # both self-join sides
     )
     a, bb = q.alias("a"), q.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
-    )
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
-    )
     return (
         a.join(
             bb,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos", cos)
+        .withColumn("cos", A._cos("a.q", "b.q", "a.n2", "b.n2"))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),

@@ -58,6 +58,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
 
 _log = logging.getLogger(__name__)
 
@@ -147,9 +148,12 @@ def _pruned_index(tx, key: str, keys: DataFrame, keycol: str, nb: int) -> DataFr
         return None
     try:
         idx = tx.read_parts(key, "ib", buckets)
-    except Exception:
+    except AnalysisException:
         # dir exists but holds no parquet footers (store bulk-loaded from
-        # an empty DataFrame writes only _SUCCESS) — an empty index
+        # an empty DataFrame writes only _SUCCESS) — an empty index.
+        # ONLY schema-inference failures mean that; any other error must
+        # fail the batch (swallowing e.g. an IO error here would skip the
+        # old-pile anti-join and silently duplicate rows)
         return None
     if idx is None:
         return None
@@ -376,6 +380,22 @@ def _with_rel_geometry(rrows: DataFrame, bboxes: DataFrame) -> DataFrame:
     )
 
 
+def _quad_piles_udf():
+    """array<long> of pile ids covered by a packed quad (NULL-safe) —
+    shared by quad placement and its verify check so the two can't
+    drift."""
+    import pandas as pd
+    from pyspark.sql import types as Ty
+
+    from ..kernels import tile as KT
+
+    def _qp(quad):
+        return quad.map(lambda q: KT.quad_piles(int(q)) if pd.notna(q) else None)
+
+    _qp.__annotations__ = {"quad": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_qp, Ty.ArrayType(Ty.LongType()))
+
+
 def _apply_placement(rrows: DataFrame, placement: str) -> DataFrame:
     """Relation placement policy (rrows: _with_rel_geometry output).
 
@@ -388,18 +408,7 @@ def _apply_placement(rrows: DataFrame, placement: str) -> DataFrame:
     (NULL quad) keep their single purgatory/min copy."""
     if placement != "quad":
         return rrows
-    import pandas as pd
-    from pyspark.sql import types as Ty
-
-    from ..kernels import tile as KT
-
-    def _qp(quad):
-        return quad.map(
-            lambda q: KT.quad_piles(int(q)) if pd.notna(q) else None
-        )
-
-    _qp.__annotations__ = {"quad": pd.Series, "return": pd.Series}
-    qp = F.pandas_udf(_qp, Ty.ArrayType(Ty.LongType()))
+    qp = _quad_piles_udf()
     return rrows.withColumn(
         "_qpiles",
         F.when(F.col("quad").isNotNull(), qp(F.col("quad"))),
@@ -473,7 +482,13 @@ def write_full_store(
         raise ValueError(f"layout={layout!r}: expected 'legacy' or 'versioned'")
     if placement not in ("min", "quad"):
         raise ValueError(f"placement={placement!r}: expected 'min' or 'quad'")
-    tx = txstore.StoreTx(spark, store_path, p) if layout == "versioned" else None
+    # reset=True: a bulk load has full-overwrite semantics — partitions
+    # and tables absent from this load must drop out of the manifest
+    tx = (
+        txstore.StoreTx(spark, store_path, p, reset=True)
+        if layout == "versioned"
+        else None
+    )
 
     def _bulk(key: str, df: DataFrame, part: str, sort_within=None):
         if tx is not None:
@@ -1395,18 +1410,7 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
             full = _read_table(spark, store_path, "relations").select(
                 "id", "quad", "pile"
             )
-            import pandas as pd
-            from pyspark.sql import types as Ty
-
-            from ..kernels import tile as KT
-
-            def _qp(quad):
-                return quad.map(
-                    lambda q: KT.quad_piles(int(q)) if pd.notna(q) else None
-                )
-
-            _qp.__annotations__ = {"quad": pd.Series, "return": pd.Series}
-            qp = F.pandas_udf(_qp, Ty.ArrayType(Ty.LongType()))
+            qp = _quad_piles_udf()
             resolved = full.filter(F.col("quad").isNotNull())
             want = resolved.select("id", "quad").distinct().select(
                 "id", F.explode(qp(F.col("quad"))).alias("pile")

@@ -190,16 +190,27 @@ def stage_osc(spark: SparkSession, osc_glob: str, changes_dir: str) -> int:
 
     os.makedirs(changes_dir, exist_ok=True)
     base = _load_rank_base(changes_dir)
+    n_files = (
+        spark.read.format("binaryFile").load(osc_glob).select("path").distinct().count()
+    )
+    if n_files == 0:
+        return 0
+    # RESERVE the rank range BEFORE appending: a crash between the append
+    # and a meta update can then never hand the same ranks to the next
+    # staging (which would tie seq values and break last-diff-wins); a
+    # crash after the reservation but before the append just leaves an
+    # unused rank gap, which is harmless
+    _store_rank_base(changes_dir, base + n_files)
     # cache across the write + count: without it the count re-scans and
     # re-parses every .osc a second time (and races newly arriving files)
     df = osc_to_changes(spark, osc_glob, rank_base=base).cache()
     try:
         df.write.mode("append").json(changes_dir)
         n = df.count()
-        # highest staged rank (seq >> 32), +1 = next base; records staged
-        # so the count is exact even if the glob raced new arrivals
+        # if the glob raced new arrivals between the listing above and the
+        # parse, bump the reservation past the highest staged rank
         hi = df.select(F.max(F.shiftright("seq", 32)).alias("h")).collect()[0]["h"]
-        if hi is not None:
+        if hi is not None and int(hi) + 1 > base + n_files:
             _store_rank_base(changes_dir, int(hi) + 1)
         return n
     finally:

@@ -32,11 +32,15 @@ gymnastics.
 Crash points: before the CURRENT swap -> readers keep snapshot N, and
 the streaming replay re-runs the batch (epoch dirs are keyed by target
 version, rewritten with mode=overwrite — deterministic).  After the
-swap -> snapshot N+1 is complete; stray superseded files are swept by
-post-commit GC or the next transaction's stale-epoch sweep.  Empty
-partitions need no placeholder files (the manifest simply drops the
-partition — the schema travels in the manifest), which also retires the
-empty-partition parquet-footer hazard of the legacy layout.
+swap -> snapshot N+1 is complete; superseded files expire via DELAYED
+GC with a one-snapshot grace period (commit of V deletes what only V-2
+referenced), so a reader whose explicit-path plan resolved the previous
+snapshot still finds every file — the Iceberg snapshot-expiry model
+with retention 1.  Empty partitions need no placeholder files (the
+manifest simply drops the partition — the schema travels in the
+manifest), which also retires the empty-partition parquet-footer hazard
+of the legacy layout.  Single writer assumed (the reference's store
+lock); concurrent writers want the real Iceberg lane.
 """
 
 from __future__ import annotations
@@ -142,7 +146,18 @@ class StoreTx:
     """One merge batch's transaction over a versioned store: read-your-
     writes within the batch, publish-all-or-nothing at commit."""
 
-    def __init__(self, spark: SparkSession, store_root: str, paths: dict[str, str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        paths: dict[str, str],
+        reset: bool = False,
+    ):
+        """reset=True gives the transaction FULL-OVERWRITE semantics (a
+        bulk re-load): the new snapshot starts from an empty table map,
+        so partitions/tables absent from this tx's writes disappear from
+        the store instead of silently carrying the old manifest entries
+        forward."""
         self.spark = spark
         self.root = store_root
         self.paths = paths
@@ -159,6 +174,8 @@ class StoreTx:
             for k, t in self.tables.items()
         }
         self._sweep_stale_epochs()
+        if reset:
+            self.tables = {}
 
     # ------------------------------------------------------------ reads
 
@@ -248,21 +265,41 @@ class StoreTx:
         _atomic_write(_current_path(self.root), str(self.version))
         self._gc()
 
+    @staticmethod
+    def _files_of(tables: dict) -> set[tuple[str, str]]:
+        return {
+            (k, f)
+            for k, t in tables.items()
+            for fl in t["parts"].values()
+            for f in fl
+        }
+
     def _gc(self) -> None:
-        """Delete files the previous snapshot referenced that the new one
-        does not (post-commit: no reader resolves to them anymore)."""
-        for key, old in self._old_files.items():
-            new = {
-                os.path.join(self.paths[key], f)
-                for fl in self.tables.get(key, {"parts": {}})["parts"].values()
-                for f in fl
-            }
-            for path in old - new:
-                try:
-                    os.unlink(path)
-                except OSError:  # pragma: no cover - best effort
-                    pass
-            self._prune_empty_dirs(self.paths[key])
+        """Delayed GC with a one-snapshot grace period: at commit of
+        version V, delete files referenced by snapshot V-2 that neither
+        V-1 nor V references.  A reader that resolved the PREVIOUS
+        snapshot before this commit therefore still finds every file its
+        (explicit-path) plan baked in; only plans two snapshots stale can
+        dangle — the Iceberg snapshot-expiry model with retention 1."""
+        expire = self.base_version - 1
+        if expire < 1:
+            return
+        try:
+            man_old = load_manifest(self.root, expire)
+        except (OSError, ValueError):  # already expired / never written
+            return
+        live = self._files_of(self.tables) | {
+            (k, os.path.relpath(p, self.paths[k]))
+            for k, ps in self._old_files.items()
+            for p in ps
+        }
+        for k, f in self._files_of(man_old["tables"]) - live:
+            try:
+                os.unlink(os.path.join(self.paths[k], f))
+            except OSError:  # pragma: no cover - best effort
+                pass
+        for k in man_old["tables"]:
+            self._prune_empty_dirs(self.paths[k])
 
     def _sweep_stale_epochs(self) -> None:
         """Remove epoch dirs from crashed attempts (epoch number above the

@@ -119,30 +119,65 @@ class TestVersionedBasics:
         assert CF.read_store(spark, store, "nodes").filter("id = 3").count() == 0
         assert CF.verify_full_store(spark, store)["ok"]
 
-    def test_gc_removes_superseded_files(self, spark, tmp_path):
+    def test_gc_expires_with_one_snapshot_grace(self, spark, tmp_path):
+        """GC is delayed one snapshot: files superseded by commit V are
+        kept until commit V+1 (a reader that resolved snapshot V-1 before
+        the commit still finds its files), then removed."""
         store = str(tmp_path / "s")
         base_store(spark, store)
-        man1 = txstore.load_manifest(store)
-        all_files_v1 = {
-            (k, f)
-            for k, t in man1["tables"].items()
-            for fl in t["parts"].values()
-            for f in fl
-        }
-        ch = write_changes(tmp_path, "c.json", MOVE)
-        run_merge(spark, ch, store, str(tmp_path / "ck"))
-        man2 = txstore.load_manifest(store)
-        all_files_v2 = {
-            (k, f)
-            for k, t in man2["tables"].items()
-            for fl in t["parts"].values()
-            for f in fl
-        }
+
+        def files_of(version):
+            man = txstore.load_manifest(store, version)
+            return {
+                (k, f)
+                for k, t in man["tables"].items()
+                for fl in t["parts"].values()
+                for f in fl
+            }
+
+        v1 = files_of(1)
+        # resolve a reader against snapshot 1 BEFORE any commit
+        stale_reader = CF.read_store(spark, store, "nodes").select("id", "pile")
+        ch1 = write_changes(tmp_path, "c1.json", MOVE)
+        run_merge(spark, ch1, store, str(tmp_path / "ck1"))
+        v2 = files_of(2)
         p = CF._paths(store)
-        for k, f in all_files_v1 - all_files_v2:  # superseded: gone
-            assert not os.path.exists(os.path.join(p[k], f)), (k, f)
-        for k, f in all_files_v2:  # live: present
+        # grace: v1-superseded files still on disk after the v2 commit,
+        # and the pre-commit reader still executes
+        for k, f in v1 - v2:
             assert os.path.exists(os.path.join(p[k], f)), (k, f)
+        assert stale_reader.count() == 3
+        ch2 = write_changes(
+            tmp_path, "c2.json",
+            [{"op": "upsert", "ftype": "n", "id": 2, "x": px(2), "y": 9,
+              "tags": {"name": "b2"}, "seq": 0}],
+        )
+        run_merge(spark, ch2, store, str(tmp_path / "ck2"))
+        v3 = files_of(3)
+        # v1 files superseded by BOTH newer snapshots: now expired
+        for k, f in v1 - v2 - v3:
+            assert not os.path.exists(os.path.join(p[k], f)), (k, f)
+        # v2-superseded (not in v3) files keep their grace period
+        for k, f in (v2 - v3) & (v2 - v1):
+            assert os.path.exists(os.path.join(p[k], f)), (k, f)
+        for k, f in v3:  # live: present
+            assert os.path.exists(os.path.join(p[k], f)), (k, f)
+
+    def test_bulk_reload_drops_stale_partitions_and_tables(self, spark, tmp_path):
+        """Re-running write_full_store over a versioned store has full
+        overwrite semantics: partitions and whole tables absent from the
+        new load disappear from the manifest (parity with the legacy
+        layout's static overwrite)."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)  # nodes in 3 piles + ways + relations
+        nodes2 = node_df(spark, [(7, px(2), 1000, {"name": "g"})])
+        CF.write_full_store(nodes2, None, None, store, layout="versioned")
+        man = txstore.load_manifest(store)
+        assert set(man["tables"]) == {"nodes", "idx_nodes"}
+        assert len(man["tables"]["nodes"]["parts"]) == 1
+        rows = CF.read_store(spark, store, "nodes").collect()
+        assert {r.id for r in rows} == {7}
+        assert CF.verify_full_store(spark, store)["ok"]
 
 
 class TestCrashAtomicity:
