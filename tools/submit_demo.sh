@@ -35,7 +35,9 @@ from gol_tool_spark.streaming import changes_full as CF
 td = tempfile.mkdtemp(prefix="submit_upd_")
 store = os.path.join(td, "store")
 nodes = pts.limit(2000).select("id", "x", "y", F2.lit(None).cast("map<string,string>").alias("tags"))
-CF.write_full_store(nodes, None, None, store)
+# versioned layout: the update spine publishes through the atomic
+# snapshot manifest (txstore.py)
+CF.write_full_store(nodes, None, None, store, layout="versioned")
 os.makedirs(os.path.join(td, "ch"))
 some = [r.id for r in nodes.limit(5).collect()]
 with open(os.path.join(td, "ch", "d.json"), "w") as fh:
