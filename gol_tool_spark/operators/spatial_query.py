@@ -49,7 +49,14 @@ def bbox_query(
         minx, miny, maxx, maxy = KT.tile_bounds(KT.parse_tile_spec(tile_spec))
     if None in (minx, miny, maxx, maxy):
         raise ValueError("bbox_query needs a W,S,E,N box or a tile_spec")
-    out = points_tiled
+    # exact coordinate range FIRST: it is the cheap conjunct (plain
+    # column compares), so when `tile` is a derived expression the rows
+    # outside the box short-circuit before evaluating it; on stored
+    # columns both predicates reach the scan regardless of order
+    out = points_tiled.filter(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)
+    )
     # IN-list prune only while the list stays sane — and COUNT before
     # enumerating (a world bbox at z12 is a 16.7M-element list).  When the
     # native-zoom list is too big, fall back to the coarsest zoom whose
@@ -62,10 +69,6 @@ def bbox_query(
             tcol = F.col("tile") if z == zoom else S.zoomed_out(F.col("tile"), zoom, z)
             out = out.filter(tcol.isin(tiles))
             break
-    out = out.filter(
-        (F.col("x") >= minx) & (F.col("x") <= maxx)
-        & (F.col("y") >= miny) & (F.col("y") <= maxy)
-    )
     if goql:
         # tables without an ftype column are all-nodes (the points table)
         ftype = F.col("ftype") if "ftype" in out.columns else F.lit("n")
