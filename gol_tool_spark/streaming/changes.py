@@ -85,10 +85,10 @@ def read_change_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(CHANGE_SCHEMA).json(path)
 
 
-def _with_pile(df: DataFrame, zoom: int) -> DataFrame:
+def _with_pile(df: DataFrame, zoom: int, pile_zoom: int = PILE_ZOOM) -> DataFrame:
     tiled = tiling.assign_points(df, zoom)
     return tiled.withColumn(
-        "pile", S.zoomed_out(F.col("tile"), zoom, PILE_ZOOM).cast("long")
+        "pile", S.zoomed_out(F.col("tile"), zoom, pile_zoom).cast("long")
     )
 
 

@@ -380,7 +380,7 @@ def _with_rel_geometry(rrows: DataFrame, bboxes: DataFrame) -> DataFrame:
     )
 
 
-def _quad_piles_udf():
+def _quad_piles_udf(pile_zoom: int = PILE_ZOOM):
     """array<long> of pile ids covered by a packed quad (NULL-safe) —
     shared by quad placement and its verify check so the two can't
     drift."""
@@ -390,13 +390,17 @@ def _quad_piles_udf():
     from ..kernels import tile as KT
 
     def _qp(quad):
-        return quad.map(lambda q: KT.quad_piles(int(q)) if pd.notna(q) else None)
+        return quad.map(
+            lambda q: KT.quad_piles(int(q), pile_zoom) if pd.notna(q) else None
+        )
 
     _qp.__annotations__ = {"quad": pd.Series, "return": pd.Series}
     return F.pandas_udf(_qp, Ty.ArrayType(Ty.LongType()))
 
 
-def _apply_placement(rrows: DataFrame, placement: str) -> DataFrame:
+def _apply_placement(
+    rrows: DataFrame, placement: str, pile_zoom: int = PILE_ZOOM
+) -> DataFrame:
     """Relation placement policy (rrows: _with_rel_geometry output).
 
     "min" (default): ONE copy at the min-member pile — queries scope
@@ -408,7 +412,7 @@ def _apply_placement(rrows: DataFrame, placement: str) -> DataFrame:
     (NULL quad) keep their single purgatory/min copy."""
     if placement != "quad":
         return rrows
-    qp = _quad_piles_udf()
+    qp = _quad_piles_udf(pile_zoom)
     return rrows.withColumn(
         "_qpiles",
         F.when(F.col("quad").isNotNull(), qp(F.col("quad"))),
@@ -452,6 +456,7 @@ def write_full_store(
     indexed_keys: str | None = None,
     layout: str = "legacy",
     placement: str = "min",
+    pile_zoom: int = PILE_ZOOM,
 ) -> None:
     """Bulk-load a typed store + every index apply_changes_full merges into.
     nodes: (id, x, y, tags); ways: (id, refs, tags); rels: (id, members,
@@ -482,6 +487,8 @@ def write_full_store(
         raise ValueError(f"layout={layout!r}: expected 'legacy' or 'versioned'")
     if placement not in ("min", "quad"):
         raise ValueError(f"placement={placement!r}: expected 'min' or 'quad'")
+    if not 0 <= pile_zoom <= zoom:
+        raise ValueError(f"pile_zoom={pile_zoom} must be in [0, zoom]")
     # reset=True: a bulk load has full-overwrite semantics — partitions
     # and tables absent from this load must drop out of the manifest
     tx = (
@@ -501,7 +508,7 @@ def write_full_store(
 
     empty = F.expr(_EMPTY_TAGS)
     nrows = (
-        _with_pile(nodes, zoom)
+        _with_pile(nodes, zoom, pile_zoom)
         .select(
             "id", "x", "y",
             F.coalesce("tags", empty).alias("tags"),
@@ -514,7 +521,8 @@ def write_full_store(
     os.makedirs(store_path, exist_ok=True)
     with open(_meta_path(store_path), "w") as fh:
         json.dump(
-            {"indexed_keys": indexed_keys, "zoom": zoom, "placement": placement}, fh
+            {"indexed_keys": indexed_keys, "zoom": zoom, "placement": placement,
+             "pile_zoom": pile_zoom}, fh
         )
     nidx = nrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
     _bulk("idx_nodes", nidx, "ib")
@@ -566,7 +574,7 @@ def write_full_store(
         )
         bboxes = rel_bboxes(rsrc, node_xy, way_bb)
         rrows = _apply_placement(
-            _with_rel_geometry(rrows, bboxes), placement
+            _with_rel_geometry(rrows, bboxes), placement, pile_zoom
         ).localCheckpoint(eager=True)
         _bulk("relations", rrows, "pile")
         _bulk(
@@ -654,7 +662,8 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         meta = _load_meta(store_root)
         indexed_keys = meta.get("indexed_keys")
         placement = meta.get("placement", "min")
-        ups_n = _with_pile(ups_n, zoom).select(
+        pile_zoom = meta.get("pile_zoom", PILE_ZOOM)
+        ups_n = _with_pile(ups_n, zoom, pile_zoom).select(
             "id", "x", "y", "tags", "tile", "pile",
             _node_keybits(F.col("tags"), indexed_keys).alias("keybits"),
         ).localCheckpoint(eager=True)
@@ -1050,6 +1059,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     bboxes_m,
                 ),
                 placement,
+                pile_zoom,
             ).localCheckpoint(eager=True)
             r_new_piles = {r.pile for r in new_r.select("pile").distinct().collect()}
             r_affected = sorted(r_old_piles | r_new_piles)
@@ -1265,8 +1275,10 @@ def query_store(
     from ..functions import spatial as S
     from ..functions.goql import compile_goql
 
-    piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, PILE_ZOOM)]
-    placement = _load_meta(store_path).get("placement", "min")
+    meta = _load_meta(store_path)
+    pile_zoom = meta.get("pile_zoom", PILE_ZOOM)
+    piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, pile_zoom)]
+    placement = meta.get("placement", "min")
     # manifest-level file pruning on versioned stores.  min-placement
     # relations scope by stored bbox, not pile (one copy at min-member
     # pile), so they read the full — small — table; quad-placement
@@ -1410,7 +1422,7 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
             full = _read_table(spark, store_path, "relations").select(
                 "id", "quad", "pile"
             )
-            qp = _quad_piles_udf()
+            qp = _quad_piles_udf(_load_meta(store_path).get("pile_zoom", PILE_ZOOM))
             resolved = full.filter(F.col("quad").isNotNull())
             want = resolved.select("id", "quad").distinct().select(
                 "id", F.explode(qp(F.col("quad"))).alias("pile")

@@ -957,6 +957,39 @@ class TestQuadPlacement:
             assert a == b, (bbox, a, b)
 
 
+class TestPileZoom:
+    def test_finer_pile_zoom_partitions_and_merges(self, spark, tmp_path):
+        """pile_zoom is a per-store knob (persisted in meta): finer piles
+        shrink a scattered delta's dirty-partition fraction — the scale
+        lever the merge-scale probe documents.  A z6 store partitions at
+        z6 granularity, the merge re-piles at z6, and query_store prunes
+        with the z6 covering."""
+        store = str(tmp_path / "s")
+        step = 1 << 26  # z6 cell width
+        nodes = node_df(
+            spark,
+            [(i, -(1 << 29) + i * step, 1000, None) for i in range(1, 9)],
+        )
+        CF.write_full_store(nodes, way_df(spark, []), None, store, pile_zoom=6)
+        piles = {
+            r.pile for r in CF.read_store(spark, store, "nodes").collect()
+        }
+        assert len(piles) == 8  # one z6 pile per node; z3 would give 2
+        # move node 1 by one z6 cell (inside the same z3 cell)
+        ch = write_changes(
+            tmp_path, "c.json",
+            [{"op": "upsert", "ftype": "n", "id": 1,
+              "x": -(1 << 29) + 9 * step, "y": 1000, "tags": None, "seq": 0}],
+        )
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        assert CF.verify_full_store(spark, store)["ok"]
+        got = CF.query_store(
+            spark, store,
+            -(1 << 29) + 9 * step - 10, 0, -(1 << 29) + 9 * step + 10, 2000,
+        )
+        assert {r.id for r in got.collect()} == {1}
+
+
 class TestFixedPointConvergenceWarning:
     def test_rel_piles_warns_at_cap(self, spark, caplog):
         """A relation chain deeper than max_iters logs a warning instead of

@@ -139,6 +139,36 @@ def main():
                 out["merge_sec"][shape][str(n)] = round(time.time() - t0, 2)
         finally:
             shutil.rmtree(td, ignore_errors=True)
+    # optional: pile_zoom sweep on the scattered-delta worst case.  The
+    # same 1k scattered delta dirties ALL 64 z3 piles but only ~20% of
+    # the 4096 z6 piles — HOWEVER, at sandbox sizes (5M rows = ~1.2k
+    # rows/z6-pile) per-partition commit/listing overhead dominates and
+    # z6 measures SLOWER.  The correct reading: pile zoom must track
+    # bytes-per-pile (the maxPartitionBytes / Iceberg target-file-size
+    # rule) — finer piles pay off once piles hold GBs, i.e. exactly at
+    # the 100-TB scale the knob exists for, not at toy scale.
+    if os.environ.get("SPARK_GRAFT_MERGE_PZ_SWEEP"):
+        n = SIZES[-1]
+        out["pile_zoom_sweep"] = {"n": n, "n_delta": 1000, "merge_sec": {}}
+        for pz in (3, 6):
+            nodes_in, ways_in = store_inputs(spark, n)
+            td = tempfile.mkdtemp(prefix=f"mergescale_pz{pz}_")
+            try:
+                store = os.path.join(td, "store")
+                CF.write_full_store(nodes_in, ways_in, None, store, pile_zoom=pz)
+                d = os.path.join(td, "delta")
+                delta_df(spark, "scatter").limit(1000).coalesce(1).write.mode(
+                    "overwrite"
+                ).json(d)
+                t0 = time.time()
+                q = CF.apply_changes_full(spark, d, store, os.path.join(td, "ck"))
+                assert q.awaitTermination(1800)
+                out["pile_zoom_sweep"]["merge_sec"][f"z{pz}"] = round(
+                    time.time() - t0, 2
+                )
+            finally:
+                shutil.rmtree(td, ignore_errors=True)
+
     out["merge_ratio"] = {}
     for shape in ("local", "scatter"):
         a, b = (out["merge_sec"][shape][str(s)] for s in out["sizes"])
