@@ -410,6 +410,15 @@ def q_image_roundtrip(spark, sf_dir):  # no oracle: pixel codecs aren't SQL
     return multimodal.verify_roundtrip(imgs)
 
 
+def q_phash_neardup(spark, sf_dir):  # no oracle: phash derives from pixels
+    """Image near-dup pairs on the carried perceptual hash: banded
+    pigeonhole blocking (guaranteed recall in the hamming ball) + exact
+    bit_count verify — zero pixel decode on the hot path."""
+    n = min(_read(spark, sf_dir, "documents").count(), 2000)
+    imgs = fixtures.images(spark, n, partitions=8)
+    return dedup.phash_near_dups(imgs, max_hamming=16)
+
+
 def q_image_tile_rollup(spark, sf_dir):  # no oracle: payload rasterization
     n = min(_read(spark, sf_dir, "documents").count(), 1000)
     imgs = fixtures.images(spark, n, partitions=8)
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_freq": q_string_freq,
         "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
+        "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
     }
 
 

@@ -213,34 +213,79 @@ def simhash(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", word.alias("simhash"))
 
 
+def hash64_near_dups(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs on any 64-bit hash column via banded pigeonhole
+    blocking: split the hash into `bands` contiguous bit bands — a pair
+    within `max_hamming` differing bits MUST share at least one exact
+    band when bands > max_hamming (pigeonhole: guaranteed recall, no
+    probabilistic miss) — bucket-join on (band, value), then verify with
+    the exact bit_count hamming.  All JVM-side; the band shuffle carries
+    (id, hash, band, value) only.  The generic core behind simhash (text)
+    and phash (image) near-dup detection.  Output: (id_a, id_b, hamming)
+    with id_a < id_b."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 < bands <= 64:
+        raise ValueError(f"bands={bands} must be in (1, 64]")
+    w = 64 // bands
+    # band i covers bits [i*w, ...); the last band absorbs the remainder —
+    # unequal widths don't weaken the pigeonhole guarantee
+    specs = [(i * w, w if i < bands - 1 else 64 - w * (bands - 1)) for i in range(bands)]
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("q"),
+                F.shiftrightunsigned(F.col(hash_col), off)
+                .bitwiseAND(F.lit((1 << width) - 1) if width < 64 else F.lit(-1))
+                .alias("qv"),
+            )
+            for i, (off, width) in enumerate(specs)
+        ])).alias("b"),
+    ).select("_id", "_h", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+    # both self-join sides read the banded hashes — cache so any upstream
+    # computation (simhash bit votes, phash decode) runs once, not twice
+    banded = banded.cache()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._h").alias("ha"), F.col("b._h").alias("hb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, n: int = 3) -> DataFrame:
     """Near-dup pairs: bucket by each of the four 16-bit simhash quarters
     (pigeonhole: hamming<=3 pairs share at least one exact quarter), then
     verify hamming distance."""
-    sg = simhash(df, n)
-    quarters = sg.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("q"),
-                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"))
-            for i in range(4)
-        ])).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
-    # both self-join sides read quarters — cache so the simhash bit-vote
-    # aggregation computes once, not twice
-    quarters = quarters.cache()
-    a, b = quarters.alias("a"), quarters.alias("b")
-    cand = (
-        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    return hash64_near_dups(
+        simhash(df, n), "doc_id", "simhash", max_hamming, bands=4
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "doc_a", "doc_b", "hamming"
-    )
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Image near-dup pairs on the input_hint table's carried perceptual
+    hash (phash:int64): banded pigeonhole blocking with bands =
+    max_hamming+1 (guaranteed recall within the hamming ball), exact
+    bit_count verify — the standard training-pipeline image-dedup pass,
+    zero pixel decode on the hot path (the hash was computed at ingest).
+    Output: (id_a, id_b, hamming)."""
+    return hash64_near_dups(images, "image_id", "phash", max_hamming)
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99, scale: int = 1000) -> DataFrame:

@@ -857,6 +857,67 @@ class TestSrpNeardup:
         assert all(r.cos_r >= 0.9 for r in srp_rows)
 
 
+class TestPhashNearDup:
+    def test_perturbed_images_pair_up(self, spark):
+        """Slightly-noised copies of an image share a near-identical
+        phash; unrelated images don't. Banded pigeonhole blocking must
+        find every pair inside the hamming ball (guaranteed recall)."""
+        import numpy as np
+
+        from gol_tool_spark.kernels import image as I
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(10):
+            px = I.generate_pixels(i, 32, 32)
+            for j in range(2):  # original + a lightly-noised near-dup
+                noisy = px if j == 0 else np.clip(
+                    px.astype(np.int16) + rng.integers(-2, 3, px.shape), 0, 255
+                ).astype(np.uint8)
+                rows.append((f"img{i}_{j}", I.phash64(noisy)))
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup.phash_near_dups(df, max_hamming=12).collect()
+        }
+        planted = {(f"img{i}_0", f"img{i}_1") for i in range(10)}
+        assert planted <= pairs, planted - pairs
+        # cross-image pairs would need phashes within 12 bits by chance
+        assert len(pairs - planted) <= 2
+
+    def test_pigeonhole_guarantee_exhaustive(self, spark):
+        """For every pair within max_hamming, blocking must emit it: check
+        against a brute-force hamming computation on random hashes."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(-(1 << 62), 1 << 62, 30, dtype=np.int64)
+        # plant close variants: flip k random bits of each
+        rows = [(int(i), int(h)) for i, h in enumerate(base)]
+        for i, h in enumerate(base[:10]):
+            flips = rng.choice(64, size=int(rng.integers(1, 6)), replace=False)
+            v = int(h)
+            for b in flips:
+                v ^= 1 << int(b)
+            v &= (1 << 64) - 1  # wrap to signed 64-bit (bit-63 flips)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            rows.append((100 + i, v))
+        df = spark.createDataFrame(rows, "image_id long, phash long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hash64_near_dups(df, "image_id", "phash", 5).collect()
+        }
+        want = set()
+        for i, (ia, ha) in enumerate(rows):
+            for ib, hb in rows[i + 1:]:
+                d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= 5:
+                    a, b = sorted((ia, ib))
+                    want.add((a, b, d))
+        assert got == want
+
+
 class TestShortDocEdges:
     def test_short_docs_dont_crash_dedup(self, spark):
         # docs shorter than the shingle width: no shingles, no crash
