@@ -142,6 +142,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), int(sys.argv[3]))
         return
+    out_path = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--out":
+        out_path = sys.argv[2]
+    load_start = os.getloadavg()
+    t_start = time.time()
     results = {}
     for cpus in LEVELS:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -155,7 +160,10 @@ def main() -> None:
         print(line, flush=True)
     burns = {c: _burn(c) for c in LEVELS}
     report = {"levels": list(LEVELS), "rows": ROWS, "stages": results,
-              "cpu_control_ops_per_sec": burns, "efficiency": {}}
+              "cpu_control_ops_per_sec": burns, "efficiency": {},
+              "loadavg_start": [round(x, 2) for x in load_start],
+              "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+              "wall_sec": round(time.time() - t_start, 1)}
     for i in range(len(LEVELS) - 1):
         a, b = LEVELS[i], LEVELS[i + 1]
         factor = b / a
@@ -166,7 +174,10 @@ def main() -> None:
         eff["cpu_control"] = round(burns[b] / (factor * burns[a]), 3)
         report["efficiency"][f"{a}->{b}"] = eff
     print(json.dumps(report))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as fh:
+    dest = out_path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"
+    )
+    with open(dest, "w") as fh:
         json.dump(report, fh, indent=1)
 
 
