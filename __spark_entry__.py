@@ -861,21 +861,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code paths are stable. New queries: insert inside the first 50 when they
     # need gate coverage, otherwise append at the very end.
     return {
-        # -- never/rarely driver-checked (r1/r2-only or local-only evidence) --
-        "gst_weighted": q_gst_weighted,
-        "area_classify": q_area_classify,
-        "goql_area": q_goql_area,
-        "goql_parent_child": q_goql_parent_child,
-        "goql_members_of": q_goql_members_of,
-        "goql_chain": q_goql_chain,
-        "fab_export": q_fab_export,
-        "events_json": q_events_json,
-        "way_quads": q_way_quads,
-        "pip_holes": q_pip_holes,
-        "tally_length": q_tally_length,
-        "tally_area": q_tally_area,
-        "tally_length_m": q_tally_length_m,
-        # -- r3-green, code paths touched or load-bearing this round --
+        # -- r5 rotation: the 15 entries below rode the r4 tail (r3-driver
+        # -- green + local re-verification only); they take the head so
+        # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
+        # -- never had a driver row at all.
+        "q1_pricing": q_q1_pricing,
+        "q3_top_orders": q_q3_top_orders,
+        "q5_region_revenue": q_q5_region_revenue,
+        "late_ship_semi": q_late_ship_semi,
+        "window_top3_events": q_window_top3_events,
+        "sessionize": q_sessionize,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "exact_dups": q_exact_dups,
+        "string_freq": q_string_freq,
+        "duplicate_coarse": q_duplicate_coarse,
+        "tally_roles": q_tally_roles,
+        "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
+        # -- code paths touched in round 5 (bbox prune gating, versioned
+        # -- store default, DCT lossy codec) — must re-earn a driver row --
+        "bbox_query": q_bbox_query,
+        "store_merge": q_store_merge,
+        "image_roundtrip": q_image_roundtrip,
+        "image_tile_rollup": q_image_tile_rollup,
+        "image_tile_density": q_image_tile_density,
+        # -- r4-green, load-bearing --
         "tile_assign": q_tile_assign,
         "tile_density": q_tile_density,
         "density_rollup": q_density_rollup,
@@ -886,12 +898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ways_xml": q_ways_xml,
         "rels_xml": q_rels_xml,
         "geom_collection": q_geom_collection,
-        "store_merge": q_store_merge,
         "goql_value_list": q_goql_value_list,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
-        "bbox_query": q_bbox_query,
         "goql_query": q_goql_query,
         "goql_union": q_goql_union,
         "knn_grid": q_knn_grid,
@@ -908,27 +918,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,
         "ann_lsh": q_ann_lsh,
-        "image_tile_density": q_image_tile_density,
-        "image_roundtrip": q_image_roundtrip,
-        "image_tile_rollup": q_image_tile_rollup,
+        # ----- entry 50 boundary: everything below is r4 driver green and
+        # ----- its code is untouched this round (rotate back in if touched)
+        "gst_weighted": q_gst_weighted,
+        "area_classify": q_area_classify,
+        "goql_area": q_goql_area,
+        "goql_parent_child": q_goql_parent_child,
+        "goql_members_of": q_goql_members_of,
+        "goql_chain": q_goql_chain,
+        "fab_export": q_fab_export,
+        "events_json": q_events_json,
+        "way_quads": q_way_quads,
+        "pip_holes": q_pip_holes,
+        "tally_length": q_tally_length,
+        "tally_area": q_tally_area,
+        "tally_length_m": q_tally_length_m,
         "way_l1_length": q_way_l1_length,
         "ghost_copies": q_ghost_copies,
-        # ----- entry 50 boundary: everything below rides on r3 driver green -----
-        "q1_pricing": q_q1_pricing,
-        "q3_top_orders": q_q3_top_orders,
-        "q5_region_revenue": q_q5_region_revenue,
-        "late_ship_semi": q_late_ship_semi,
-        "window_top3_events": q_window_top3_events,
-        "sessionize": q_sessionize,
-        "token_stats": q_token_stats,
-        "quality": q_quality,
-        "langid": q_langid,
-        "fingerprints": q_fingerprints,
-        "exact_dups": q_exact_dups,
-        "string_freq": q_string_freq,
-        "duplicate_coarse": q_duplicate_coarse,
-        "tally_roles": q_tally_roles,
-        "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
     }
 
 

@@ -148,13 +148,19 @@ def _pruned_index(tx, key: str, keys: DataFrame, keycol: str, nb: int) -> DataFr
         return None
     try:
         idx = tx.read_parts(key, "ib", buckets)
-    except AnalysisException:
+    except AnalysisException as e:
         # dir exists but holds no parquet footers (store bulk-loaded from
         # an empty DataFrame writes only _SUCCESS) — an empty index.
-        # ONLY schema-inference failures mean that; any other error must
-        # fail the batch (swallowing e.g. an IO error here would skip the
-        # old-pile anti-join and silently duplicate rows)
-        return None
+        # ONLY schema-inference failures mean that; any other analysis
+        # error (schema drift, corrupt footer) must fail the batch —
+        # swallowing it would skip the old-pile anti-join and silently
+        # duplicate rows.
+        ec = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if (ec and "UNABLE_TO_INFER_SCHEMA" in ec) or (
+            ec is None and "nable to infer schema" in str(e)
+        ):
+            return None
+        raise
     if idx is None:
         return None
     return idx.filter(F.col("ib").isin(buckets)).join(
@@ -431,6 +437,17 @@ def _meta_path(store_path: str) -> str:
 def _load_meta(store_path: str) -> dict:
     import json
 
+    # Versioned stores carry meta in the committed snapshot manifest —
+    # the only copy consistent-by-construction with the table map it was
+    # committed with.  _gol_meta.json remains for legacy stores (and for
+    # versioned stores bulk-loaded before meta moved into the manifest).
+    if txstore.is_versioned(store_path):
+        try:
+            man = txstore.load_manifest(store_path)
+            if "meta" in man:
+                return man["meta"]
+        except (OSError, ValueError, AssertionError):
+            pass
     try:
         with open(_meta_path(store_path)) as fh:
             return json.load(fh)
@@ -454,7 +471,7 @@ def write_full_store(
     zoom: int = 12,
     index_buckets: int = 16,
     indexed_keys: str | None = None,
-    layout: str = "legacy",
+    layout: str = "versioned",
     placement: str = "min",
     pile_zoom: int = PILE_ZOOM,
 ) -> None:
@@ -468,11 +485,15 @@ def write_full_store(
     recomputes the column); the schema string persists in the store's
     meta file so query_store applies the prefilter automatically.
 
-    layout="versioned" writes a snapshot-manifest store (txstore.py):
+    layout="versioned" (the default since round 5 — it benched FASTER
+    than legacy locally, needs no checkpoint/lineage break, and is the
+    only crash-safe lane) writes a snapshot-manifest store (txstore.py):
     subsequent merges publish each batch with ONE atomic manifest swap, so
     a crash mid-merge can never expose a torn store — the journaled-store
     crash contract of the reference (clarisma/common/store/,
-    update/Updater.java:34-55) on plain parquet."""
+    update/Updater.java:34-55) on plain parquet.  layout="legacy" keeps
+    the pre-manifest dynamic-partition-overwrite layout; existing legacy
+    stores remain fully readable/mergeable either way (open_tx sniffs)."""
     import json
 
     p = _paths(store_path)
@@ -519,11 +540,16 @@ def write_full_store(
     )
     _bulk("nodes", nrows, "pile", sort_within=["keybits", "tile", "id"])
     os.makedirs(store_path, exist_ok=True)
-    with open(_meta_path(store_path), "w") as fh:
-        json.dump(
-            {"indexed_keys": indexed_keys, "zoom": zoom, "placement": placement,
-             "pile_zoom": pile_zoom}, fh
-        )
+    meta = {"indexed_keys": indexed_keys, "zoom": zoom, "placement": placement,
+            "pile_zoom": pile_zoom}
+    if tx is not None:
+        # versioned: meta rides INSIDE the snapshot manifest so a crash
+        # before tx.commit() can never pair new placement/pile_zoom with
+        # the old committed data (ADVICE r4); no _gol_meta.json is written.
+        tx.set_meta(meta)
+    else:
+        with open(_meta_path(store_path), "w") as fh:
+            json.dump(meta, fh)
     nidx = nrows.select("id", "pile", _bucket(F.col("id"), index_buckets).alias("ib"))
     _bulk("idx_nodes", nidx, "ib")
 
@@ -1424,10 +1450,17 @@ def verify_full_store(spark: SparkSession, store_path: str) -> dict:
             )
             qp = _quad_piles_udf(_load_meta(store_path).get("pile_zoom", PILE_ZOOM))
             resolved = full.filter(F.col("quad").isNotNull())
+            # NULL-quad relations get exactly ONE copy (their purgatory/
+            # min pile).  Expect one row per id — derived as min(pile) so
+            # duplicate or stray extra copies of an unresolvable relation
+            # surface as a mismatch instead of being echoed back (the
+            # invariant was vacuous for exactly these rows — ADVICE r4).
             want = resolved.select("id", "quad").distinct().select(
                 "id", F.explode(qp(F.col("quad"))).alias("pile")
             ).unionByName(
-                full.filter(F.col("quad").isNull()).select("id", "pile")
+                full.filter(F.col("quad").isNull())
+                .groupBy("id")
+                .agg(F.min("pile").alias("pile"))
             )
             out["rel_pile_mismatch"] = (
                 full.select("id", "pile").exceptAll(want).count()

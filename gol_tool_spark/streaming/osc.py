@@ -101,22 +101,39 @@ def parse_osc(data: bytes, seq_base: int = 0) -> Iterator[dict]:
         el.clear()
 
 
-def osc_to_changes(spark: SparkSession, path: str, rank_base: int = 0) -> DataFrame:
+def osc_to_changes(
+    spark: SparkSession,
+    path: str | None = None,
+    rank_base: int = 0,
+    files: list[str] | None = None,
+) -> DataFrame:
     """Distributed OsmChange parse: binaryFile scan over `path` (glob ok,
     .osc and .osc.gz), each file parsed in a mapInPandas worker.  Files are
     ordered by name (minutely diffs sort chronologically): (rank_base +
     file rank) * 2^32 + in-file position = the global `seq`, so later
     diffs beat earlier ones in the merge's winner-per-id rule.  rank_base
     lets a caller staging several batches into one directory keep seq
-    monotone ACROSS batches (see stage_osc)."""
+    monotone ACROSS batches (see stage_osc).
+
+    `files`: an explicit file list overriding the glob — callers that
+    RESERVED a rank range from their own listing (stage_osc) pass it so
+    files arriving between their listing and this parse can never be
+    ranked beyond the reservation."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    # rank from the driver-enumerated file listing (bounded by file count;
-    # column pruning means only paths are listed, no bytes read), then
-    # broadcast-join back — a global Window here would both funnel rows
-    # through one partition and trip WindowExec warnings
-    paths = sorted(r.path for r in raw.select("path").distinct().collect())
+    if files is not None:
+        paths = sorted(files)
+        raw = spark.read.format("binaryFile").load(paths).select("path", "content")
+    else:
+        if path is None:
+            raise ValueError("osc_to_changes needs a path glob or a file list")
+        raw = spark.read.format("binaryFile").load(path).select("path", "content")
+        # rank from the driver-enumerated file listing (bounded by file
+        # count; column pruning means only paths are listed, no bytes
+        # read), then broadcast-join back — a global Window here would
+        # both funnel rows through one partition and trip WindowExec
+        # warnings
+        paths = sorted(r.path for r in raw.select("path").distinct().collect())
     ranked = spark.createDataFrame(
         [(pth, i + rank_base) for i, pth in enumerate(paths)],
         "path string, frank long",
@@ -186,13 +203,24 @@ def stage_osc(spark: SparkSession, osc_glob: str, changes_dir: str) -> int:
     (update/Updater.java applies .osc files strictly in sequence)."""
     import os
 
-    from pyspark.sql import functions as F
-
     os.makedirs(changes_dir, exist_ok=True)
     base = _load_rank_base(changes_dir)
-    n_files = (
-        spark.read.format("binaryFile").load(osc_glob).select("path").distinct().count()
+    # ONE listing, used for both the reservation and the parse: files
+    # arriving after this point belong to the NEXT staging — they can
+    # never be ranked beyond this reservation because the explicit list
+    # (not the glob) is what gets parsed (ADVICE r4: the old re-list in
+    # osc_to_changes could rank racing arrivals past the reservation,
+    # and the corrective bump ran after the append — a crash between the
+    # two let the next staging reuse those ranks and tie seq values).
+    staged_files = sorted(
+        r.path
+        for r in spark.read.format("binaryFile")
+        .load(osc_glob)
+        .select("path")
+        .distinct()
+        .collect()
     )
+    n_files = len(staged_files)
     if n_files == 0:
         return 0
     # RESERVE the rank range BEFORE appending: a crash between the append
@@ -202,16 +230,10 @@ def stage_osc(spark: SparkSession, osc_glob: str, changes_dir: str) -> int:
     # unused rank gap, which is harmless
     _store_rank_base(changes_dir, base + n_files)
     # cache across the write + count: without it the count re-scans and
-    # re-parses every .osc a second time (and races newly arriving files)
-    df = osc_to_changes(spark, osc_glob, rank_base=base).cache()
+    # re-parses every .osc a second time
+    df = osc_to_changes(spark, rank_base=base, files=staged_files).cache()
     try:
         df.write.mode("append").json(changes_dir)
-        n = df.count()
-        # if the glob raced new arrivals between the listing above and the
-        # parse, bump the reservation past the highest staged rank
-        hi = df.select(F.max(F.shiftright("seq", 32)).alias("h")).collect()[0]["h"]
-        if hi is not None and int(hi) + 1 > base + n_files:
-            _store_rank_base(changes_dir, int(hi) + 1)
-        return n
+        return df.count()
     finally:
         df.unpersist()

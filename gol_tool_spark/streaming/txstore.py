@@ -165,9 +165,11 @@ class StoreTx:
             self.base_version = current_version(store_root)
             man = load_manifest(store_root, self.base_version)
             self.tables: dict[str, dict] = json.loads(json.dumps(man["tables"]))
+            base_meta = man.get("meta")
         else:
             self.base_version = 0
             self.tables = {}
+            base_meta = None
         self.version = self.base_version + 1
         self._old_files = {
             k: {os.path.join(paths[k], f) for fl in t["parts"].values() for f in fl}
@@ -176,6 +178,14 @@ class StoreTx:
         self._sweep_stale_epochs()
         if reset:
             self.tables = {}
+        self._written: set[str] = set()
+        # Store meta (placement/pile_zoom/indexed_keys) travels INSIDE the
+        # snapshot: a bulk re-load that changes placement or pile zoom and
+        # crashes before commit() must leave the OLD meta paired with the
+        # OLD table map — never new meta over old data (ADVICE r4).  A tx
+        # that doesn't set_meta carries the base snapshot's meta forward
+        # (reset clears it with the tables).
+        self.meta: dict | None = None if reset else base_meta
 
     # ------------------------------------------------------------ reads
 
@@ -226,6 +236,17 @@ class StoreTx:
         tx's subsequent read_parts immediately, to everyone else at
         commit.  Affected partitions absent from `df` become empty (their
         manifest entry is dropped)."""
+        if key in self._written:
+            # A second mode=overwrite write into the same epoch dir would
+            # delete the first call's files while manifest entries for
+            # partitions outside this call's `affected` list still
+            # reference them — a dangling-ref corruption.  No caller
+            # legitimately writes a table twice per tx; enforce it.
+            raise RuntimeError(
+                f"table '{key}' already staged in tx v{self.version}; "
+                "one overwrite_parts/merge_part call per table per tx"
+            )
+        self._written.add(key)
         table_root = self.paths[key]
         epoch = f"e{self.version}"
         ptype = dict(df.dtypes)[part]
@@ -255,9 +276,15 @@ class StoreTx:
 
     # ------------------------------------------------------------ commit
 
+    def set_meta(self, meta: dict) -> None:
+        """Stage store meta to publish atomically WITH this tx's table map."""
+        self.meta = dict(meta)
+
     def commit(self) -> None:
         os.makedirs(_manifest_dir(self.root), exist_ok=True)
         man = {"version": self.version, "tables": self.tables}
+        if self.meta is not None:
+            man["meta"] = self.meta
         _atomic_write(
             os.path.join(_manifest_dir(self.root), f"v{self.version}.json"),
             json.dumps(man),

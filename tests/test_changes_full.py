@@ -41,18 +41,21 @@ def run_merge(spark, changes_dir: str, store: str, ckpt: str) -> None:
 
 
 def pile_files(root: str) -> dict[str, dict[str, int]]:
-    out = {}
-    for d in sorted(os.listdir(root)):
+    """pile=N -> {file: mtime} map, layout-agnostic: legacy keeps
+    <table>/pile=N/ directly, versioned nests them under epoch dirs
+    (<table>/e<V>/pile=N/); file names are globally unique (part-UUIDs)
+    so merging across epochs is safe."""
+    out: dict[str, dict[str, int]] = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        d = os.path.basename(dirpath)
         if not d.startswith("pile="):
             continue
-        files = {}
-        pd_ = os.path.join(root, d)
-        for f in os.listdir(pd_):
+        files = out.setdefault(d, {})
+        for f in filenames:
             if f.startswith(("_", ".")):
                 continue
-            files[f] = os.stat(os.path.join(pd_, f)).st_mtime_ns
-        out[d] = files
-    return out
+            files[f] = os.stat(os.path.join(dirpath, f)).st_mtime_ns
+    return dict(sorted(out.items()))
 
 
 def node_df(spark, rows):
@@ -75,7 +78,7 @@ def rel_df(spark, rows):
     )
 
 
-def base_store(spark, store: str):
+def base_store(spark, store: str, layout: str = "versioned"):
     """n1(cell0) n2(cell1) n3(cell5); w1=[n1,n2] spread {p0,p1};
     w2=[n3] spread {p5}; r1=[n1, w1]; r2=[r1] (super)."""
     nodes = node_df(
@@ -96,7 +99,7 @@ def base_store(spark, store: str):
             (21, [("relation", 20, "")], {"type": "super"}),
         ],
     )
-    CF.write_full_store(nodes, ways, rels, store)
+    CF.write_full_store(nodes, ways, rels, store, layout=layout)
     return nodes, ways, rels
 
 
@@ -530,8 +533,10 @@ class TestVerifyFullStore:
         assert rep["ok"], rep
 
     def test_detects_tampering(self, spark, tmp_path):
+        # raw partition-dir rewrite = a LEGACY-layout tamper; the
+        # versioned twin below corrupts manifest-referenced files instead
         store = str(tmp_path / "s")
-        base_store(spark, store)
+        base_store(spark, store, layout="legacy")
         # tamper: rewrite a way copy into the wrong pile
         ways = CF.read_store(spark, store, "ways")
         bad = ways.filter(F.col("id") == 11).withColumn(
@@ -547,6 +552,39 @@ class TestVerifyFullStore:
         rep = CF.verify_full_store(spark, store)
         assert not rep["ok"]
         assert rep["way_unjustified"] > 0
+
+    def test_detects_tampering_versioned(self, spark, tmp_path):
+        """On a versioned store the tamper surface is the manifest's file
+        list: swap a referenced node-pile file for rows belonging to a
+        DIFFERENT pile (the pile column is rebuilt from the file path, so
+        a misplaced file = misplaced rows)."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        from gol_tool_spark.streaming import txstore
+
+        man = txstore.load_manifest(store)
+        entry = man["tables"]["nodes"]
+        # every node pile holds a distinct node: copying one pile's file
+        # over another's plants a duplicated id in the wrong pile (the
+        # pile column is path-derived) and orphans the overwritten node
+        parts = sorted(entry["parts"].items())
+        assert len(parts) >= 2
+        (pa, fa), (pb, fb) = parts[0], parts[1]
+        import shutil
+
+        def _with_crc(rel: str) -> list[tuple[str, str]]:
+            # hadoop LocalFS keeps a .<name>.crc sidecar; a consistent
+            # tamper replaces both (copying data alone trips the CRC
+            # layer first — also a detection, but not the one under test)
+            d, b = os.path.split(os.path.join(store, "nodes", rel))
+            return [(os.path.join(d, b), ""), (os.path.join(d, f".{b}.crc"), "")]
+
+        for (src, _), (dst, _) in zip(_with_crc(fa[0]), _with_crc(fb[0])):
+            if os.path.exists(src):
+                shutil.copyfile(src, dst)
+        rep = CF.verify_full_store(spark, store)
+        assert not rep["ok"]
+        assert rep["node_dups"] > 0 or rep["node_idx_diff"] > 0
 
 
 class TestRelGeometry:
@@ -616,15 +654,35 @@ class TestRelPurgatoryMember:
 
 class TestQueryStore:
     def test_bbox_prunes_piles_exact_filter_and_goql(self, spark, tmp_path):
+        """Each layout proves its own pruning mechanism: versioned stores
+        prune the FILE LIST at manifest-resolution time (before Catalyst
+        ever plans — the Iceberg model), legacy stores rely on Catalyst
+        turning the pile isin into scan PartitionFilters."""
         store = str(tmp_path / "s")
-        base_store(spark, store)
+        base_store(spark, store)  # versioned (default)
         out = CF.query_store(spark, store, px(0) - 500, 0, px(1) + 500, 2000)
         assert {r.id for r in out.collect()} == {1, 2}
-        plan = out._jdf.queryExecution().explainString(
+        import re
+
+        from gol_tool_spark.streaming import txstore
+
+        got_piles = {
+            int(re.search(r"/pile=(-?\d+)/", f).group(1)) for f in out.inputFiles()
+        }
+        all_piles = {
+            int(p)
+            for p in txstore.load_manifest(store)["tables"]["nodes"]["parts"]
+        }
+        assert got_piles < all_piles  # strict subset: planned-file prune
+        assert len(all_piles) == 3 and len(got_piles) == 2  # cells {0,1} of {0,1,5}
+
+        lstore = str(tmp_path / "l")
+        base_store(spark, lstore, layout="legacy")
+        lout = CF.query_store(spark, lstore, px(0) - 500, 0, px(1) + 500, 2000)
+        assert {r.id for r in lout.collect()} == {1, 2}
+        plan = lout._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        # the pile IN-list must reach the scan as a partition filter (only
-        # the bbox's zoom-3 pile dirs are read)
         assert "PartitionFilters" in plan
         seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
         assert "pile" in seg and "IN" in seg

@@ -176,7 +176,8 @@ class TestImage:
     def test_lossy_psnr_gate(self):
         px = I.generate_pixels(7, 32, 32)
         out = I.decode(I.encode(px, "jpg"), 32, 32, "jpg")
-        assert I.psnr(px, out) >= 25.0  # stand-in codec; gate checked per-fmt
+        # the DCT codec must clear the north rule's lossy bar outright
+        assert I.psnr(px, out) >= 40.0
 
     def test_phash_stability_under_lossy(self):
         px = I.generate_pixels(9, 64, 64)

@@ -56,22 +56,38 @@ class TestPlanShapes:
         plan = plan_of(q)
         assert "Filter" in plan and "ArrowEval" not in plan
 
-    def test_half_world_bbox_keeps_coarse_tile_prune(self, pts):
+    def test_half_world_bbox_keeps_coarse_tile_prune(self, spark):
         """r3 VERDICT 'What's wrong' #2: above 10k z12 tiles the IN-list
         must fall back to a coarser zoom, not disengage — a half-world
-        bbox still carries a tile filter Catalyst can push down."""
+        bbox over a STORED-tile table still carries a tile filter
+        Catalyst can push down."""
+        stored = spark.createDataFrame(
+            [(1, 2, 3, 4)], "id long, x long, y long, tile long"
+        )  # leaf relation WITH a tile column = stored-store shape
         H = 1 << 30
-        q = spatial_query.bbox_query(pts, -H, -H, H, H)
+        q = spatial_query.bbox_query(stored, -H, -H, H, H)
         plan = plan_of(q)
         # the coarse prune shows as a shiftright-derived INSET filter on
         # the zoomed-out tile (large IN lists compile to InSet)
         assert "shiftright" in plan and ("INSET" in plan or " IN " in plan)
 
+    def test_derived_tile_bbox_skips_prune(self, pts):
+        """r4 VERDICT 'What's wrong' #2: when `tile` is a computed
+        expression (fresh assign_points output), the IN-list costs a
+        per-row tile evaluation and prunes nothing beyond the x/y range —
+        bbox_query must auto-detect this and keep the pure range plan."""
+        H = 1 << 30
+        plan = plan_of(spatial_query.bbox_query(pts, -H, -H, H, H))
+        assert "INSET" not in plan and "Filter" in plan
+        # and the explicit override still attaches it
+        forced = plan_of(spatial_query.bbox_query(pts, -H, -H, H, H, prune=True))
+        assert "INSET" in forced or " IN " in forced
+
     def test_half_world_bbox_results_unchanged_by_prune(self, pts):
         """The coarse prune is a superset cover: results must equal the
         pure x/y range filter."""
         H = 1 << 30
-        a = spatial_query.bbox_query(pts, -H, -H, H, H).select("id")
+        a = spatial_query.bbox_query(pts, -H, -H, H, H, prune=True).select("id")
         b = pts.filter(
             (F.col("x") >= -H) & (F.col("x") <= H)
             & (F.col("y") >= -H) & (F.col("y") <= H)

@@ -180,6 +180,72 @@ class TestVersionedBasics:
         assert CF.verify_full_store(spark, store)["ok"]
 
 
+class TestMetaInManifest:
+    def test_versioned_store_meta_lives_in_manifest(self, spark, tmp_path):
+        """ADVICE r4: placement/pile_zoom/indexed_keys must publish with
+        the snapshot, not as a mid-load side file."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        man = txstore.load_manifest(store)
+        assert man["meta"]["placement"] == "min"
+        assert man["meta"]["pile_zoom"] == CF.PILE_ZOOM
+        assert not os.path.exists(CF._meta_path(store))
+        assert CF._load_meta(store) == man["meta"]
+
+    def test_crashed_reload_keeps_old_meta_with_old_data(self, spark, tmp_path):
+        """Re-bulk-load with a DIFFERENT pile_zoom that dies before
+        commit: readers must still see the OLD meta paired with the OLD
+        committed snapshot — never new meta over old data."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        old_meta = CF._load_meta(store)
+        nodes2 = node_df(spark, [(7, px(2), 1000, {"name": "g"})])
+        orig_commit = txstore.StoreTx.commit
+        try:
+            txstore.StoreTx.commit = lambda self: (_ for _ in ()).throw(
+                RuntimeError("die before publish")
+            )
+            with pytest.raises(RuntimeError, match="die before publish"):
+                CF.write_full_store(
+                    nodes2, None, None, store, layout="versioned", pile_zoom=6
+                )
+        finally:
+            txstore.StoreTx.commit = orig_commit
+        assert CF._load_meta(store) == old_meta  # pile_zoom still PILE_ZOOM
+        assert CF.verify_full_store(spark, store)["ok"]
+
+    def test_merge_tx_carries_meta_forward(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        assert txstore.current_version(store) == 2
+        assert txstore.load_manifest(store)["meta"]["placement"] == "min"
+
+    def test_legacy_store_still_uses_meta_file(self, spark, tmp_path):
+        store = str(tmp_path / "l")
+        base_store(spark, store, layout="legacy")
+        assert os.path.exists(CF._meta_path(store))
+        assert CF._load_meta(store)["placement"] == "min"
+
+
+class TestDoubleWriteGuard:
+    def test_second_write_to_same_table_in_one_tx_raises(self, spark, tmp_path):
+        """ADVICE r4: a second overwrite of a table inside one tx would
+        delete the first call's epoch files while the manifest still
+        references them — the latent path must be unreachable."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        p = CF._paths(store)
+        tx = txstore.StoreTx(spark, store, p)
+        nodes = node_df(spark, [(50, px(7), 7, None)]).withColumn(
+            "pile", F.lit(0).cast("long")
+        )
+        tx.overwrite_parts("nodes", nodes, "pile", affected=[0])
+        with pytest.raises(RuntimeError, match="already staged"):
+            tx.overwrite_parts("nodes", nodes, "pile", affected=[0])
+
+
 class TestCrashAtomicity:
     def _crash_then_recover(self, spark, tmp_path, crash_point: str):
         """Drive a merge that dies at `crash_point`, assert the store still

@@ -117,6 +117,7 @@ def main():
     out = {
         "sizes": [], "bulk_sec": {},
         "merge_sec": {"local": {}, "scatter": {}},
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "n_delta": N_DELTA,
     }
     for n in SIZES:
@@ -176,6 +177,7 @@ def main():
     ba, bb = (out["bulk_sec"][str(s)] for s in out["sizes"])
     out["bulk_ratio"] = round(bb / ba, 2)
     out["size_ratio"] = round(out["sizes"][1] / out["sizes"][0], 2)
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     with open("MERGE_SCALE.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
