@@ -97,7 +97,9 @@ def _dct_quantize_stack(pixels: np.ndarray) -> np.ndarray:
     """(N, h, w, 3) uint8 -> quantized DCT coefficients
     (N, 3, H/8, W/8, 8, 8) int16.  The ONLY lossy step is the round()."""
     blocks = _dct_blockize(_dct_pad(pixels).astype(np.float64) - 128.0)
-    coef = np.einsum("ij,...jk,lk->...il", _DCT_M, blocks, _DCT_M, optimize=True)
+    # 2D DCT = M @ B @ M.T, batched over every leading axis; matmul
+    # broadcasts (8,8) @ (..., 8, 8) with no einsum path-search overhead
+    coef = _DCT_M @ blocks @ _DCT_M.T
     return np.round(coef / _DCT_Q).astype(np.int16)
 
 
@@ -105,7 +107,7 @@ def _dct_reconstruct_stack(q: np.ndarray, h: int, w: int) -> np.ndarray:
     """Quantized coefficients (N, 3, H/8, W/8, 8, 8) int16 -> (N, h, w, 3)
     uint8 — dequantize, inverse DCT, recenter, crop the pad."""
     coef = q.astype(np.float64) * _DCT_Q
-    blocks = np.einsum("ji,...jk,kl->...il", _DCT_M, coef, _DCT_M, optimize=True)
+    blocks = _DCT_M.T @ coef @ _DCT_M
     out = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
     return _dct_unblockize(out, h, w)
 
@@ -139,7 +141,7 @@ def _dct_decode(data: bytes) -> np.ndarray:
 
 def _dct_decode_many(payloads: list[bytes]) -> np.ndarray:
     """Equal-shape DCT1 payloads -> (N, h, w, 3): per-payload inflate
-    (independent byte streams), then ONE einsum IDCT over the stack."""
+    (independent byte streams), then ONE batched-matmul IDCT over the stack."""
     parsed = [_dct_coeffs(p) for p in payloads]
     h, w = parsed[0][1], parsed[0][2]
     return _dct_reconstruct_stack(np.stack([q for q, _, _ in parsed]), h, w)
