@@ -37,7 +37,27 @@ _QUANT = 16  # legacy jpg stand-in quantization step (decode-only now)
 # land in the PSNR 40-46dB band — then a zlib entropy stage.  All pixel
 # math is vectorized numpy over (N*ch*blocks, 8, 8) stacks.
 
-_DCT_MAGIC = b"DCT1"
+_DCT_MAGIC = b"DCT1"   # v1: natural coefficient order (decode-only now)
+_DCT_MAGIC2 = b"DCT2"  # v2: zigzag order + DC delta coding (current)
+
+# JPEG zigzag scan order for an 8x8 block (flat indices): low frequencies
+# first, so quantized high-frequency zeros run together and the zlib
+# stage actually compresses — plus DC delta coding along the block
+# sequence (JPEG's DC prediction), both exactly invertible
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+
+def _is_dct(data: bytes) -> bool:
+    return data[:4] in (_DCT_MAGIC, _DCT_MAGIC2)
 
 # orthonormal 8-point DCT-II matrix: M[k, n] = c(k) cos((2n+1) k pi / 16)
 _DCT_M = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16.0)
@@ -119,18 +139,40 @@ def dct_model_batch(pixels: np.ndarray) -> np.ndarray:
     return _dct_reconstruct_stack(_dct_quantize_stack(pixels), h, w)
 
 
+def _dct_entropy_pack(q: np.ndarray) -> np.ndarray:
+    """(3, nby, nbx, 8, 8) int16 -> zigzag-ordered, DC-delta-coded flat
+    (3, nblocks, 64) int16.  Exactly invertible (int16 wraparound is
+    two's-complement on both sides)."""
+    flat = q.reshape(3, -1, 64)[:, :, _ZIGZAG].copy()
+    flat[:, 1:, 0] -= flat[:, :-1, 0].copy()  # DC prediction along blocks
+    return flat
+
+
+def _dct_entropy_unpack(flat: np.ndarray, nby: int, nbx: int) -> np.ndarray:
+    flat = flat.copy()
+    flat[:, :, 0] = np.cumsum(flat[:, :, 0].astype(np.int64), axis=1).astype(
+        np.int16
+    )
+    return flat[:, :, _UNZIGZAG].reshape(3, nby, nbx, 8, 8)
+
+
 def _dct_encode(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> DCT1 payload: magic + h + w + zlib(int16 LE)."""
+    """(h, w, 3) uint8 -> DCT2 payload: magic + h + w +
+    zlib(zigzag/DC-delta int16 LE)."""
     h, w = pixels.shape[:2]
     q = _dct_quantize_stack(pixels[None])[0]
-    body = zlib.compress(q.astype("<i2").tobytes(), 6)
-    return _DCT_MAGIC + struct.pack(">II", h, w) + body
+    body = zlib.compress(_dct_entropy_pack(q).astype("<i2").tobytes(), 6)
+    return _DCT_MAGIC2 + struct.pack(">II", h, w) + body
 
 
 def _dct_coeffs(data: bytes) -> tuple[np.ndarray, int, int]:
     h, w = struct.unpack(">II", data[4:12])
     nby, nbx = (h + 7) // 8, (w + 7) // 8
-    q = np.frombuffer(zlib.decompress(data[12:]), "<i2").reshape(3, nby, nbx, 8, 8)
+    raw = np.frombuffer(zlib.decompress(data[12:]), "<i2")
+    if data[:4] == _DCT_MAGIC2:
+        q = _dct_entropy_unpack(raw.reshape(3, -1, 64).copy(), nby, nbx)
+    else:  # DCT1: natural order, no DC prediction
+        q = raw.reshape(3, nby, nbx, 8, 8)
     return q, h, w
 
 
@@ -140,7 +182,7 @@ def _dct_decode(data: bytes) -> np.ndarray:
 
 
 def _dct_decode_many(payloads: list[bytes]) -> np.ndarray:
-    """Equal-shape DCT1 payloads -> (N, h, w, 3): per-payload inflate
+    """Equal-shape DCT payloads (v1/v2 mixed ok) -> (N, h, w, 3): per-payload inflate
     (independent byte streams), then ONE batched-matmul IDCT over the stack."""
     parsed = [_dct_coeffs(p) for p in payloads]
     h, w = parsed[0][1], parsed[0][2]
@@ -322,7 +364,7 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         # bare zlib of the raw pixel block
         buf = np.frombuffer(zlib.decompress(data), np.uint8)
     elif fmt == "jpg":
-        if data[:4] == _DCT_MAGIC:
+        if _is_dct(data):
             return _dct_decode(data)
         # legacy stand-in stream (stores written before the DCT codec):
         # bare zlib of the 16-level-quantized pixel block
@@ -393,9 +435,9 @@ def decode_batch(payloads: list[bytes], w: int, h: int, fmt: str) -> np.ndarray:
     elif fmt == "jpg":
         if not payloads:
             return np.empty((0, h, w, 3), np.uint8)
-        if all(p[:4] == _DCT_MAGIC for p in payloads):
+        if all(_is_dct(p) for p in payloads):
             return _dct_decode_many(payloads)
-        if any(p[:4] == _DCT_MAGIC for p in payloads):
+        if any(_is_dct(p) for p in payloads):
             # mixed vintages: decode per payload by its own signature
             return np.stack([decode(p, w, h, fmt) for p in payloads])
         # legacy stand-in streams: bare zlib of the quantized pixel block

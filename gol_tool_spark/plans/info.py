@@ -17,14 +17,31 @@ import os
 import pyarrow.parquet as pq
 
 
-def store_info(store_dir: str, tileset_dir: str | None = None) -> dict:
+def store_info(
+    store_dir: str,
+    tileset_dir: str | None = None,
+    files: list[str] | None = None,
+) -> dict:
     """Footer-only store report: {guid?, piles, rows, bytes, n_files,
     n_row_groups, keybits: {mask: rows}, per_pile: {pile: {rows, bytes,
-    buckets}}}."""
+    buckets}}}.
+
+    `files`: explicit file list to report over instead of walking the
+    directory — versioned stores pass the CURRENT snapshot's manifest
+    file list so grace-period superseded epoch files are not counted."""
     piles: dict[str, dict] = {}
     keybits: dict[int, int] = {}
     total_rows = total_bytes = n_files = n_rg = 0
-    for dp, _, fs in sorted(os.walk(store_dir)):
+    if files is not None:
+        groups: dict[str, list[str]] = {}
+        for full in files:
+            groups.setdefault(os.path.dirname(full), []).append(
+                os.path.basename(full)
+            )
+        walk_iter = [(d, None, sorted(fl)) for d, fl in sorted(groups.items())]
+    else:
+        walk_iter = sorted(os.walk(store_dir))
+    for dp, _, fs in walk_iter:
         rel = os.path.relpath(dp, store_dir)
         parts = dict(seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg)
         pile = parts.get("pile")
@@ -70,8 +87,42 @@ def store_info(store_dir: str, tileset_dir: str | None = None) -> dict:
 def full_store_info(store_path: str) -> dict:
     """`gol info` for the typed store (changes_full layout): one footer-only
     report per sub-store (nodes/ways/relations) plus every index —
-    InfoCommand.java's tile inventory, generalized to the typed layout."""
+    InfoCommand.java's tile inventory, generalized to the typed layout.
+
+    On versioned stores the report resolves the CURRENT snapshot: only
+    manifest-listed files are counted (grace-period superseded epochs are
+    excluded), the snapshot version is included, and the per-partition
+    {rows, bytes} metrics PERSISTED in the manifest at commit time ride
+    along under `manifest_metrics` (the Iceberg snapshot-summary shape)."""
+    from ..streaming import txstore
+    from ..streaming.changes_full import _paths
+
     out: dict = {}
+    p = _paths(store_path)
+    if txstore.is_versioned(store_path):
+        man = txstore.load_manifest(store_path)
+        out["snapshot_version"] = man["version"]
+
+        def _live(key: str) -> list[str]:
+            t = man["tables"][key]
+            return [
+                os.path.join(p[key], f)
+                for fl in t["parts"].values()
+                for f in fl
+            ]
+
+        for kind in ("nodes", "ways", "relations"):
+            if kind in man["tables"]:
+                out[kind] = store_info(p[kind], files=_live(kind))
+                m = man["tables"][kind].get("metrics")
+                if m is not None:
+                    out[kind]["manifest_metrics"] = m
+        out["indexes"] = {
+            key[4:]: store_info(p[key], files=_live(key))
+            for key in sorted(man["tables"])
+            if key.startswith("idx_")
+        }
+        return out
     for kind in ("nodes", "ways", "relations"):
         d = os.path.join(store_path, kind)
         if os.path.isdir(d):

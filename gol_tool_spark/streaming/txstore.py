@@ -113,6 +113,28 @@ def _list_epoch_files(table_root: str, epoch: str, part: str) -> dict[str, list[
     return out
 
 
+def _partition_metrics(
+    table_root: str, files: dict[str, list[str]]
+) -> dict[str, dict]:
+    """Per-partition {rows, bytes} for freshly staged files — footer-only
+    reads (pyarrow metadata, zero data scan), driver-side but bounded by
+    THIS tx's written files (O(affected partitions), never O(store)).
+    Persisted in the manifest so snapshot row-count/byte metrics travel
+    with the commit (the Iceberg snapshot-summary analogue, and the
+    north-rule 'metrics persisted alongside snapshots' requirement)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for pv, fl in files.items():
+        rows = nbytes = 0
+        for f in fl:
+            full = os.path.join(table_root, f)
+            rows += pq.ParquetFile(full).metadata.num_rows
+            nbytes += os.path.getsize(full)
+        out[pv] = {"rows": int(rows), "bytes": int(nbytes)}
+    return out
+
+
 def _part_col(part: str, ptype: str):
     """Reconstruct the partition value from the data file path."""
     return F.regexp_extract(F.input_file_name(), f"/{part}=(-?[^/]+)/", 1).cast(ptype)
@@ -266,13 +288,17 @@ class StoreTx:
                 "ptype": ptype,
                 "schema": json.dumps(df.drop(part).schema.jsonValue()),
                 "parts": {},
+                "metrics": {},
             }
             self._old_files[key] = set()
         else:
             entry["schema"] = json.dumps(df.drop(part).schema.jsonValue())
+            entry.setdefault("metrics", {})
         for v in {str(a) for a in affected}:
             entry["parts"].pop(v, None)
+            entry["metrics"].pop(v, None)
         entry["parts"].update(files)
+        entry["metrics"].update(_partition_metrics(table_root, files))
 
     # ------------------------------------------------------------ commit
 

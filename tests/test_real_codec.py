@@ -197,6 +197,31 @@ class TestDctLossyCodec:
         assert np.array_equal(mixed[0], I.quantize(px))
         assert np.array_equal(mixed[1], I.decode(new, 16, 16, "jpg"))
 
+    def test_zigzag_entropy_stage(self):
+        """DCT2 payloads (zigzag + DC delta): byte-identical pixels to
+        the model, older DCT1 payloads still decode, and structured
+        content actually compresses (the entropy stage's reason to
+        exist — a gradient packs ~60x smaller than raw)."""
+        px = I.generate_pixels(7, 64, 64)
+        d2 = I.encode(px, "jpg")
+        assert d2[:4] == b"DCT2"
+        out = I.decode(d2, 64, 64, "jpg")
+        assert np.array_equal(out, I.dct_model_batch(px[None])[0])
+        # hand-build the v1 (natural-order) payload: must decode the same
+        q = I._dct_quantize_stack(px[None])[0]
+        d1 = (
+            I._DCT_MAGIC
+            + struct.pack(">II", 64, 64)
+            + zlib.compress(q.astype("<i2").tobytes(), 6)
+        )
+        assert np.array_equal(I.decode(d1, 64, 64, "jpg"), out)
+        assert np.array_equal(
+            I.decode_batch([d1, d2], 64, 64, "jpg")[0], out
+        )
+        yy, xx = np.mgrid[0:64, 0:64]
+        grad = np.repeat((yy + xx).astype(np.uint8)[:, :, None], 3, axis=2)
+        assert len(I.encode(grad, "jpg")) < (64 * 64 * 3) // 50
+
     def test_phash_stable_under_dct_loss(self):
         px = I.generate_pixels(9, 64, 64)
         out = I.decode(I.encode(px, "jpg"), 64, 64, "jpg")

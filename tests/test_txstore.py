@@ -229,6 +229,36 @@ class TestMetaInManifest:
         assert CF._load_meta(store)["placement"] == "min"
 
 
+class TestManifestMetrics:
+    def test_metrics_persisted_and_snapshot_scoped_info(self, spark, tmp_path):
+        """Per-partition {rows, bytes} metrics persist INSIDE the snapshot
+        manifest (the north rule's 'row-count/byte metrics persisted
+        alongside snapshots'), survive merges partition-scoped, and
+        full_store_info reports over the LIVE snapshot only (grace-period
+        superseded files are not double-counted)."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        man = txstore.load_manifest(store)
+        m = man["tables"]["nodes"]["metrics"]
+        assert set(m) == set(man["tables"]["nodes"]["parts"])
+        assert sum(e["rows"] for e in m.values()) == 3
+        assert all(e["bytes"] > 0 for e in m.values())
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        man2 = txstore.load_manifest(store)
+        m2 = man2["tables"]["nodes"]["metrics"]
+        assert sum(e["rows"] for e in m2.values()) == 4  # node 50 arrived
+        from gol_tool_spark.plans import info as INFO
+
+        rep = INFO.full_store_info(store)
+        assert rep["snapshot_version"] == 2
+        # superseded epoch files still exist on disk (1-snapshot grace),
+        # but the report counts only the live snapshot
+        assert rep["nodes"]["rows"] == 4
+        assert rep["nodes"]["manifest_metrics"] == m2
+        assert "nodes" in rep["indexes"]
+
+
 class TestDoubleWriteGuard:
     def test_second_write_to_same_table_in_one_tx_raises(self, spark, tmp_path):
         """ADVICE r4: a second overwrite of a table inside one tx would

@@ -92,13 +92,28 @@ def main():
         nodes_in = pts.limit(5000).select(
             "id", "x", "y", F.lit(None).cast("map<string,string>").alias("tags")
         )
-        CF.write_full_store(nodes_in, None, None, tstore)
+        CF.write_full_store(nodes_in, None, None, tstore)  # versioned default
         tq = CF.query_store(spark, tstore, -(1 << 29), -(1 << 29), 1 << 29, 1 << 29)
-        add("Typed store bbox query (pile partition pruning)", tq,
-            "query_store resolves the bbox to its zoom-3 pile cells; the IN-list "
-            "shows up as PartitionFilters on the nodes sub-store scan — only the "
-            "touched pile directories are listed/read, the TileIndexWalker "
-            "analogue on the update-path store layout.")
+        n_read = len({f.rsplit("/", 2)[1] for f in tq.inputFiles()})
+        from gol_tool_spark.streaming import txstore as TX
+
+        n_all = len(TX.load_manifest(tstore)["tables"]["nodes"]["parts"])
+        add("Typed store bbox query (versioned: manifest file-list pruning)", tq,
+            "query_store resolves the bbox to its zoom-3 pile cells and, on the "
+            "DEFAULT versioned layout, prunes the FILE LIST at manifest "
+            "resolution — before Catalyst ever plans (the Iceberg model), so "
+            "no PartitionFilters entry appears: the scan simply never sees the "
+            f"other piles.  Evidence this run: {n_read} of {n_all} pile "
+            "partitions planned.")
+
+        lstore = os.path.join(td, "typed_legacy")
+        CF.write_full_store(nodes_in, None, None, lstore, layout="legacy")
+        lq = CF.query_store(spark, lstore, -(1 << 29), -(1 << 29), 1 << 29, 1 << 29)
+        add("Typed store bbox query (legacy: PartitionFilters pruning)", lq,
+            "On legacy directory-partitioned stores the same pile IN-list "
+            "shows up as PartitionFilters on the nodes sub-store scan — only "
+            "the touched pile directories are listed/read, the "
+            "TileIndexWalker analogue on the update-path store layout.")
 
     header = (
         "# PLANS — physical-plan audit of the key operators\n\n"
