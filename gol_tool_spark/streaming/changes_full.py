@@ -66,6 +66,15 @@ from ..functions import tags as TG
 from . import txstore
 from .changes import PILE_ZOOM, _bucket, _dynamic_overwrite, _with_pile
 
+# Above this many winner rows in one merge batch, the delta-derived key
+# sets are no longer "small" and broadcasting them risks driver memory /
+# the 8GB broadcast ceiling: the merge falls back to un-hinted joins and
+# lets AQE pick the strategy.  This turns the documented delta<<store
+# assumption into an enforced guard instead of a failure mode.
+BROADCAST_DELTA_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_DELTA_ROWS", "5000000")
+)
+
 CHANGE_SCHEMA_FULL = (
     "op string, ftype string, id long, version long, x long, y long, "
     "tags map<string,string>, refs array<long>, "
@@ -133,7 +142,9 @@ def _winners(batch: DataFrame) -> DataFrame:
     )
 
 
-def _pruned_index(tx, key: str, keys: DataFrame, keycol: str, nb: int) -> DataFrame | None:
+def _pruned_index(
+    tx, key: str, keys: DataFrame, keycol: str, nb: int, bcast=F.broadcast
+) -> DataFrame | None:
     """Partition-pruned index lookup: index rows whose `keycol` appears in
     `keys` (a small DataFrame — bounded by the batch's dirty closure),
     reading ONLY the buckets those keys hash to (manifest file-list prune
@@ -164,7 +175,7 @@ def _pruned_index(tx, key: str, keys: DataFrame, keycol: str, nb: int) -> DataFr
     if idx is None:
         return None
     return idx.filter(F.col("ib").isin(buckets)).join(
-        F.broadcast(keys.select(keycol).distinct()), keycol
+        bcast(keys.select(keycol).distinct()), keycol
     )
 
 
@@ -645,6 +656,11 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         tx = txstore.open_tx(sp, store_root, p)
         empty = F.expr(_EMPTY_TAGS)
         win = _winners(batch).localCheckpoint(eager=True)
+        # count is a cheap scan of the checkpoint; oversized deltas drop
+        # the broadcast hints everywhere below (see BROADCAST_DELTA_ROWS)
+        big_delta = win.count() > BROADCAST_DELTA_ROWS
+        bcast = (lambda d: d) if big_delta else F.broadcast
+        tx.bcast = bcast  # merge_part's drop-key join uses the same guard
 
         # ---------------- 1. nodes ----------------
         nw = win.filter(F.col("ftype") == "n")
@@ -653,13 +669,13 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
         old_n = None
         n_old_piles: set = set()
         if have_nodes and not nw.isEmpty():
-            nidx = _pruned_index(tx, "idx_nodes", n_ids, "id", index_buckets)
+            nidx = _pruned_index(tx, "idx_nodes", n_ids, "id", index_buckets, bcast)
             if nidx is not None:
                 n_old_piles = {r.pile for r in nidx.select("pile").distinct().collect()}
             if n_old_piles:
                 old_n = (
                     tx.read_parts("nodes", "pile", sorted(n_old_piles))
-                    .join(F.broadcast(n_ids), "id", "left_semi")
+                    .join(bcast(n_ids), "id", "left_semi")
                     .select(
                         F.col("id"),
                         F.col("x").alias("_ox"),
@@ -734,7 +750,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             old_w = None
             w_old_piles: set = set()
             if have_ways:
-                widx = _pruned_index(tx, "idx_ways", dirty_w, "id", index_buckets)
+                widx = _pruned_index(tx, "idx_ways", dirty_w, "id", index_buckets, bcast)
                 if widx is not None:
                     w_old_piles = {
                         r.pile for r in widx.select("pile").distinct().collect()
@@ -744,7 +760,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     # overwritten (node_ways bucket computation)
                     old_w = (
                         tx.read_parts("ways", "pile", sorted(w_old_piles))
-                        .join(F.broadcast(dirty_w), "id", "left_semi")
+                        .join(bcast(dirty_w), "id", "left_semi")
                         .select("id", "refs", "tags")
                         .dropDuplicates(["id"])
                         .localCheckpoint(eager=True)
@@ -777,13 +793,13 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 .select("id", "refs", "tags")
             )
             carry = (
-                old_w.join(F.broadcast(w_direct), "id", "left_anti")
+                old_w.join(bcast(w_direct), "id", "left_anti")
                 if old_w is not None
                 else None
             )
             targets = w_up if carry is None else w_up.unionByName(carry)
             targets = targets.join(
-                F.broadcast(w_deleted), "id", "left_anti"
+                bcast(w_deleted), "id", "left_anti"
             ).localCheckpoint(eager=True)
 
             # re-run the C2 spread for every target way: node piles from the
@@ -889,11 +905,11 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             if hits is None:
                 break
             parents = (
-                hits.join(F.broadcast(frontier), ["mtype", "ref"], "left_semi")
+                hits.join(bcast(frontier), ["mtype", "ref"], "left_semi")
                 .select(F.col("rel_id").alias("id"))
                 .distinct()
             )
-            new_parents = parents.join(F.broadcast(dirty_r), "id", "left_anti")
+            new_parents = parents.join(bcast(dirty_r), "id", "left_anti")
             new_parents = new_parents.localCheckpoint(eager=True)
             if new_parents.isEmpty():
                 break
@@ -916,7 +932,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             old_r = None
             r_old_piles: set = set()
             if have_rels:
-                ridx = _pruned_index(tx, "idx_rels", dirty_r, "id", index_buckets)
+                ridx = _pruned_index(tx, "idx_rels", dirty_r, "id", index_buckets, bcast)
                 if ridx is not None:
                     r_old_piles = {
                         r.pile for r in ridx.select("pile").distinct().collect()
@@ -926,7 +942,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                     # overwritten (member_rels bucket computation)
                     old_r = (
                         tx.read_parts("relations", "pile", sorted(r_old_piles))
-                        .join(F.broadcast(dirty_r), "id", "left_semi")
+                        .join(bcast(dirty_r), "id", "left_semi")
                         .select("id", "members", "tags")
                         .dropDuplicates(["id"])
                         .localCheckpoint(eager=True)
@@ -956,13 +972,13 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 .select("id", "members", "tags")
             )
             carry_r = (
-                old_r.join(F.broadcast(r_direct), "id", "left_anti")
+                old_r.join(bcast(r_direct), "id", "left_anti")
                 if old_r is not None
                 else None
             )
             r_targets = r_up if carry_r is None else r_up.unionByName(carry_r)
             r_targets = r_targets.join(
-                F.broadcast(r_deleted), "id", "left_anti"
+                bcast(r_deleted), "id", "left_anti"
             ).localCheckpoint(eager=True)
 
             # member pile lookups against the POST-merge node/way indexes
@@ -1002,9 +1018,9 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             rel_refs = (
                 mrefs.filter(F.col("mtype") == "relation")
                 .select(F.col("ref").alias("id"))
-                .join(F.broadcast(r_deleted), "id", "left_anti")
+                .join(bcast(r_deleted), "id", "left_anti")
             )
-            rp_idx = _pruned_index(tx, "idx_rels", rel_refs, "id", index_buckets)
+            rp_idx = _pruned_index(tx, "idx_rels", rel_refs, "id", index_buckets, bcast)
             seed = (
                 rp_idx.select(F.col("id").alias("ref"), "pile")
                 if rp_idx is not None
@@ -1023,7 +1039,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
                 return (
                     tx.read_parts(store_key, "pile", sorted(piles))
                     .filter(F.col("pile").isin(piles))
-                    .join(F.broadcast(ids.distinct()), "id", "left_semi")
+                    .join(bcast(ids.distinct()), "id", "left_semi")
                     .select(*cols)
                 )
 

@@ -201,6 +201,9 @@ class StoreTx:
         if reset:
             self.tables = {}
         self._written: set[str] = set()
+        # join hint for delta-derived key sets; the merge cascade swaps in
+        # a no-op for oversized batches (changes_full.BROADCAST_DELTA_ROWS)
+        self.bcast = F.broadcast
         # Store meta (placement/pile_zoom/indexed_keys) travels INSIDE the
         # snapshot: a bulk re-load that changes placement or pile zoom and
         # crashes before commit() must leave the OLD meta paired with the
@@ -242,7 +245,7 @@ class StoreTx:
         cur = self.read_parts(key, part, affected)
         if cur is not None:
             merged = cur.join(
-                F.broadcast(drop_keys.select(keycol).distinct()), keycol, "left_anti"
+                self.bcast(drop_keys.select(keycol).distinct()), keycol, "left_anti"
             ).unionByName(new_rows.select(*cur.columns))
             self.overwrite_parts(key, merged, part, affected)
         elif not new_rows.isEmpty():
@@ -390,6 +393,7 @@ class LegacyTx:
         self.spark = spark
         self.root = store_root
         self.paths = paths
+        self.bcast = F.broadcast  # see StoreTx.bcast
 
     def has(self, key: str) -> bool:
         return os.path.exists(self.paths[key])
@@ -421,7 +425,7 @@ class LegacyTx:
         cur = self.read_parts(key, part, affected)
         if cur is not None:
             merged = cur.join(
-                F.broadcast(drop_keys.select(keycol).distinct()), keycol, "left_anti"
+                self.bcast(drop_keys.select(keycol).distinct()), keycol, "left_anti"
             ).unionByName(new_rows.select(*cur.columns))
             _dynamic_overwrite(merged, self.paths[key], part, affected)
         elif not new_rows.isEmpty():

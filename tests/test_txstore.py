@@ -259,6 +259,23 @@ class TestManifestMetrics:
         assert "nodes" in rep["indexes"]
 
 
+class TestBroadcastDeltaGuard:
+    def test_big_delta_unhinted_path_same_result(self, spark, tmp_path, monkeypatch):
+        """Above BROADCAST_DELTA_ROWS the merge drops every broadcast
+        hint (AQE plans the joins) — results must be identical to the
+        hinted path.  Forced here by lowering the threshold to 1."""
+        sv, sb = str(tmp_path / "hinted"), str(tmp_path / "big")
+        base_store(spark, sv)
+        base_store(spark, sb)
+        ch1 = write_changes(tmp_path, "c1.json", MOVE)
+        run_merge(spark, ch1, sv, str(tmp_path / "ck1"))
+        monkeypatch.setattr(CF, "BROADCAST_DELTA_ROWS", 1)
+        ch2 = write_changes(tmp_path, "c2.json", MOVE)
+        run_merge(spark, ch2, sb, str(tmp_path / "ck2"))
+        assert snapshot_contents(spark, sv) == snapshot_contents(spark, sb)
+        assert CF.verify_full_store(spark, sb)["ok"]
+
+
 class TestDoubleWriteGuard:
     def test_second_write_to_same_table_in_one_tx_raises(self, spark, tmp_path):
         """ADVICE r4: a second overwrite of a table inside one tx would
