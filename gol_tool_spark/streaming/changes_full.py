@@ -75,6 +75,13 @@ BROADCAST_DELTA_ROWS = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_DELTA_ROWS", "5000000")
 )
 
+# Optimistic-concurrency retries per merge batch: how many times a batch
+# recomputes after a competing writer's commit lands in its read/write
+# set before the conflict propagates to the stream.
+MERGE_CONFLICT_RETRIES = int(
+    os.environ.get("SPARK_GRAFT_MERGE_CONFLICT_RETRIES", "3")
+)
+
 CHANGE_SCHEMA_FULL = (
     "op string, ftype string, id long, version long, x long, y long, "
     "tags map<string,string>, refs array<long>, "
@@ -644,7 +651,7 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
     stream (apply_osc_changes)."""
     store_root = os.path.dirname(p["nodes"])
 
-    def merge(batch: DataFrame, batch_id: int) -> None:
+    def _merge_once(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         sp = batch.sparkSession
@@ -1163,6 +1170,22 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
 
         # publish the whole batch as one snapshot (no-op on legacy stores)
         tx.commit()
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        # optimistic-concurrency retry: a competing writer that commits
+        # into this tx's read/write set invalidates the batch's plans;
+        # the batch is deterministic given the delta, so recompute it
+        # against the new snapshot and try again (Iceberg/Delta's retry
+        # loop; replaces the reference's exclusive store lock)
+        for attempt in range(MERGE_CONFLICT_RETRIES):
+            try:
+                return _merge_once(batch, batch_id)
+            except txstore.CommitConflict as exc:
+                _log.warning(
+                    "merge batch %s: commit conflict (%s), retry %d/%d",
+                    batch_id, exc, attempt + 1, MERGE_CONFLICT_RETRIES,
+                )
+        return _merge_once(batch, batch_id)  # final attempt propagates
 
     return merge
 

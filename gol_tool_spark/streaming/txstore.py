@@ -12,35 +12,57 @@ pointer, instead of in-place journaled patching.
 
 Layout (versioned stores):
 
-    <store>/_manifest/CURRENT      -> "N"          (os.replace'd: atomic)
     <store>/_manifest/v<N>.json    full snapshot: for every table, the
-                                   partition -> [data files] map + schema
-    <table>/e<V>/pile=<v>/part-*.parquet           (epoch V wrote these)
+                                   partition -> [data files] map + schema.
+                                   CREATING this file IS the commit
+                                   (atomic put-if-absent via os.link)
+    <store>/_manifest/CURRENT      -> "N"   monotonic HINT, advanced
+                                   best-effort after commit; readers
+                                   probe upward from it
+    <table>/e<V>-<token>/pile=<v>/part-*.parquet   (one tx's staging)
 
-Every merge batch writes NEW files into a fresh epoch directory `e<V>`
-(never touching live files), builds manifest v<V> referencing the new
-files for affected partitions and the OLD files for untouched ones, and
-publishes with a single rename of CURRENT.  Readers resolve CURRENT ->
-manifest -> explicit file list, so they observe either snapshot N or
-N+1, never a mix; partition pruning happens at manifest level (the file
-list is filtered BEFORE Spark plans the scan — the same planning-time
-pruning Iceberg does, no directory listing at any store size).  The
-partition column is reconstructed from the file path
-(`input_file_name()` regexp), so one multi-epoch read needs no basePath
-gymnastics.
+Every merge batch writes NEW files into a fresh uniquely-named epoch
+directory (never touching live files, never colliding with a concurrent
+writer's staging), builds manifest v<V> referencing the new files for
+affected partitions and the OLD files for untouched ones, and publishes
+by linking the complete, fsynced manifest into place — put-if-absent on
+the version number is the linearization point, exactly the Delta-log
+commit protocol (open-source delta-io PROTOCOL.md; Iceberg's atomic
+metadata swap).  Readers resolve version -> manifest -> explicit file
+list, so they observe snapshot N or N+1, never a mix; partition pruning
+happens at manifest level (the file list is filtered BEFORE Spark plans
+the scan — the same planning-time pruning Iceberg does, no directory
+listing at any store size).  The partition column is reconstructed from
+the file path (`input_file_name()` regexp), so one multi-epoch read
+needs no basePath gymnastics.
 
-Crash points: before the CURRENT swap -> readers keep snapshot N, and
-the streaming replay re-runs the batch (epoch dirs are keyed by target
-version, rewritten with mode=overwrite — deterministic).  After the
-swap -> snapshot N+1 is complete; superseded files expire via DELAYED
-GC with a one-snapshot grace period (commit of V deletes what only V-2
-referenced), so a reader whose explicit-path plan resolved the previous
-snapshot still finds every file — the Iceberg snapshot-expiry model
-with retention 1.  Empty partitions need no placeholder files (the
-manifest simply drops the partition — the schema travels in the
+Concurrent writers (round 5; previously a documented single-writer
+assumption): each StoreTx tracks its READ set (which partitions of
+which tables its merge plan consumed) and WRITE set.  A writer that
+loses the version race rebases: if no intervening commit touched its
+read or write set, its staged files re-apply on top of the latest
+snapshot and the claim retries at the next version; otherwise commit()
+raises CommitConflict and the caller re-runs the batch against the new
+snapshot (the merge loop in changes_full does this automatically).
+This is optimistic concurrency with serializable validation over the
+tracked read set — the model Iceberg/Delta use — replacing the
+reference's EXCLUSIVE store lock (clarisma/common/store/Store.java
+single-process journal lock; gol update serializes updaters), which has
+no analogue on an object store.
+
+Crash points: before the manifest link -> nothing published, readers
+keep snapshot N; the streaming replay re-runs the batch into a fresh
+epoch dir (orphaned staging expires via vacuum_store).  After the link
+-> snapshot N+1 is complete and discoverable (readers probe past a
+stale CURRENT hint), and a replay of the same batch is idempotent
+(upserts/deletes are last-wins by id).  Superseded files expire via
+DELAYED GC with a one-snapshot grace period (commit of V deletes what
+only V-2 referenced), so a reader whose explicit-path plan resolved the
+previous snapshot still finds every file — the Iceberg snapshot-expiry
+model with retention 1.  Empty partitions need no placeholder files
+(the manifest simply drops the partition — the schema travels in the
 manifest), which also retires the empty-partition parquet-footer hazard
-of the legacy layout.  Single writer assumed (the reference's store
-lock); concurrent writers want the real Iceberg lane.
+of the legacy layout.
 """
 
 from __future__ import annotations
@@ -49,6 +71,7 @@ import json
 import logging
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,13 +88,68 @@ def _current_path(store_root: str) -> str:
     return os.path.join(_manifest_dir(store_root), "CURRENT")
 
 
+class CommitConflict(RuntimeError):
+    """An intervening commit touched this transaction's read or write
+    set; the batch must be recomputed against the new snapshot."""
+
+
+def _manifest_path(store_root: str, version: int) -> str:
+    return os.path.join(_manifest_dir(store_root), f"v{version}.json")
+
+
+def _is_committed(store_root: str, version: int) -> bool:
+    """A version exists iff its manifest file parses as that version —
+    guards against garbage files blocking the probe."""
+    try:
+        with open(_manifest_path(store_root, version)) as fh:
+            return json.load(fh).get("version") == version
+    except (OSError, ValueError):
+        return False
+
+
 def is_versioned(store_root: str) -> bool:
-    return os.path.exists(_current_path(store_root))
+    return os.path.exists(_current_path(store_root)) or _is_committed(store_root, 1)
 
 
 def current_version(store_root: str) -> int:
-    with open(_current_path(store_root)) as fh:
-        return int(fh.read().strip())
+    """Latest committed snapshot: the CURRENT hint, then probe upward —
+    the hint is advanced best-effort after each commit, so the probe is
+    O(1) amortized but never trusts a stale hint."""
+    v = 0
+    try:
+        with open(_current_path(store_root)) as fh:
+            v = int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
+    while _is_committed(store_root, v + 1):
+        v += 1
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot under {store_root}")
+    return v
+
+
+def _claim_version(store_root: str, version: int, payload: str) -> bool:
+    """Atomic put-if-absent of a COMPLETE manifest: the payload is fully
+    written and fsynced into a private temp file, then hard-linked to the
+    version path — link(2) either installs the whole file or fails with
+    EEXIST, so no reader or competing writer can ever observe a partial
+    manifest.  (Object-store deployments would use the native
+    put-if-absent — e.g. S3 If-None-Match — behind this same seam.)"""
+    final = _manifest_path(store_root, version)
+    tmp = os.path.join(
+        _manifest_dir(store_root), f".tx-{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def load_manifest(store_root: str, version: int | None = None) -> dict:
@@ -193,10 +271,18 @@ class StoreTx:
             self.tables = {}
             base_meta = None
         self.version = self.base_version + 1
-        self._old_files = {
-            k: {os.path.join(paths[k], f) for fl in t["parts"].values() for f in fl}
-            for k, t in self.tables.items()
-        }
+        # conflict validation needs the snapshot this tx's plans READ from
+        self._base_tables: dict[str, dict] = json.loads(json.dumps(self.tables))
+        self._base_meta = base_meta
+        self._reset = reset
+        self._meta_set = False
+        # read/write sets for optimistic-concurrency validation: partition
+        # values (as manifest strings) per table; None = whole table
+        self._read: dict[str, set[str] | None] = {}
+        self._staged: dict[str, dict] = {}
+        # unique staging namespace: concurrent writers never share an
+        # epoch dir, so mode=overwrite staging cannot clobber a peer
+        self._token = uuid.uuid4().hex[:8]
         self._sweep_stale_epochs()
         if reset:
             self.tables = {}
@@ -227,6 +313,12 @@ class StoreTx:
     ) -> DataFrame | None:
         if key not in self.tables:
             return None
+        # record the read set: a concurrent commit that changes any
+        # partition this plan consumed invalidates the whole batch
+        if parts is None:
+            self._read[key] = None
+        elif self._read.get(key, set()) is not None:
+            self._read.setdefault(key, set()).update(str(v) for v in parts)
         return read_resolved(self.spark, self.paths[key], self.tables[key], parts)
 
     def merge_part(
@@ -273,7 +365,7 @@ class StoreTx:
             )
         self._written.add(key)
         table_root = self.paths[key]
-        epoch = f"e{self.version}"
+        epoch = f"e{self.version}-{self._token}"
         ptype = dict(df.dtypes)[part]
         out = df.repartition(F.col(part))
         if sort_within:
@@ -284,42 +376,134 @@ class StoreTx:
             .parquet(os.path.join(table_root, epoch))
         )
         files = _list_epoch_files(table_root, epoch, part)
+        metrics = _partition_metrics(table_root, files)
+        schema = json.dumps(df.drop(part).schema.jsonValue())
         entry = self.tables.get(key)
         if entry is None:
             entry = self.tables[key] = {
                 "part": part,
                 "ptype": ptype,
-                "schema": json.dumps(df.drop(part).schema.jsonValue()),
+                "schema": schema,
                 "parts": {},
                 "metrics": {},
             }
-            self._old_files[key] = set()
         else:
-            entry["schema"] = json.dumps(df.drop(part).schema.jsonValue())
+            entry["schema"] = schema
             entry.setdefault("metrics", {})
         for v in {str(a) for a in affected}:
             entry["parts"].pop(v, None)
             entry["metrics"].pop(v, None)
         entry["parts"].update(files)
-        entry["metrics"].update(_partition_metrics(table_root, files))
+        entry["metrics"].update(metrics)
+        # write set, replayable onto a newer snapshot if a rebase is needed
+        self._staged[key] = {
+            "part": part,
+            "ptype": ptype,
+            "schema": schema,
+            "affected": {str(a) for a in affected} | set(files),
+            "files": files,
+            "metrics": metrics,
+        }
 
     # ------------------------------------------------------------ commit
 
     def set_meta(self, meta: dict) -> None:
         """Stage store meta to publish atomically WITH this tx's table map."""
         self.meta = dict(meta)
+        self._meta_set = True
 
     def commit(self) -> None:
+        """Publish this transaction: atomic put-if-absent of the next
+        version's manifest.  Losing the race triggers a rebase onto the
+        latest snapshot (raises CommitConflict if an intervening commit
+        touched this tx's read or write set), then the claim retries."""
         os.makedirs(_manifest_dir(self.root), exist_ok=True)
-        man = {"version": self.version, "tables": self.tables}
-        if self.meta is not None:
-            man["meta"] = self.meta
-        _atomic_write(
-            os.path.join(_manifest_dir(self.root), f"v{self.version}.json"),
-            json.dumps(man),
-        )
-        _atomic_write(_current_path(self.root), str(self.version))
-        self._gc()
+        while True:
+            latest = 0
+            try:
+                latest = current_version(self.root)
+            except FileNotFoundError:  # first commit on a fresh store
+                pass
+            target = latest + 1
+            if target != self.version:
+                self._rebase(target)
+            man = {"version": self.version, "tables": self.tables}
+            if self.meta is not None:
+                man["meta"] = self.meta
+            if _claim_version(self.root, target, json.dumps(man)):
+                break
+            # lost the race between probe and link: loop re-probes
+        self._advance_current(target)
+        self._gc(target)
+
+    def _rebase(self, target: int) -> None:
+        """Re-target this tx at `target` after intervening commits
+        (snapshots base_version+1 .. target-1 landed first).  Validation
+        is against the LATEST snapshot: any partition of this tx's read
+        or write set whose manifest entry differs from the base snapshot
+        was touched by a competitor -> CommitConflict.  Disjoint commits
+        merge: latest tables with this tx's staged entries re-applied.
+        A reset tx (bulk re-load) has overwrite semantics and steamrolls
+        by design."""
+        man = load_manifest(self.root, target - 1)
+        latest_tables = man["tables"]
+        if not self._reset:
+            changed = {
+                k: self._changed_parts(self._base_tables.get(k), latest_tables.get(k))
+                for k in set(self._base_tables) | set(latest_tables)
+            }
+            for k, reads in self._read.items():
+                if changed.get(k) and (reads is None or reads & changed[k]):
+                    raise CommitConflict(
+                        f"read set of table '{k}' changed under tx "
+                        f"(base v{self.base_version} -> v{target - 1})"
+                    )
+            for k, st in self._staged.items():
+                if changed.get(k) and st["affected"] & changed[k]:
+                    raise CommitConflict(
+                        f"write set of table '{k}' changed under tx "
+                        f"(base v{self.base_version} -> v{target - 1})"
+                    )
+            tables = json.loads(json.dumps(latest_tables))
+            for k, st in self._staged.items():
+                entry = tables.setdefault(
+                    k,
+                    {"part": st["part"], "ptype": st["ptype"], "schema": st["schema"],
+                     "parts": {}, "metrics": {}},
+                )
+                entry["schema"] = st["schema"]
+                entry.setdefault("metrics", {})
+                for v in st["affected"]:
+                    entry["parts"].pop(v, None)
+                    entry["metrics"].pop(v, None)
+                entry["parts"].update(st["files"])
+                entry["metrics"].update(st["metrics"])
+            self.tables = tables
+            if self._meta_set:
+                if man.get("meta") != self._base_meta:
+                    raise CommitConflict("store meta changed under tx")
+            else:
+                self.meta = man.get("meta")
+        self.version = target
+
+    @staticmethod
+    def _changed_parts(base: dict | None, latest: dict | None) -> set[str]:
+        """Partition values whose manifest entry differs between two
+        snapshots of one table (added, dropped, or rewritten files)."""
+        bp = base["parts"] if base else {}
+        lp = latest["parts"] if latest else {}
+        return {v for v in set(bp) | set(lp) if bp.get(v) != lp.get(v)}
+
+    def _advance_current(self, version: int) -> None:
+        """Best-effort monotonic hint: readers probe upward, so a lost
+        hint race (slower writer re-publishing a lower number) only costs
+        the next reader an extra probe step."""
+        try:
+            if current_version(self.root) > version:
+                return
+        except FileNotFoundError:
+            pass
+        _atomic_write(_current_path(self.root), str(version))
 
     @staticmethod
     def _files_of(tables: dict) -> set[tuple[str, str]]:
@@ -330,25 +514,24 @@ class StoreTx:
             for f in fl
         }
 
-    def _gc(self) -> None:
+    def _gc(self, committed: int) -> None:
         """Delayed GC with a one-snapshot grace period: at commit of
         version V, delete files referenced by snapshot V-2 that neither
         V-1 nor V references.  A reader that resolved the PREVIOUS
         snapshot before this commit therefore still finds every file its
         (explicit-path) plan baked in; only plans two snapshots stale can
-        dangle — the Iceberg snapshot-expiry model with retention 1."""
-        expire = self.base_version - 1
+        dangle — the Iceberg snapshot-expiry model with retention 1.
+        (Concurrent committers each GC their own V-2; unlinks are
+        idempotent best-effort.)"""
+        expire = committed - 2
         if expire < 1:
             return
         try:
             man_old = load_manifest(self.root, expire)
+            man_prev = load_manifest(self.root, committed - 1)
         except (OSError, ValueError):  # already expired / never written
             return
-        live = self._files_of(self.tables) | {
-            (k, os.path.relpath(p, self.paths[k]))
-            for k, ps in self._old_files.items()
-            for p in ps
-        }
+        live = self._files_of(self.tables) | self._files_of(man_prev["tables"])
         for k, f in self._files_of(man_old["tables"]) - live:
             try:
                 os.unlink(os.path.join(self.paths[k], f))
@@ -382,6 +565,56 @@ class StoreTx:
                     os.rmdir(sub)
             if not os.listdir(edir):
                 os.rmdir(edir)
+
+
+def vacuum_store(
+    store_root: str, paths: dict[str, str], grace_sec: float = 3600, now: float | None = None
+) -> dict:
+    """Remove orphaned staging files (epoch dirs of crashed or
+    conflict-aborted transactions, which unique-token staging leaks by
+    design) and manifests older than the GC horizon — the Iceberg
+    remove-orphan-files action.  Files referenced by the last two
+    snapshots are live (same grace window as _gc); everything else under
+    a table root older than `grace_sec` goes.  Safe alongside active
+    writers: an in-flight tx's staging is younger than the grace window,
+    and commit-time GC only ever needs manifests >= committed-1, which
+    are kept."""
+    import time as _time
+
+    ts = _time.time() if now is None else now
+    committed = current_version(store_root)
+    live: set[str] = set()
+    for v in (committed, committed - 1):
+        if v >= 1 and _is_committed(store_root, v):
+            for k, t in load_manifest(store_root, v)["tables"].items():
+                for fl in t["parts"].values():
+                    live.update(os.path.join(paths[k], f) for f in fl)
+    files_removed = 0
+    for root in set(paths.values()):
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, fnames in os.walk(root):
+            for fn in fnames:
+                fp = os.path.join(dirpath, fn)
+                try:
+                    if fp not in live and ts - os.path.getmtime(fp) >= grace_sec:
+                        os.unlink(fp)
+                        files_removed += 1
+                except OSError:  # pragma: no cover - best effort
+                    pass
+        StoreTx._prune_empty_dirs(root)
+    manifests_removed = 0
+    for v in range(1, committed - 1):
+        try:
+            os.unlink(_manifest_path(store_root, v))
+            manifests_removed += 1
+        except OSError:
+            pass
+    return {
+        "snapshot": committed,
+        "files_removed": files_removed,
+        "manifests_removed": manifests_removed,
+    }
 
 
 class LegacyTx:

@@ -295,9 +295,9 @@ class TestDoubleWriteGuard:
 
 class TestCrashAtomicity:
     def _crash_then_recover(self, spark, tmp_path, crash_point: str):
-        """Drive a merge that dies at `crash_point`, assert the store still
-        reads as the complete OLD snapshot, then replay and assert the
-        complete NEW snapshot."""
+        """Drive a merge that dies at `crash_point`; the store must read
+        as ONE complete snapshot (old before the manifest claim, new
+        after it — never torn), and a replay must converge."""
         store = str(tmp_path / "s")
         base_store(spark, store)
         old = snapshot_contents(spark, store)
@@ -309,7 +309,6 @@ class TestCrashAtomicity:
 
         writes_seen = {"n": 0}
         real_overwrite = txstore.StoreTx.overwrite_parts
-        real_commit = txstore.StoreTx.commit
 
         def crashing_overwrite(self, key, df, part, affected, sort_within=None):
             real_overwrite(self, key, df, part, affected, sort_within)
@@ -317,24 +316,16 @@ class TestCrashAtomicity:
             if crash_point == "mid_staging" and writes_seen["n"] == 3:
                 raise Boom("crash after staging 3 of 8 tables")
 
-        def crashing_commit(self):
-            if crash_point == "before_swap":
-                # stage everything, write the manifest file, die BEFORE
-                # the CURRENT pointer swap
-                os.makedirs(txstore._manifest_dir(self.root), exist_ok=True)
-                txstore._atomic_write(
-                    os.path.join(
-                        txstore._manifest_dir(self.root), f"v{self.version}.json"
-                    ),
-                    json.dumps({"version": self.version, "tables": self.tables}),
-                )
-                raise Boom("crash before CURRENT swap")
-            real_commit(self)
+        def crashing_advance(self, version):
+            # the manifest claim (= the commit point) has already
+            # happened; die before the CURRENT hint moves and before GC
+            raise Boom("crash after manifest publish")
 
         mp = pytest.MonkeyPatch()
         try:
             mp.setattr(txstore.StoreTx, "overwrite_parts", crashing_overwrite)
-            mp.setattr(txstore.StoreTx, "commit", crashing_commit)
+            if crash_point == "after_publish":
+                mp.setattr(txstore.StoreTx, "_advance_current", crashing_advance)
             q = CF.apply_changes_full(spark, ch, store, str(tmp_path / "ck"))
             crashed = False
             try:
@@ -346,31 +337,99 @@ class TestCrashAtomicity:
         finally:
             mp.undo()
 
-        # --- torn-window check: every reader sees the OLD snapshot ---
-        assert txstore.current_version(store) == old_version
-        assert snapshot_contents(spark, store) == old
+        new_ids = {1, 2, 3, 50}
+        if crash_point == "mid_staging":
+            # before the claim: every reader sees the complete OLD snapshot
+            assert txstore.current_version(store) == old_version
+            assert snapshot_contents(spark, store) == old
+            expect_after_replay = old_version + 1
+        else:
+            # after the claim: the commit is durable and discoverable even
+            # though the CURRENT hint is stale — readers probe past it and
+            # see the complete NEW snapshot (atomic, never a mix)
+            assert txstore.current_version(store) == old_version + 1
+            ids = {r.id for r in CF.read_store(spark, store, "nodes").collect()}
+            assert ids == new_ids
+            expect_after_replay = old_version + 2
         assert CF.verify_full_store(spark, store)["ok"]
         qr = CF.query_store(
             spark, store, -(1 << 31), -(1 << 31), (1 << 31) - 1, (1 << 31) - 1
         )
-        assert {r.id for r in qr.collect()} == {1, 2, 3}
+        expect_ids = {1, 2, 3} if crash_point == "mid_staging" else new_ids
+        assert {r.id for r in qr.collect()} == expect_ids
 
-        # --- replay (fresh checkpoint = the stream re-delivers) ---
+        # --- replay (fresh checkpoint = the stream re-delivers); applying
+        # the same batch twice is idempotent (upserts/deletes last-wins) ---
         run_merge(spark, ch, store, str(tmp_path / "ck2"))
-        assert txstore.current_version(store) == old_version + 1
+        assert txstore.current_version(store) == expect_after_replay
         assert CF.verify_full_store(spark, store)["ok"]
         ids = {
             r.id for r in CF.read_store(spark, store, "nodes").collect()
         }
-        assert ids == {1, 2, 3, 50}
+        assert ids == new_ids
         moved = CF.read_store(spark, store, "nodes").filter("id = 1").collect()[0]
         assert dict(moved.tags) == {"name": "a2"}
 
     def test_crash_mid_staging(self, spark, tmp_path):
         self._crash_then_recover(spark, tmp_path, "mid_staging")
 
-    def test_crash_before_pointer_swap(self, spark, tmp_path):
-        self._crash_then_recover(spark, tmp_path, "before_swap")
+    def test_crash_after_manifest_publish_is_committed(self, spark, tmp_path):
+        self._crash_then_recover(spark, tmp_path, "after_publish")
+
+    def _orphan(self, store, age_sec):
+        """Plant a tokened orphan epoch (a crashed/conflicted tx's
+        staging) with an mtime `age_sec` in the past."""
+        import time
+
+        ndir = CF._paths(store)["nodes"]
+        d = os.path.join(ndir, "e9-deadbeef", "pile=0")
+        os.makedirs(d, exist_ok=True)
+        fp = os.path.join(d, "part-orphan.parquet")
+        with open(fp, "wb") as fh:
+            fh.write(b"junk")
+        old = time.time() - age_sec
+        os.utime(fp, (old, old))
+        return fp
+
+    def test_vacuum_removes_aged_orphans_keeps_live(self, spark, tmp_path):
+        """Unique-token staging leaks epoch dirs on crash/conflict by
+        design; vacuum_store (the remove-orphan-files action) reclaims
+        them after a grace window without touching live snapshot files
+        or the manifests commit-time GC still needs."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))  # -> v2
+        p = CF._paths(store)
+        fresh = self._orphan(store, age_sec=10)  # in-flight lookalike
+        aged = None
+        rep = txstore.vacuum_store(store, p, grace_sec=3600)
+        assert os.path.exists(fresh)  # younger than grace: kept
+        os.remove(fresh)
+        aged = self._orphan(store, age_sec=7200)
+        rep = txstore.vacuum_store(store, p, grace_sec=3600)
+        assert rep["files_removed"] >= 1
+        assert not os.path.exists(aged)
+        # every file of the live + grace snapshots survives
+        for v in (1, 2):
+            man = txstore.load_manifest(store, v)
+            for k, t in man["tables"].items():
+                for fl in t["parts"].values():
+                    for f in fl:
+                        assert os.path.exists(os.path.join(p[k], f)), (v, k, f)
+        assert CF.verify_full_store(spark, store)["ok"]
+        # a third snapshot retires v1 from the GC horizon: vacuum may
+        # then drop its manifest
+        ch2 = write_changes(
+            tmp_path, "c2.json",
+            [{"op": "upsert", "ftype": "n", "id": 2, "x": px(2), "y": 9,
+              "tags": {"name": "b2"}, "seq": 0}],
+        )
+        run_merge(spark, ch2, store, str(tmp_path / "ck2"))  # -> v3
+        rep = txstore.vacuum_store(store, p, grace_sec=3600)
+        assert rep["manifests_removed"] == 1
+        assert not os.path.exists(txstore._manifest_path(store, 1))
+        assert CF.verify_full_store(spark, store)["ok"]
 
     def test_stale_epochs_swept_on_next_tx(self, spark, tmp_path):
         """Epoch dirs left by a crashed attempt are unreferenced and get
@@ -385,4 +444,194 @@ class TestCrashAtomicity:
         ch = write_changes(tmp_path, "c.json", MOVE)
         run_merge(spark, ch, store, str(tmp_path / "ck"))
         assert not os.path.exists(stale)
+        assert CF.verify_full_store(spark, store)["ok"]
+
+
+class TestOptimisticConcurrency:
+    """Concurrent writers on one versioned store (round 5 — previously a
+    documented single-writer assumption): Delta/Iceberg-style optimistic
+    concurrency — atomic put-if-absent manifest claim, read/write-set
+    validation, rebase for disjoint commits — replacing the reference's
+    exclusive store lock (clarisma/common/store/Store.java; `gol update`
+    serializes updaters), which has no object-store analogue."""
+
+    @staticmethod
+    def _piles(store):
+        man = txstore.load_manifest(store)
+        return sorted(int(v) for v in man["tables"]["nodes"]["parts"])
+
+    @staticmethod
+    def _touch(tx, pile, marker):
+        """Read one pile through the tx (recording the read set) and
+        stage a tag-marked rewrite of it."""
+        cur = tx.read_parts("nodes", "pile", [pile])
+        mod = cur.withColumn(
+            "tags",
+            F.map_concat("tags", F.create_map(F.lit("touched"), F.lit(marker))),
+        ).select(*cur.columns)
+        tx.overwrite_parts("nodes", mod, "pile", [pile])
+
+    def test_disjoint_writers_auto_rebase(self, spark, tmp_path):
+        """Two writers on disjoint piles: the loser of the version race
+        rebases onto the winner's snapshot and BOTH commits land."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        pa, pb = self._piles(store)[:2]
+        p = CF._paths(store)
+        tx1 = txstore.StoreTx(spark, store, p)
+        tx2 = txstore.StoreTx(spark, store, p)
+        self._touch(tx2, pb, "two")  # tx2 reads+stages BEFORE tx1 commits
+        self._touch(tx1, pa, "one")
+        tx1.commit()
+        assert txstore.current_version(store) == 2
+        tx2.commit()  # lost the race -> rebase -> next version
+        assert txstore.current_version(store) == 3
+        tags = [
+            dict(r.tags)
+            for r in CF.read_store(spark, store, "nodes").collect()
+        ]
+        touched = {t.get("touched") for t in tags}
+        assert {"one", "two"} <= touched
+        assert CF.verify_full_store(spark, store)["ok"]
+
+    def test_write_write_overlap_conflicts(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        pa, pb = self._piles(store)[:2]
+        p = CF._paths(store)
+        tx1 = txstore.StoreTx(spark, store, p)
+        tx2 = txstore.StoreTx(spark, store, p)
+        # tx2 stages a blind overwrite of pa (no read: fresh rows), so
+        # the WRITE-set branch is what fires; a read-modify-write tx on
+        # the same pile conflicts earlier, on its read set (see
+        # test_stale_read_conflicts)
+        fresh = node_df(spark, [(99, px(0), 2, {"name": "z"})])
+        staged = (
+            tx2.read_parts("nodes", "pile", [pb])
+            .limit(0)
+            .unionByName(
+                fresh.withColumn("tile", F.lit(0).cast("long"))
+                .withColumn("pile", F.lit(pa).cast("long"))
+                .withColumn("keybits", F.lit(0).cast("long")),
+                allowMissingColumns=True,
+            )
+        )
+        tx2.overwrite_parts("nodes", staged, "pile", [pa])
+        self._touch(tx1, pa, "one")
+        tx1.commit()
+        with pytest.raises(txstore.CommitConflict, match="write set"):
+            tx2.commit()
+        # the conflicted tx published nothing
+        assert txstore.current_version(store) == 2
+        tags = [
+            dict(r.tags)
+            for r in CF.read_store(spark, store, "nodes").collect()
+        ]
+        assert {t.get("touched") for t in tags} == {"one", None}
+        assert CF.verify_full_store(spark, store)["ok"]
+
+    def test_stale_read_conflicts(self, spark, tmp_path):
+        """Serializable validation: a tx whose READ set was overwritten
+        conflicts even when its writes are disjoint (its plan consumed a
+        snapshot that no longer exists)."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        pa, pb = self._piles(store)[:2]
+        p = CF._paths(store)
+        tx1 = txstore.StoreTx(spark, store, p)
+        tx2 = txstore.StoreTx(spark, store, p)
+        tx2.read_parts("nodes", "pile", [pa])  # stale read of tx1's pile
+        self._touch(tx2, pb, "two")
+        self._touch(tx1, pa, "one")
+        tx1.commit()
+        with pytest.raises(txstore.CommitConflict, match="read set"):
+            tx2.commit()
+
+    def test_whole_table_read_conflicts(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        pa, pb = self._piles(store)[:2]
+        p = CF._paths(store)
+        tx1 = txstore.StoreTx(spark, store, p)
+        tx2 = txstore.StoreTx(spark, store, p)
+        tx2.read_parts("nodes")  # unpruned whole-table read
+        self._touch(tx2, pb, "two")
+        self._touch(tx1, pa, "one")
+        tx1.commit()
+        with pytest.raises(txstore.CommitConflict, match="read set"):
+            tx2.commit()
+
+    def test_identical_intervening_snapshot_no_conflict(self, spark, tmp_path):
+        """Validation is diff-based, not version-based: an intervening
+        commit that changed nothing this tx touched rebases cleanly even
+        though the version number moved."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        pa = self._piles(store)[0]
+        p = CF._paths(store)
+        tx = txstore.StoreTx(spark, store, p)
+        self._touch(tx, pa, "one")
+        man = txstore.load_manifest(store, 1)
+        man["version"] = 2
+        assert txstore._claim_version(store, 2, json.dumps(man))
+        tx.commit()
+        assert txstore.current_version(store) == 3
+        tags = [
+            dict(r.tags)
+            for r in CF.read_store(spark, store, "nodes").collect()
+        ]
+        assert "one" in {t.get("touched") for t in tags}
+        assert CF.verify_full_store(spark, store)["ok"]
+
+    def test_claim_single_winner_threads(self, tmp_path):
+        """The linearization point itself: racing claims for one version
+        produce exactly one winner, and the winning manifest is COMPLETE
+        (link publishes a fully-written file or nothing)."""
+        import threading
+
+        root = str(tmp_path / "m")
+        os.makedirs(os.path.join(root, "_manifest"))
+        results = {}
+        bar = threading.Barrier(8)
+
+        def worker(i):
+            bar.wait()
+            results[i] = txstore._claim_version(
+                root, 1, json.dumps({"version": 1, "who": i})
+            )
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        winners = [i for i, ok in results.items() if ok]
+        assert len(winners) == 1
+        with open(os.path.join(root, "_manifest", "v1.json")) as fh:
+            assert json.load(fh)["who"] == winners[0]
+        # losers' temp files are cleaned up
+        assert os.listdir(os.path.join(root, "_manifest")) == ["v1.json"]
+
+    def test_merge_batch_retries_on_conflict(self, spark, tmp_path, monkeypatch):
+        """The streaming merge recomputes a batch whose commit conflicts
+        (deterministic given the delta), converging without operator
+        intervention."""
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        calls = {"n": 0}
+        real = txstore.StoreTx.commit
+
+        def flaky(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise txstore.CommitConflict("injected competing commit")
+            real(self)
+
+        monkeypatch.setattr(txstore.StoreTx, "commit", flaky)
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        assert calls["n"] == 2
+        assert txstore.current_version(store) == 2
+        ids = {r.id for r in CF.read_store(spark, store, "nodes").collect()}
+        assert ids == {1, 2, 3, 50}
         assert CF.verify_full_store(spark, store)["ok"]
