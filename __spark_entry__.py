@@ -774,18 +774,12 @@ def q_goql_value_list(spark, sf_dir):
     return out.select("id", "returnflag", "qty")
 
 
-def q_store_merge(spark, sf_dir):
-    """A10 end-state oracle: bulk-load a typed store (nodes + ways), stream
-    one change batch through apply_changes_full (node moves across pile
-    boundaries + node deletes), and return the ways store's (id, pile)
-    spread.  The ENTIRE incremental machinery — winner resolution, index-
-    pruned dirty closure, C2 re-spread, purgatory routing, dynamic
-    partition overwrite — must land on the state the oracle recomputes
-    declaratively from the post-change inputs (update/Updater.java
-    semantics: incremental == from-scratch)."""
-    import shutil
-    import tempfile
-
+def _build_merged_store(spark, sf_dir, tmp):
+    """Shared store-merge fixture: bulk-load a typed store (nodes + ways)
+    from the deterministic synth inputs, then stream one change batch
+    through apply_changes_full (node moves across pile boundaries + node
+    deletes).  Returns the store path; snapshot v1 = the bulk load, v2 =
+    post-merge."""
     from gol_tool_spark.streaming import changes_full as CF
 
     mem = synth.membership_df(spark, sf_dir).filter(F.col("way_id") % 101 == 0)
@@ -821,23 +815,70 @@ def q_store_merge(spark, sf_dir):
         no_refs.alias("refs"), no_members.alias("members"),
         F.lit(2).alias("seq"),
     )
+    store = os.path.join(tmp, "store")
+    # versioned layout: the merge publishes through the atomic snapshot
+    # manifest (txstore.py) — this gate run is the hard evidence that
+    # the transactional lane lands on the identical end state as the
+    # declarative recompute
+    CF.write_full_store(nodes, ways, None, store, layout="versioned")
+    changes_dir = os.path.join(tmp, "changes")
+    movers.unionByName(dels).coalesce(1).write.mode("overwrite").json(changes_dir)
+    q = CF.apply_changes_full(spark, changes_dir, store, os.path.join(tmp, "ck"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("store_merge: change stream did not finish in 300s")
+    return store
+
+
+def q_store_merge(spark, sf_dir):
+    """A10 end-state oracle: bulk-load a typed store (nodes + ways), stream
+    one change batch through apply_changes_full (node moves across pile
+    boundaries + node deletes), and return the ways store's (id, pile)
+    spread.  The ENTIRE incremental machinery — winner resolution, index-
+    pruned dirty closure, C2 re-spread, purgatory routing, atomic
+    versioned commits — must land on the state the oracle recomputes
+    declaratively from the post-change inputs (update/Updater.java
+    semantics: incremental == from-scratch)."""
+    import shutil
+    import tempfile
+
+    from gol_tool_spark.streaming import changes_full as CF
+
     tmp = tempfile.mkdtemp(prefix="golmerge_")
     try:
-        store = os.path.join(tmp, "store")
-        # versioned layout: the merge publishes through the atomic
-        # snapshot manifest (txstore.py) — this gate run is the hard
-        # evidence that the transactional lane lands on the identical
-        # end state as the declarative recompute
-        CF.write_full_store(nodes, ways, None, store, layout="versioned")
-        changes_dir = os.path.join(tmp, "changes")
-        movers.unionByName(dels).coalesce(1).write.mode("overwrite").json(changes_dir)
-        q = CF.apply_changes_full(spark, changes_dir, store, os.path.join(tmp, "ck"))
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("store_merge: change stream did not finish in 300s")
+        store = _build_merged_store(spark, sf_dir, tmp)
         out = (
             CF.read_store(spark, store, "ways")
             .select("id", F.col("pile").cast("long").alias("pile"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_store_time_travel(spark, sf_dir):
+    """Snapshot time travel on the versioned store (Iceberg VERSION AS OF
+    / Delta time travel; the reference has no analogue — its in-place
+    journaled store keeps only the latest state): after the SAME
+    bulk-load + merge as store_merge, read the nodes table pinned to
+    snapshot v1 (pre-merge).  The oracle recomputes the ORIGINAL node
+    set from the inputs — proving the old snapshot survives the merge
+    bit-for-bit (moved/deleted nodes at their pre-change coordinates),
+    and that store_history still lists both retained versions."""
+    import shutil
+    import tempfile
+
+    from gol_tool_spark.streaming import changes_full as CF
+
+    tmp = tempfile.mkdtemp(prefix="goltt_")
+    try:
+        store = _build_merged_store(spark, sf_dir, tmp)
+        hist = CF.store_history(store)
+        assert [h["version"] for h in hist] == [1, 2] and hist[1]["current"]
+        out = (
+            CF.read_store(spark, store, "nodes", version=1)
+            .select("id", "x", "y")
             .localCheckpoint(eager=True)
         )
     finally:
@@ -884,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- store default, DCT lossy codec) — must re-earn a driver row --
         "bbox_query": q_bbox_query,
         "store_merge": q_store_merge,
+        "store_time_travel": q_store_time_travel,  # new in r5: snapshot pinning
         "image_roundtrip": q_image_roundtrip,
         "image_tile_rollup": q_image_tile_rollup,
         "image_tile_density": q_image_tile_density,
@@ -917,9 +959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,
-        "ann_lsh": q_ann_lsh,
         # ----- entry 50 boundary: everything below is r4 driver green and
-        # ----- its code is untouched this round (rotate back in if touched)
+        # ----- its code is untouched this round (rotate back in if touched;
+        # ----- ann_lsh rotated out when store_time_travel took a head slot)
+        "ann_lsh": q_ann_lsh,
         "gst_weighted": q_gst_weighted,
         "area_classify": q_area_classify,
         "goql_area": q_goql_area,
@@ -1156,6 +1199,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT way_id FROM spread)) "
             "SELECT way_id AS id, pile FROM spread "
             "UNION ALL SELECT way_id AS id, pile FROM missed"
+        ),
+        "store_time_travel": _with_points(
+            # snapshot v1 == the bulk load: the ORIGINAL node set (refs of
+            # the sampled ways, pre-change coordinates) — deletes/moves from
+            # the merged batch must NOT leak into the pinned read
+            f", mem AS (SELECT * FROM ({_MEM}) WHERE way_id % 101 = 0), "
+            "refs AS (SELECT DISTINCT node_ref AS id FROM mem) "
+            "SELECT p.id, p.x, p.y FROM t12 p JOIN refs r ON p.id = r.id"
         ),
         "geom_collection": _with_points(
             ", sel AS (SELECT id, x, y FROM t12 WHERE id % 199 = 0), g AS ("

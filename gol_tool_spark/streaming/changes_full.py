@@ -452,20 +452,22 @@ def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, "_gol_meta.json")
 
 
-def _load_meta(store_path: str) -> dict:
+def _load_meta(store_path: str, version: int | None = None) -> dict:
     import json
 
     # Versioned stores carry meta in the committed snapshot manifest —
     # the only copy consistent-by-construction with the table map it was
-    # committed with.  _gol_meta.json remains for legacy stores (and for
+    # committed with (`version` pins a retained snapshot for time-travel
+    # reads).  _gol_meta.json remains for legacy stores (and for
     # versioned stores bulk-loaded before meta moved into the manifest).
     if txstore.is_versioned(store_path):
         try:
-            man = txstore.load_manifest(store_path)
+            man = txstore.load_manifest(store_path, version)
             if "meta" in man:
                 return man["meta"]
         except (OSError, ValueError, AssertionError):
-            pass
+            if version is not None:
+                raise
     try:
         with open(_meta_path(store_path)) as fh:
             return json.load(fh)
@@ -1299,25 +1301,63 @@ def _has_table(store_path: str, key: str) -> bool:
 
 
 def _read_table(
-    spark: SparkSession, store_path: str, key: str, parts: list | None = None
+    spark: SparkSession,
+    store_path: str,
+    key: str,
+    parts: list | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Read one store table, resolving through the snapshot manifest on
     versioned stores (`parts` prunes the file list at planning time —
     the PartitionFilters analogue) and straight off the partition dirs on
     legacy ones (where Catalyst prunes from the isin filters callers
-    apply)."""
+    apply).  `version` pins a retained snapshot (time travel); the last
+    two snapshots are always fully readable (GC grace, retention 1),
+    older ones until vacuum/GC removes their files."""
     p = _paths(store_path)
     if txstore.is_versioned(store_path):
-        entry = txstore.load_manifest(store_path)["tables"].get(key)
+        entry = txstore.load_manifest(store_path, version)["tables"].get(key)
         if entry is None:
             raise FileNotFoundError(f"store table {key!r} not in manifest")
         return txstore.read_resolved(spark, p[key], entry, parts)
+    if version is not None:
+        raise ValueError("time-travel reads need a versioned store")
     return spark.read.parquet(p[key])
 
 
-def read_store(spark: SparkSession, store_path: str, kind: str) -> DataFrame:
-    """Read one typed sub-store (kind in nodes/ways/relations)."""
-    return _read_table(spark, store_path, kind)
+def read_store(
+    spark: SparkSession, store_path: str, kind: str, version: int | None = None
+) -> DataFrame:
+    """Read one typed sub-store (kind in nodes/ways/relations), optionally
+    pinned to a retained snapshot version (Iceberg VERSION AS OF)."""
+    return _read_table(spark, store_path, kind, version=version)
+
+
+def store_history(store_path: str) -> list[dict]:
+    """Snapshot log of a versioned store — the Iceberg `snapshots`
+    metadata table / Delta DESCRIBE HISTORY analogue, built from the
+    retained manifests and the per-partition {rows, bytes} metrics
+    persisted at commit time (zero data scan, zero footer reads).  Each
+    entry: {version, current, tables: {key: {parts, rows, bytes}}};
+    rows/bytes are None for tables whose manifest predates persisted
+    metrics.  Readability contract is list_versions'."""
+    versions = txstore.list_versions(store_path)
+    out = []
+    for v in versions:
+        man = txstore.load_manifest(store_path, v)
+        tables = {}
+        for k, t in man["tables"].items():
+            m = t.get("metrics") or {}
+            complete = set(m) >= set(t["parts"])
+            tables[k] = {
+                "parts": len(t["parts"]),
+                "rows": sum(e["rows"] for e in m.values()) if complete else None,
+                "bytes": sum(e["bytes"] for e in m.values()) if complete else None,
+            }
+        out.append(
+            {"version": v, "current": v == versions[-1], "tables": tables}
+        )
+    return out
 
 
 def query_store(
@@ -1329,6 +1369,7 @@ def query_store(
     maxy: int,
     goql: str | None = None,
     kind: str = "nodes",
+    version: int | None = None,
 ) -> DataFrame:
     """`gol query` against the typed store: the bbox resolves to its zoom-3
     pile cells, which Catalyst turns into PartitionFilters — only the pile
@@ -1336,11 +1377,14 @@ def query_store(
     analogue on the store layout, QueryCommand.java:176-179).  Nodes get
     the exact coordinate filter + optional GOQL over the tags map; ways/
     relations return the pile-pruned candidate copies (their exact
-    geometry lives through their nodes — join way_spread output onward)."""
+    geometry lives through their nodes — join way_spread output onward).
+    `version` pins a retained snapshot (time travel): data, meta
+    (placement/pile_zoom/indexed_keys) and file list all resolve from
+    that one manifest, so the query sees a CONSISTENT historical store."""
     from ..functions import spatial as S
     from ..functions.goql import compile_goql
 
-    meta = _load_meta(store_path)
+    meta = _load_meta(store_path, version)
     pile_zoom = meta.get("pile_zoom", PILE_ZOOM)
     piles = [int(p) for p in S.tiles_covering_bbox(minx, miny, maxx, maxy, pile_zoom)]
     placement = meta.get("placement", "min")
@@ -1353,7 +1397,7 @@ def query_store(
         if kind == "relations" and placement != "quad"
         else piles + [PURGATORY]
     )
-    df = _read_table(spark, store_path, kind, parts=parts)
+    df = _read_table(spark, store_path, kind, parts=parts, version=version)
     goql_pred = (
         compile_goql(goql, ftype=F.lit(kind[0]), tags=F.col("tags")) if goql else None
     )
@@ -1391,7 +1435,7 @@ def query_store(
         & (F.col("y") >= miny) & (F.col("y") <= maxy)
     )
     if goql_pred is not None:
-        indexed_keys = _load_meta(store_path).get("indexed_keys")
+        indexed_keys = meta.get("indexed_keys")
         if indexed_keys and "keybits" in df.columns:
             # SIndexTree-style prefilter: keybits IN (covering masks) ANDs
             # in front of the tag predicate — the sorted-by-keybits layout

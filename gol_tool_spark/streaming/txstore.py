@@ -128,6 +128,24 @@ def current_version(store_root: str) -> int:
     return v
 
 
+def list_versions(store_root: str) -> list[int]:
+    """Committed snapshot versions still retained on disk, ascending —
+    the store's snapshot log (Iceberg `snapshots` metadata table).  The
+    last two are always fully readable (commit-time GC keeps a
+    one-snapshot grace period); older retained manifests stay readable
+    until vacuum_store or a later commit's GC removes their files."""
+    try:
+        names = os.listdir(_manifest_dir(store_root))
+    except OSError:
+        return []
+    return sorted(
+        int(n[1:-5])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        and _is_committed(store_root, int(n[1:-5]))
+    )
+
+
 def _claim_version(store_root: str, version: int, payload: str) -> bool:
     """Atomic put-if-absent of a COMPLETE manifest: the payload is fully
     written and fsynced into a private temp file, then hard-linked to the

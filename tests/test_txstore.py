@@ -635,3 +635,96 @@ class TestOptimisticConcurrency:
         ids = {r.id for r in CF.read_store(spark, store, "nodes").collect()}
         assert ids == {1, 2, 3, 50}
         assert CF.verify_full_store(spark, store)["ok"]
+
+
+class TestTimeTravel:
+    """Version-pinned reads + the snapshot history over retained
+    manifests — Iceberg VERSION AS OF / `snapshots` metadata-table
+    semantics on the versioned store.  The reference's in-place
+    journaled store keeps only the latest state (clarisma/common/store/
+    has no snapshot log); time travel is what the immutable-snapshot
+    mapping buys for free."""
+
+    PILE_W = 1 << 29  # zoom-3 cell width (test_changes_full.px grid)
+
+    def _merged(self, spark, tmp_path):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        before = snapshot_contents(spark, store)
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        return store, before
+
+    def test_version_pinned_reads_see_old_snapshot(self, spark, tmp_path):
+        store, before = self._merged(spark, tmp_path)
+        after = snapshot_contents(spark, store)
+        assert after != before
+        v1 = {
+            kind: {
+                (r.id, r.pile)
+                for r in CF.read_store(spark, store, kind, version=1)
+                .select("id", "pile")
+                .collect()
+            }
+            for kind in ("nodes", "ways", "relations")
+        }
+        assert v1 == before
+        # pinning the CURRENT version == the default (unpinned) read
+        v2n = {
+            (r.id, r.pile)
+            for r in CF.read_store(spark, store, "nodes", version=2)
+            .select("id", "pile")
+            .collect()
+        }
+        assert v2n == after["nodes"]
+        # node 1 moved cells in the merge; the pinned read still shows its
+        # ORIGINAL coordinate, and node 50 (created by the merge) is absent
+        x1 = {r.id: r.x for r in CF.read_store(spark, store, "nodes", version=1).collect()}
+        assert x1[1] == px(0)
+        assert 50 not in x1
+
+    def test_query_store_pins_data_and_meta(self, spark, tmp_path):
+        store, _ = self._merged(spark, tmp_path)
+        # bbox covering ONLY the original cell of node 1 (cell 0): the
+        # pinned query finds it there, the current query does not (it
+        # moved to cell 6) — data, meta and pile pruning all resolve from
+        # the one pinned manifest
+        w = self.PILE_W
+        cell0 = (-4 * w, -(1 << 31), -3 * w - 1, (1 << 31) - 1)
+        old = {r.id for r in CF.query_store(spark, store, *cell0, kind="nodes", version=1).collect()}
+        cur = {r.id for r in CF.query_store(spark, store, *cell0, kind="nodes").collect()}
+        assert 1 in old and 1 not in cur
+
+    def test_history_metrics_and_vacuum_horizon(self, spark, tmp_path):
+        store, _ = self._merged(spark, tmp_path)
+        hist = CF.store_history(store)
+        assert [h["version"] for h in hist] == [1, 2]
+        assert hist[1]["current"] and not hist[0]["current"]
+        # persisted metrics in the history match an actual count
+        assert hist[0]["tables"]["nodes"]["rows"] == 3
+        assert hist[1]["tables"]["nodes"]["rows"] == CF.read_store(
+            spark, store, "nodes"
+        ).count()
+        assert hist[0]["tables"]["nodes"]["bytes"] > 0
+        # two more merges push v1 behind the GC horizon; vacuum trims its
+        # manifest, so history shrinks to the retained window and a pinned
+        # read of the expired version fails CLEANLY at manifest resolution
+        for i, cell in enumerate((2, 3)):
+            recs = [{"op": "upsert", "ftype": "n", "id": 60 + i, "x": px(cell),
+                     "y": 9, "tags": None, "seq": 0}]
+            ch = write_changes(tmp_path, f"m{i}.json", recs)
+            run_merge(spark, ch, store, str(tmp_path / f"ck{i}"))
+        txstore.vacuum_store(store, CF._paths(store), grace_sec=0)
+        vs = txstore.list_versions(store)
+        assert vs == [3, 4]
+        assert [h["version"] for h in CF.store_history(store)] == [3, 4]
+        with pytest.raises((OSError, ValueError)):
+            CF.read_store(spark, store, "nodes", version=1)
+        # the retained window still reads fine after vacuum
+        assert CF.read_store(spark, store, "nodes", version=3).count() >= 4
+
+    def test_legacy_store_rejects_time_travel(self, spark, tmp_path):
+        store = str(tmp_path / "leg")
+        base_store(spark, store, layout="legacy")
+        with pytest.raises(ValueError, match="versioned"):
+            CF.read_store(spark, store, "nodes", version=1)
