@@ -886,6 +886,36 @@ def q_store_time_travel(spark, sf_dir):
     return out
 
 
+def q_store_cdc(spark, sf_dir):
+    """Row-level CDC between the pre- and post-merge snapshots (Iceberg
+    incremental scan / Delta Change Data Feed; no reference analogue —
+    the journaled store keeps no history): store_snapshot_diff reads
+    ONLY the partitions whose manifest file lists differ (O(changed
+    piles), never O(store)) and emits added/removed rows.  The oracle
+    recomputes the exact delta from the change batch: movers = one
+    removed (old coordinate/pile) + one added (new), deletes = one
+    removed — so the diff operator, the merge cascade, and the snapshot
+    pinning must all agree bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from gol_tool_spark.streaming import changes_full as CF
+
+    tmp = tempfile.mkdtemp(prefix="golcdc_")
+    try:
+        store = _build_merged_store(spark, sf_dir, tmp)
+        out = (
+            CF.store_snapshot_diff(spark, store, "nodes", 1, 2)
+            .select(
+                "id", "x", "y", F.col("pile").cast("long").alias("pile"), "op"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -926,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_query": q_bbox_query,
         "store_merge": q_store_merge,
         "store_time_travel": q_store_time_travel,  # new in r5: snapshot pinning
+        "store_cdc": q_store_cdc,  # new in r5: snapshot-diff CDC read
         "image_roundtrip": q_image_roundtrip,
         "image_tile_rollup": q_image_tile_rollup,
         "image_tile_density": q_image_tile_density,
@@ -958,10 +989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tally_tags": q_tally_tags,
         "ann_cosine": q_ann_cosine,
         "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_srp": q_embedding_neardup_srp,
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
-        # ----- ann_lsh rotated out when store_time_travel took a head slot)
+        # ----- embedding_neardup_srp + ann_lsh rotated out when the two new
+        # ----- store snapshot queries took head slots)
+        "embedding_neardup_srp": q_embedding_neardup_srp,
         "ann_lsh": q_ann_lsh,
         "gst_weighted": q_gst_weighted,
         "area_classify": q_area_classify,
@@ -1199,6 +1231,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT way_id FROM spread)) "
             "SELECT way_id AS id, pile FROM spread "
             "UNION ALL SELECT way_id AS id, pile FROM missed"
+        ),
+        "store_cdc": _with_points(
+            # exact delta of the merged change batch: movers (id%5=0) =
+            # removed@old + added@new, deletes (id%7=3, not mover) =
+            # removed@old; pile = zoom-3 tile of the row's coordinate
+            f", mem AS (SELECT * FROM ({_MEM}) WHERE way_id % 101 = 0), "
+            "refs AS (SELECT DISTINCT node_ref AS id FROM mem), "
+            "nodes AS (SELECT p.id, p.x, p.y FROM t12 p JOIN refs r ON p.id = r.id), "
+            "removed AS (SELECT id, x, y, "
+            f"CAST({synth.tile_sql('x', 'y', 3)} AS BIGINT) AS pile, "
+            "'removed' AS op FROM nodes "
+            "WHERE id % 5 = 0 OR (id % 7 = 3 AND id % 5 <> 0)), "
+            "added AS (SELECT id, -x - 1 AS x, y, "
+            f"CAST({synth.tile_sql('-x - 1', 'y', 3)} AS BIGINT) AS pile, "
+            "'added' AS op FROM nodes WHERE id % 5 = 0) "
+            "SELECT * FROM added UNION ALL SELECT * FROM removed"
         ),
         "store_time_travel": _with_points(
             # snapshot v1 == the bulk load: the ORIGINAL node set (refs of
