@@ -106,6 +106,28 @@ def main():
             f"other piles.  Evidence this run: {n_read} of {n_all} pile "
             "partitions planned.")
 
+        # snapshot CDC diff: partitions come from the MANIFEST diff
+        import json as _json
+
+        ch_dir = os.path.join(td, "ch")
+        os.makedirs(ch_dir)
+        with open(os.path.join(ch_dir, "c.json"), "w") as fh2:
+            fh2.write(_json.dumps({
+                "op": "upsert", "ftype": "n", "id": 1, "version": 2,
+                "x": 123, "y": 456, "tags": None, "seq": 0,
+            }) + "\n")
+        mq = CF.apply_changes_full(spark, ch_dir, tstore, os.path.join(td, "ck"))
+        assert mq.awaitTermination(180)
+        dq = CF.store_snapshot_diff(spark, tstore, "nodes", 1, 2)
+        d_read = len({f.rsplit("/", 2)[1] for f in dq.inputFiles()})
+        add("Snapshot CDC diff (manifest-diff partition pruning)", dq,
+            "store_snapshot_diff compares two retained snapshots; the "
+            "partitions to scan come from diffing the two MANIFESTS, so "
+            "piles whose file lists are identical are skipped before Spark "
+            f"plans anything.  Evidence this run: {d_read} of {n_all} pile "
+            "partitions planned across BOTH snapshot reads for a "
+            "single-node change.")
+
         lstore = os.path.join(td, "typed_legacy")
         CF.write_full_store(nodes_in, None, None, lstore, layout="legacy")
         lq = CF.query_store(spark, lstore, -(1 << 29), -(1 << 29), 1 << 29, 1 << 29)
