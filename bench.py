@@ -202,6 +202,18 @@ def main():
             repeats=2,
         )
 
+        # snapshot CDC read on the just-merged store: the diff's scan set
+        # comes from the manifest diff, so this times O(changed piles) +
+        # exceptAll — never a full-store scan (bulk snapshot v1 vs current)
+        from gol_tool_spark.streaming import txstore as TX
+
+        vcur = TX.current_version(store)
+        timed(
+            "store_cdc_diff",
+            lambda: CF.store_snapshot_diff(spark, store, "nodes", 1, vcur).count(),
+            repeats=2,
+        )
+
         # legacy comparison lane: its own (untimed) legacy bulk load
         lstore = os.path.join(merge_dir, "lstore")
         CF.write_full_store(nodes_in, ways_in, None, lstore, layout="legacy")
