@@ -204,13 +204,18 @@ def main():
 
         # snapshot CDC read on the just-merged store: the diff's scan set
         # comes from the manifest diff, so this times O(changed piles) +
-        # exceptAll — never a full-store scan (bulk snapshot v1 vs current)
+        # exceptAll — never a full-store scan.  Diff the last two
+        # retained snapshots (the GC horizon): after the best-of-2 merge
+        # that's re-apply vs re-apply (0 diff rows), but the SCAN work —
+        # resolve both manifests, read every changed pile at both
+        # versions, exceptAll — is identical to a live delta's.
         from gol_tool_spark.streaming import txstore as TX
 
-        vcur = TX.current_version(store)
         timed(
             "store_cdc_diff",
-            lambda: CF.store_snapshot_diff(spark, store, "nodes", 1, vcur).count(),
+            lambda: CF.store_snapshot_diff(
+                spark, store, "nodes", TX.current_version(store) - 1
+            ).count(),
             repeats=2,
         )
 

@@ -1311,11 +1311,15 @@ def _read_table(
     versioned stores (`parts` prunes the file list at planning time —
     the PartitionFilters analogue) and straight off the partition dirs on
     legacy ones (where Catalyst prunes from the isin filters callers
-    apply).  `version` pins a retained snapshot (time travel); the last
-    two snapshots are always fully readable (GC grace, retention 1),
-    older ones until vacuum/GC removes their files."""
+    apply).  `version` pins a retained snapshot (time travel); only the
+    last two snapshots are guaranteed readable (commit-time GC keeps a
+    one-snapshot grace period), so a pin behind that horizon fails FAST
+    here with a clear error instead of mid-scan with PATH_NOT_FOUND
+    once the scheduler hits a GC'd file."""
     p = _paths(store_path)
     if txstore.is_versioned(store_path):
+        if version is not None:
+            _check_horizon(store_path, version)
         entry = txstore.load_manifest(store_path, version)["tables"].get(key)
         if entry is None:
             raise FileNotFoundError(f"store table {key!r} not in manifest")
@@ -1323,6 +1327,20 @@ def _read_table(
     if version is not None:
         raise ValueError("time-travel reads need a versioned store")
     return spark.read.parquet(p[key])
+
+
+def _check_horizon(store_path: str, version: int) -> None:
+    """Refuse a snapshot pin behind the GC horizon: commit-time GC frees
+    files referenced only by snapshot V-2 when V commits, so any version
+    older than current-1 may reference deleted files — Iceberg's expired
+    snapshot.  Refusing predictably beats sometimes-works."""
+    cur = txstore.current_version(store_path)
+    if version < cur - 1:
+        raise ValueError(
+            f"snapshot v{version} is behind the GC horizon (current v{cur}; "
+            f"retained: v{cur - 1}..v{cur}) — its files may have been "
+            "garbage-collected at a later commit"
+        )
 
 
 def read_store(
@@ -1355,7 +1373,13 @@ def store_history(store_path: str) -> list[dict]:
                 "bytes": sum(e["bytes"] for e in m.values()) if complete else None,
             }
         out.append(
-            {"version": v, "current": v == versions[-1], "tables": tables}
+            {
+                "version": v,
+                "current": v == versions[-1],
+                # inside the GC horizon = pinned reads guaranteed to work
+                "readable": v >= versions[-1] - 1,
+                "tables": tables,
+            }
         )
     return out
 
@@ -1378,9 +1402,12 @@ def store_snapshot_diff(
     that makes incremental downstream consumption viable at scale.
     Map-typed columns (tags) are canonicalized to sorted entry arrays
     for the set comparison (Spark set ops reject raw maps) and returned
-    in that form."""
+    in that form.  Both endpoints must be inside the GC horizon (last
+    two snapshots) — older pins fail fast like _read_table."""
     if to_version is None:
         to_version = txstore.current_version(store_path)
+    _check_horizon(store_path, from_version)
+    _check_horizon(store_path, to_version)
     man_from = txstore.load_manifest(store_path, from_version)
     man_to = txstore.load_manifest(store_path, to_version)
     e_from = man_from["tables"].get(kind)

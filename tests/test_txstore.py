@@ -714,6 +714,17 @@ class TestTimeTravel:
                      "y": 9, "tags": None, "seq": 0}]
             ch = write_changes(tmp_path, f"m{i}.json", recs)
             run_merge(spark, ch, store, str(tmp_path / f"ck{i}"))
+        # BEFORE vacuum: v1's manifest still exists but commit-time GC may
+        # already have freed its files — the pin fails FAST at resolution
+        # (ValueError naming the horizon), never mid-scan
+        with pytest.raises(ValueError, match="GC horizon"):
+            CF.read_store(spark, store, "nodes", version=1)
+        with pytest.raises(ValueError, match="GC horizon"):
+            CF.store_snapshot_diff(spark, store, "nodes", 1)
+        hist4 = CF.store_history(store)
+        assert [(h["version"], h["readable"]) for h in hist4] == [
+            (1, False), (2, False), (3, True), (4, True),
+        ]
         txstore.vacuum_store(store, CF._paths(store), grace_sec=0)
         vs = txstore.list_versions(store)
         assert vs == [3, 4]
