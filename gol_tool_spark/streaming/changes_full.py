@@ -710,7 +710,14 @@ def _make_merge(p: dict[str, str], zoom: int, index_buckets: int, max_rel_iters:
             .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
             .select("id", "x", "y", "tags")
         )
-        meta = _load_meta(store_root)
+        # meta must come from the SNAPSHOT this tx reads: StoreTx holds
+        # the base snapshot's meta, and _rebase conflicts if a competitor
+        # changes it mid-batch.  Resolving the latest manifest here would
+        # mix a concurrent re-load's pile_zoom/placement with base-version
+        # table reads.  (LegacyTx has no snapshot; the file is the truth.)
+        meta = getattr(tx, "meta", None)
+        if meta is None:
+            meta = _load_meta(store_root)
         indexed_keys = meta.get("indexed_keys")
         placement = meta.get("placement", "min")
         pile_zoom = meta.get("pile_zoom", PILE_ZOOM)

@@ -99,32 +99,76 @@ def _manifest_path(store_root: str, version: int) -> str:
 
 def _is_committed(store_root: str, version: int) -> bool:
     """A version exists iff its manifest file parses as that version —
-    guards against garbage files blocking the probe."""
+    guards against garbage files blocking the probe.  Fast path: only
+    complete fsynced manifests are ever linked in and json.dumps puts
+    "version" first, so a bounded prefix read answers the probe without
+    parsing the (potentially large) partition file lists; anything that
+    doesn't match the expected prefix falls back to a full parse."""
+    path = _manifest_path(store_root, version)
     try:
-        with open(_manifest_path(store_root, version)) as fh:
+        with open(path) as fh:
+            head = fh.read(64)
+            if head.startswith('{"version": '):
+                rest = head[len('{"version": '):]
+                digits = rest[: len(rest) - len(rest.lstrip("0123456789"))]
+                if digits:
+                    return int(digits) == version
+            fh.seek(0)
             return json.load(fh).get("version") == version
     except (OSError, ValueError):
         return False
 
 
 def is_versioned(store_root: str) -> bool:
-    return os.path.exists(_current_path(store_root)) or _is_committed(store_root, 1)
+    """CURRENT is a losable best-effort hint, and vacuum trims old
+    manifests (v1 included), so the fallback probes the manifest dir for
+    ANY committed version — a versioned store must never silently open
+    as legacy (legacy dynamic overwrites would corrupt the epoch
+    layout)."""
+    if os.path.exists(_current_path(store_root)):
+        return True
+    try:
+        names = os.listdir(_manifest_dir(store_root))
+    except OSError:
+        return False
+    return any(
+        n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        and _is_committed(store_root, int(n[1:-5]))
+        for n in names
+    )
 
 
 def current_version(store_root: str) -> int:
-    """Latest committed snapshot: the CURRENT hint, then probe upward —
-    the hint is advanced best-effort after each commit, so the probe is
-    O(1) amortized but never trusts a stale hint."""
+    """Latest committed snapshot: start from the CURRENT hint, VALIDATE
+    it (a crash can persist the hint before the linked manifest dirent,
+    so a forward hint is walked back to the newest committed version),
+    then probe upward past any stale hint.  O(1) amortized — the hint is
+    advanced best-effort after each commit — and trusted in neither
+    direction."""
     v = 0
     try:
         with open(_current_path(store_root)) as fh:
             v = int(fh.read().strip())
     except (OSError, ValueError):
         pass
+    while v > 0 and not _is_committed(store_root, v):
+        v -= 1
     while _is_committed(store_root, v + 1):
         v += 1
     if v == 0:
-        raise FileNotFoundError(f"no committed snapshot under {store_root}")
+        # hint missing or useless: find any committed version to probe from
+        best = 0
+        try:
+            for n in os.listdir(_manifest_dir(store_root)):
+                if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit():
+                    cand = int(n[1:-5])
+                    if cand > best and _is_committed(store_root, cand):
+                        best = cand
+        except OSError:
+            pass
+        if best == 0:
+            raise FileNotFoundError(f"no committed snapshot under {store_root}")
+        v = best
     return v
 
 
@@ -146,45 +190,82 @@ def list_versions(store_root: str) -> list[int]:
     )
 
 
+def _fsync_dir(path: str) -> None:
+    """Persist directory entries (the link/rename itself) — without this
+    a power loss can keep a later write (e.g. the CURRENT hint) while
+    losing an earlier dirent.  Best-effort: not every FS supports it."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # pragma: no cover - platform-specific
+        return
+    try:
+        os.fsync(fd)
+    except OSError:  # pragma: no cover - platform-specific
+        pass
+    finally:
+        os.close(fd)
+
+
 def _claim_version(store_root: str, version: int, payload: str) -> bool:
     """Atomic put-if-absent of a COMPLETE manifest: the payload is fully
     written and fsynced into a private temp file, then hard-linked to the
     version path — link(2) either installs the whole file or fails with
     EEXIST, so no reader or competing writer can ever observe a partial
-    manifest.  (Object-store deployments would use the native
-    put-if-absent — e.g. S3 If-None-Match — behind this same seam.)"""
+    manifest.  The directory is fsynced after the link so the manifest
+    dirent is durable before the CURRENT hint can be.  (Object-store
+    deployments would use the native put-if-absent — e.g. S3
+    If-None-Match — behind this same seam.)"""
     final = _manifest_path(store_root, version)
     tmp = os.path.join(
         _manifest_dir(store_root), f".tx-{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
     )
-    with open(tmp, "w") as fh:
-        fh.write(payload)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.link(tmp, final)
+        _fsync_dir(_manifest_dir(store_root))
         return True
     except FileExistsError:
         return False
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except OSError:  # write failed before tmp existed
+            pass
 
 
 def load_manifest(store_root: str, version: int | None = None) -> dict:
     v = current_version(store_root) if version is None else version
     with open(os.path.join(_manifest_dir(store_root), f"v{v}.json")) as fh:
         man = json.load(fh)
-    assert man["version"] == v
+    if man.get("version") != v:
+        # garbage that parses as JSON under the right name — same guard
+        # as _is_committed, as a real error (not an assert: must survive
+        # python -O, and callers catch ValueError)
+        raise ValueError(f"manifest v{v}.json carries version {man.get('version')}")
     return man
 
 
 def _atomic_write(path: str, data: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(data)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+    """write+fsync+rename with a UNIQUE temp name: concurrent committers
+    race on the CURRENT hint, and a shared .tmp path would let one
+    writer's os.replace steal the other's temp file out from under it."""
+    tmp = f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(os.path.dirname(path))
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _list_epoch_files(table_root: str, epoch: str, part: str) -> dict[str, list[str]]:
@@ -282,15 +363,17 @@ class StoreTx:
         if is_versioned(store_root):
             self.base_version = current_version(store_root)
             man = load_manifest(store_root, self.base_version)
+            # _base_tables keeps the pristine parse (read-only, used for
+            # conflict validation); tables gets the ONE mutable copy
+            self._base_tables: dict[str, dict] = man["tables"]
             self.tables: dict[str, dict] = json.loads(json.dumps(man["tables"]))
             base_meta = man.get("meta")
         else:
             self.base_version = 0
+            self._base_tables = {}
             self.tables = {}
             base_meta = None
         self.version = self.base_version + 1
-        # conflict validation needs the snapshot this tx's plans READ from
-        self._base_tables: dict[str, dict] = json.loads(json.dumps(self.tables))
         self._base_meta = base_meta
         self._reset = reset
         self._meta_set = False
@@ -301,6 +384,17 @@ class StoreTx:
         # unique staging namespace: concurrent writers never share an
         # epoch dir, so mode=overwrite staging cannot clobber a peer
         self._token = uuid.uuid4().hex[:8]
+        # liveness heartbeat: vacuum_store must not reclaim THIS tx's
+        # staging while it is still making progress, however long the
+        # batch runs — the marker is touched on every staged write and
+        # removed when commit() returns or conflicts; a crashed tx's
+        # marker simply ages out with its staging
+        os.makedirs(_manifest_dir(store_root), exist_ok=True)
+        self._marker = os.path.join(
+            _manifest_dir(store_root), f".inprogress-{self._token}"
+        )
+        with open(self._marker, "w") as fh:
+            fh.write(str(os.getpid()))
         self._sweep_stale_epochs()
         if reset:
             self.tables = {}
@@ -393,6 +487,10 @@ class StoreTx:
             .partitionBy(part)
             .parquet(os.path.join(table_root, epoch))
         )
+        try:
+            os.utime(self._marker)  # heartbeat: staging still live
+        except OSError:
+            pass
         files = _list_epoch_files(table_root, epoch, part)
         metrics = _partition_metrics(table_root, files)
         schema = json.dumps(df.drop(part).schema.jsonValue())
@@ -434,25 +532,33 @@ class StoreTx:
         """Publish this transaction: atomic put-if-absent of the next
         version's manifest.  Losing the race triggers a rebase onto the
         latest snapshot (raises CommitConflict if an intervening commit
-        touched this tx's read or write set), then the claim retries."""
-        os.makedirs(_manifest_dir(self.root), exist_ok=True)
-        while True:
-            latest = 0
+        touched this tx's read or write set), then the claim retries.
+        Win or conflict, the tx's liveness marker is removed — a
+        conflicted tx's staging becomes vacuum-reclaimable garbage."""
+        try:
+            os.makedirs(_manifest_dir(self.root), exist_ok=True)
+            while True:
+                latest = 0
+                try:
+                    latest = current_version(self.root)
+                except FileNotFoundError:  # first commit on a fresh store
+                    pass
+                target = latest + 1
+                if target != self.version:
+                    self._rebase(target)
+                man = {"version": self.version, "tables": self.tables}
+                if self.meta is not None:
+                    man["meta"] = self.meta
+                if _claim_version(self.root, target, json.dumps(man)):
+                    break
+                # lost the race between probe and link: loop re-probes
+            self._advance_current(target)
+            self._gc(target)
+        finally:
             try:
-                latest = current_version(self.root)
-            except FileNotFoundError:  # first commit on a fresh store
+                os.unlink(self._marker)
+            except OSError:
                 pass
-            target = latest + 1
-            if target != self.version:
-                self._rebase(target)
-            man = {"version": self.version, "tables": self.tables}
-            if self.meta is not None:
-                man["meta"] = self.meta
-            if _claim_version(self.root, target, json.dumps(man)):
-                break
-            # lost the race between probe and link: loop re-probes
-        self._advance_current(target)
-        self._gc(target)
 
     def _rebase(self, target: int) -> None:
         """Re-target this tx at `target` after intervening commits
@@ -497,11 +603,11 @@ class StoreTx:
                 entry["parts"].update(st["files"])
                 entry["metrics"].update(st["metrics"])
             self.tables = tables
-            if self._meta_set:
-                if man.get("meta") != self._base_meta:
-                    raise CommitConflict("store meta changed under tx")
-            else:
-                self.meta = man.get("meta")
+            # meta (placement/pile_zoom/indexed_keys) is an input to every
+            # merge plan — a competitor changing it mid-tx invalidates the
+            # batch whether or not this tx staged new meta itself
+            if man.get("meta") != self._base_meta:
+                raise CommitConflict("store meta changed under tx")
         self.version = target
 
     @staticmethod
@@ -513,15 +619,21 @@ class StoreTx:
         return {v for v in set(bp) | set(lp) if bp.get(v) != lp.get(v)}
 
     def _advance_current(self, version: int) -> None:
-        """Best-effort monotonic hint: readers probe upward, so a lost
-        hint race (slower writer re-publishing a lower number) only costs
-        the next reader an extra probe step."""
+        """Best-effort monotonic hint: readers probe upward (and validate
+        downward), so a lost hint race or a failed write only costs the
+        next reader extra probe steps — nothing here may raise past a
+        commit that already published.  The guard reads the raw hint
+        (cheap) rather than re-probing the committed version."""
         try:
-            if current_version(self.root) > version:
-                return
-        except FileNotFoundError:
+            with open(_current_path(self.root)) as fh:
+                if int(fh.read().strip()) >= version:
+                    return
+        except (OSError, ValueError):
             pass
-        _atomic_write(_current_path(self.root), str(version))
+        try:
+            _atomic_write(_current_path(self.root), str(version))
+        except OSError:  # pragma: no cover - hint is advisory
+            pass
 
     @staticmethod
     def _files_of(tables: dict) -> set[tuple[str, str]]:
@@ -594,13 +706,37 @@ def vacuum_store(
     remove-orphan-files action.  Files referenced by the last two
     snapshots are live (same grace window as _gc); everything else under
     a table root older than `grace_sec` goes.  Safe alongside active
-    writers: an in-flight tx's staging is younger than the grace window,
-    and commit-time GC only ever needs manifests >= committed-1, which
-    are kept."""
+    writers by LIVENESS MARKER, not by hoping the tx outruns the grace
+    window: every StoreTx keeps a `.inprogress-<token>` heartbeat in the
+    manifest dir, touched on each staged write, so staging whose marker
+    is fresher than `grace_sec` is never reclaimed no matter how old its
+    earliest files are (an hours-long merge is safe as long as it keeps
+    making progress within the window).  Aged markers (crashed txs) are
+    swept with their staging, as are orphaned `.tmp` manifest/hint temp
+    files; commit-time GC only ever needs manifests >= committed-1,
+    which are kept."""
     import time as _time
 
     ts = _time.time() if now is None else now
     committed = current_version(store_root)
+    # tokens of transactions still heartbeating: their staging is live
+    protected: set[str] = set()
+    mdir = _manifest_dir(store_root)
+    try:
+        for n in os.listdir(mdir):
+            fp = os.path.join(mdir, n)
+            try:
+                if n.startswith(".inprogress-"):
+                    if ts - os.path.getmtime(fp) < grace_sec:
+                        protected.add(n[len(".inprogress-"):])
+                    else:
+                        os.unlink(fp)  # crashed/stalled tx: reclaimable
+                elif n.endswith(".tmp") and ts - os.path.getmtime(fp) >= grace_sec:
+                    os.unlink(fp)  # orphaned manifest/hint temp file
+            except OSError:  # pragma: no cover - best effort
+                pass
+    except OSError:  # pragma: no cover - best effort
+        pass
     live: set[str] = set()
     for v in (committed, committed - 1):
         if v >= 1 and _is_committed(store_root, v):
@@ -612,6 +748,12 @@ def vacuum_store(
         if not os.path.isdir(root):
             continue
         for dirpath, _dirs, fnames in os.walk(root):
+            segs = os.path.relpath(dirpath, root).split(os.sep)
+            if any(
+                s.startswith("e") and any(s.endswith("-" + t) for t in protected)
+                for s in segs
+            ):
+                continue  # an in-flight tx's staging epoch
             for fn in fnames:
                 fp = os.path.join(dirpath, fn)
                 try:

@@ -807,3 +807,91 @@ class TestSnapshotDiff:
         assert any(o == "removed" and i == 10 for o, i, _ in ops)
         # way 11 (node 3, untouched) produces no diff rows
         assert not any(i == 11 for _, i, _ in ops)
+
+
+class TestCommitProtocolHardening:
+    """Regression tests for the round-5 self-review findings: forward
+    CURRENT hints, losable hints + vacuumed v1, vacuum vs in-flight
+    transactions, marker lifecycle, and tmp hygiene."""
+
+    def _versions(self, spark, tmp_path, n_extra=0):
+        store = str(tmp_path / "s")
+        base_store(spark, store)
+        ch = write_changes(tmp_path, "c.json", MOVE)
+        run_merge(spark, ch, store, str(tmp_path / "ck"))
+        for i in range(n_extra):
+            recs = [{"op": "upsert", "ftype": "n", "id": 80 + i, "x": px(2),
+                     "y": 11 + i, "tags": None, "seq": 0}]
+            chx = write_changes(tmp_path, f"x{i}.json", recs)
+            run_merge(spark, chx, store, str(tmp_path / f"ckx{i}"))
+        return store
+
+    def test_forward_hint_is_validated_not_trusted(self, spark, tmp_path):
+        store = self._versions(spark, tmp_path)  # committed: v1, v2
+        with open(os.path.join(store, "_manifest", "CURRENT"), "w") as fh:
+            fh.write("99")  # crash-reordered / corrupted hint, far ahead
+        assert txstore.current_version(store) == 2
+        # reads recover without hand-editing anything
+        assert CF.read_store(spark, store, "nodes").count() == 4
+
+    def test_store_stays_versioned_without_current_and_v1(self, spark, tmp_path):
+        # 4 snapshots -> vacuum trims v1/v2; then the best-effort CURRENT
+        # hint is lost (partial restore).  The store must still open as
+        # VERSIONED (legacy dynamic overwrites would corrupt the layout).
+        store = self._versions(spark, tmp_path, n_extra=2)
+        txstore.vacuum_store(store, CF._paths(store), grace_sec=0)
+        os.unlink(os.path.join(store, "_manifest", "CURRENT"))
+        assert not os.path.exists(os.path.join(store, "_manifest", "v1.json"))
+        assert txstore.is_versioned(store)
+        assert txstore.current_version(store) == 4
+        assert isinstance(
+            txstore.open_tx(spark, store, CF._paths(store)), txstore.StoreTx
+        )
+        assert CF.read_store(spark, store, "nodes").count() == 6
+
+    def test_vacuum_spares_heartbeating_tx_staging(self, spark, tmp_path):
+        store = self._versions(spark, tmp_path)
+        p = CF._paths(store)
+        # simulate an hours-long in-flight tx: old staged file, FRESH marker
+        epoch_dir = os.path.join(p["nodes"], "e9-deadbeef", "pile=1")
+        os.makedirs(epoch_dir)
+        staged = os.path.join(epoch_dir, "part-0.parquet")
+        with open(staged, "wb") as fh:
+            fh.write(b"x")
+        old = 1_000_000.0
+        os.utime(staged, (old, old))  # staged long ago
+        marker = os.path.join(store, "_manifest", ".inprogress-deadbeef")
+        with open(marker, "w") as fh:
+            fh.write("1")
+        txstore.vacuum_store(store, p, grace_sec=3600)
+        assert os.path.exists(staged)  # live tx: spared despite file age
+        # tx dies: marker ages out -> staging reclaimed on the next vacuum
+        os.utime(marker, (old, old))
+        txstore.vacuum_store(store, p, grace_sec=3600)
+        assert not os.path.exists(marker)
+        assert not os.path.exists(staged)
+
+    def test_marker_lifecycle_and_no_tmp_leaks(self, spark, tmp_path):
+        store = self._versions(spark, tmp_path)
+        mdir = os.path.join(store, "_manifest")
+        names = set(os.listdir(mdir))
+        # committed txs removed their markers and temp files
+        assert not [n for n in names if n.startswith(".inprogress-")]
+        assert not [n for n in names if n.endswith(".tmp")]
+        # an open tx holds a marker; commit removes it
+        tx = txstore.StoreTx(spark, store, CF._paths(store))
+        assert [n for n in os.listdir(mdir) if n.startswith(".inprogress-")]
+        tx.commit()
+        assert not [
+            n for n in os.listdir(mdir) if n.startswith(".inprogress-")
+        ]
+
+    def test_garbage_manifest_raises_valueerror_not_assert(self, spark, tmp_path):
+        store = self._versions(spark, tmp_path)
+        with open(os.path.join(store, "_manifest", "v7.json"), "w") as fh:
+            json.dump({"version": 3, "tables": {}}, fh)  # wrong version inside
+        assert not txstore._is_committed(store, 7)
+        with pytest.raises(ValueError, match="carries version"):
+            txstore.load_manifest(store, 7)
+        # the probe is not fooled either: current stays 2
+        assert txstore.current_version(store) == 2
