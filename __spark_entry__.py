@@ -323,6 +323,21 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b", "inter", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    # transitive near-dup clusters over the jaccard pair list — the unit a
+    # dedup pipeline actually removes; oracle = recursive-CTE reachability
+    pairs = dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.3, max_df=100000
+    )
+    return dedup.dup_clusters(pairs)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=100000)
+    return dedup.dedup_canonical(docs, dedup.dup_clusters(pairs))
+
+
 def q_minhash_lsh(spark, sf_dir):  # full oracle: banding reproduced in SQL (md5-hex hashes)
     return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.3)
 
@@ -987,12 +1002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "tally_priority": q_tally_priority,
         "tally_tags": q_tally_tags,
-        "ann_cosine": q_ann_cosine,
-        "embedding_neardup": q_embedding_neardup,
+        "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
+        "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
-        # ----- embedding_neardup_srp + ann_lsh rotated out when the two new
-        # ----- store snapshot queries took head slots)
+        # ----- ann_cosine + embedding_neardup rotated out when the two new
+        # ----- dedup-cluster queries took head slots)
+        "ann_cosine": q_ann_cosine,
+        "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,
         "ann_lsh": q_ann_lsh,
         "gst_weighted": q_gst_weighted,
@@ -1023,6 +1040,24 @@ _HALF = 1 << 31
 
 def _with_points(body: str) -> str:
     return f"WITH pts AS ({_PTS}), t12 AS ({_T12}) {body}"
+
+
+# the ngram-jaccard pair chain as a reusable CTE fragment ending in
+# p(doc_a, doc_b) — shared by the dup_clusters / dedup_canonical oracles
+# (same shingle/threshold parameters as q_ngram_jaccard: n=3, t>=0.3)
+_NGRAM_PAIRS_CTE = (
+    "w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS word, "
+    "generate_subscripts(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 1) AS pos FROM documents), "
+    "sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle "
+    "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+    "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+    "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "p AS (SELECT i.doc_a, i.doc_b FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id "
+    "JOIN sz sb ON i.doc_b = sb.doc_id "
+    "WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3)"
+)
 
 
 def _esc_sql(expr: str) -> str:
@@ -1471,6 +1506,25 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard_r "
             "FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id "
             "WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3"
+        ),
+        "dup_clusters": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "
+            "e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) "
+            " UNION SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v) "
+            "SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u"
+        ),
+        "dedup_canonical": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "
+            "e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) "
+            " UNION SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v), "
+            "lab AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u), "
+            "j AS (SELECT l.comp, l.doc_id, d.text FROM lab l JOIN documents d USING (doc_id)), "
+            "rk AS (SELECT comp, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY comp ORDER BY length(text) DESC, doc_id ASC) AS rk, "
+            "COUNT(*) OVER (PARTITION BY comp) AS n_docs FROM j) "
+            "SELECT comp, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs FROM rk WHERE rk = 1"
         ),
         "string_freq": _with_points(
             ", kv AS (SELECT 'returnflag' AS s FROM t12 UNION ALL SELECT 'linestatus' FROM t12 "

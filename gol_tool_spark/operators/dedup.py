@@ -288,6 +288,128 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 8) -> DataFrame:
     return hash64_near_dups(images, "image_id", "phash", max_hamming)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id, comp)
+    where comp = min doc id of the component.  This is the step every real
+    dedup pipeline needs DOWNSTREAM of the pair generators above: LSH /
+    simhash / jaccard emit edges, but the unit of removal is the transitive
+    CLUSTER (a~b, b~c => a,b,c are one group even when a~c never fired).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) — the canonical
+    shuffle-based CC algorithm.  Each round is two join+groupBy passes over
+    the edge list keyed by node id; rounds converge in O(log n) even on
+    path graphs (where naive min-label propagation needs O(diameter) = O(n)
+    rounds).  Scale notes:
+      * per-round state is the edge list only (2 bigints/row), shuffled on
+        node id — a plain hash shuffle, skew handled by AQE; high-degree
+        star centers are exactly what large-star is designed to flatten.
+      * lineage is cut every round with localCheckpoint (same discipline
+        as relations.resolve_bboxes) so plan depth stays O(1) per round.
+      * convergence = fixed point of the round (count + one-sided
+        anti-join on the deduped canonical edge set); one driver-side
+        count per round, no collect of data rows.
+    Singletons (docs never appearing in `pairs`) are not emitted — a
+    caller wanting them left-joins the corpus against this output.
+    """
+    spark = pairs.sparkSession
+    id_type = pairs.schema[a_col].dataType
+    out_schema = Ty.StructType(
+        [Ty.StructField("doc_id", id_type), Ty.StructField("comp", id_type)]
+    )
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    if not edges.take(1):
+        return spark.createDataFrame([], out_schema)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric directed view; for each u emit (v, m(u)) to strictly
+        # larger neighbors, m(u) = min(N(u) + {u})
+        s = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = s.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", "u").alias("m"))
+        return (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # key each edge on its LARGER endpoint; for each u emit (x, m) for
+        # x in smaller-neighbors(u) + {u}, m = min of that set
+        d = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = d.join(m, "u").select(F.col("m").alias("a"), F.col("v").alias("b"))
+        centers = m.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        return (
+            nbrs.unionByName(centers)
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # fixed point: equal sets <=> equal counts AND nxt ⊆ edges (both deduped)
+        if nxt.count() == edges.count() and not nxt.join(
+            edges, ["a", "b"], "left_anti"
+        ).take(1):
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: no fixed point after {max_rounds} rounds; "
+            "labels may span a star forest that is not fully merged"
+        )
+    # terminal state is a star forest rooted at component minima:
+    # every edge is (root, member)
+    members = edges.select(F.col("b").alias("doc_id"), F.col("a").alias("comp"))
+    roots = edges.select(F.col("a").alias("doc_id"), F.col("a").alias("comp")).distinct()
+    return members.unionByName(roots).dropDuplicates(["doc_id"])
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivor selection per near-dup cluster: keep the longest document
+    (ties -> min doc_id), report the rest as removable.  Output one row per
+    cluster: (comp, keep_id, n_docs).  One window over comp — partitions by
+    cluster id, so skew equals the largest cluster (bounded by the pair
+    generators' blocking) and everything stays JVM-side."""
+    j = clusters.join(docs.select("doc_id", text_col), "doc_id")
+    w = Window.partitionBy("comp").orderBy(
+        F.length(F.col(text_col)).desc(), F.col("doc_id").asc()
+    )
+    ranked = j.select(
+        "comp", "doc_id", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("n_docs"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select("comp", F.col("doc_id").alias("keep_id"), "n_docs")
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99, scale: int = 1000) -> DataFrame:
     """Embedding-cosine near-dups on quantized integer vectors (exact,
     engine-independent math): pairs within the same `label` block with

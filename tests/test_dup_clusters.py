@@ -1,0 +1,146 @@
+"""Connected-components dedup clustering (dup_clusters / dedup_canonical).
+
+Oracle: a plain python union-find over the same edge list — exhaustive
+equality on every graph shape that historically breaks CC algorithms
+(chains, stars, cycles, cross-links, random graphs).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.operators import dedup
+
+
+def _uf_components(edges):
+    """Union-find oracle: {node: min-node-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    nodes = set(parent)
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a bigint, doc_b bigint"
+    )
+
+
+def _run(spark, edges, **kw):
+    got = {
+        (r["doc_id"], r["comp"])
+        for r in dedup.dup_clusters(_pairs_df(spark, edges), **kw).collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+class TestDupClusters:
+    def test_chain_transitive(self, spark):
+        # a~b, b~c, c~d: one cluster even though a~d never fired
+        _run(spark, [(1, 2), (2, 3), (3, 4)])
+
+    def test_two_cliques(self, spark):
+        _run(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+
+    def test_long_path(self, spark):
+        # worst case for naive min-label propagation (diameter = n);
+        # alternating star converges in O(log n) rounds — cap the rounds
+        # far below the diameter and demand the exact answer
+        n = 64
+        edges = [(i, i + 1) for i in range(1, n)]
+        _run(spark, edges, max_rounds=12)
+
+    def test_cycle_and_cross_links(self, spark):
+        _run(spark, [(1, 2), (2, 3), (3, 1), (3, 7), (7, 9), (20, 21)])
+
+    def test_star_high_degree_center(self, spark):
+        _run(spark, [(5, i) for i in range(6, 40)])
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        _run(spark, [(2, 1), (1, 2), (2, 3), (3, 2), (3, 3)])
+
+    def test_random_graphs_vs_union_find(self, spark):
+        rng = random.Random(41)
+        for trial in range(3):
+            nodes = list(range(1, 120))
+            edges = [
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(140)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            _run(spark, edges)
+
+    def test_empty_pairs(self, spark):
+        df = dedup.dup_clusters(_pairs_df(spark, []))
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["doc_id", "comp"]
+
+    def test_string_ids(self, spark):
+        pairs = spark.createDataFrame(
+            [("img_b", "img_a"), ("img_b", "img_c")], "id_a string, id_b string"
+        )
+        got = {
+            (r["doc_id"], r["comp"])
+            for r in dedup.dup_clusters(pairs, "id_a", "id_b").collect()
+        }
+        assert got == {("img_a", "img_a"), ("img_b", "img_a"), ("img_c", "img_a")}
+
+
+class TestDedupCanonical:
+    def test_keep_longest_then_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "short"),
+                (2, "the longest document wins"),
+                (3, "mid length doc"),
+                (10, "equal"),
+                (11, "equal"),
+            ],
+            "doc_id bigint, text string",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id bigint, comp bigint",
+        )
+        rows = {
+            r["comp"]: (r["keep_id"], r["n_docs"])
+            for r in dedup.dedup_canonical(docs, clusters).collect()
+        }
+        assert rows == {1: (2, 3), 10: (10, 2)}  # longest wins; tie -> min id
+
+    def test_composes_with_pair_generators(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta zeta"),
+                (3, "alpha beta gamma delta zeta eta"),
+                (9, "completely unrelated text body here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3, max_df=100)
+        clusters = dedup.dup_clusters(pairs)
+        comp = {r["doc_id"]: r["comp"] for r in clusters.collect()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert 9 not in comp  # singleton never emitted
