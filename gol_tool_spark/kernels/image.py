@@ -15,10 +15,17 @@ and caption byte-equality.  Formats:
                  Legacy quantize+zlib payloads (pre-round-5 stores)
                  still decode (magic-sniffed).                     (lossy)
 
-Actual JPEG/WebP bitstreams remain behind the plug-in seam (Huffman/
-arithmetic JPEG needs an image library this sandbox doesn't ship);
-swapping one in changes no Spark-side plumbing — schema, batching and
-invariants stay identical.
+    fmt="jpeg" : REAL ITU T.81 baseline JPEG bitstream (kernels/
+                 jpegfile.py — JFIF markers, Annex K quant + Huffman
+                 tables, byte stuffing; interoperable with any JPEG
+                 reader).  PIL, when installed, is used as an
+                 accelerator for the same fmt — the bitstreams are
+                 interchangeable.  Encode default quality=97 keeps the
+                 noise-like fixture images over the >=40dB bar.  (lossy)
+
+Real JPEG payloads arriving under fmt="jpg" (real-world ingest) are
+magic-sniffed (SOI) and decode through the same bitstream decoder.
+Only WebP and the PIL-PNG variant remain behind the plug-in seam.
 """
 
 from __future__ import annotations
@@ -27,6 +34,10 @@ import struct
 import zlib
 
 import numpy as np
+
+from . import jpegfile as _jf
+
+JPEG_QUALITY = 97  # default for fmt="jpeg" encodes (>=40dB on fixtures)
 
 _QUANT = 16  # legacy jpg stand-in quantization step (decode-only now)
 
@@ -188,11 +199,12 @@ def _dct_decode_many(payloads: list[bytes]) -> np.ndarray:
     h, w = parsed[0][1], parsed[0][2]
     return _dct_reconstruct_stack(np.stack([q for q, _, _ in parsed]), h, w)
 
-# Real-codec plug-in seam: when an image library is present, fmt values
-# 'jpeg' / 'png-real' route through it inside the SAME batch API — the
-# Spark-side plumbing (schema, batching, invariants) doesn't change.  This
-# sandbox has no image libs, so those fmts raise the clearly-marked
-# NotImplementedError below; swap-in is one import.
+# Plug-in seam: when an image library is present it accelerates fmt
+# 'jpeg' and provides 'png-real'/'webp' inside the SAME batch API — the
+# Spark-side plumbing (schema, batching, invariants) doesn't change.
+# fmt='jpeg' is ALWAYS available: without PIL it runs the pure-numpy
+# T.81 bitstream codec (kernels/jpegfile.py); only 'png-real'/'webp'
+# still raise the clearly-marked NotImplementedError without a library.
 try:  # pragma: no cover - not installed in this sandbox
     from PIL import Image as _PIL_Image  # type: ignore
 
@@ -202,6 +214,7 @@ except ImportError:
     HAVE_REAL_CODEC = False
 
 _REAL_FMTS = ("jpeg", "png-real", "webp")
+_PIL_ONLY_FMTS = ("png-real", "webp")
 
 
 def _real_encode(pixels: np.ndarray, fmt: str) -> bytes:  # pragma: no cover
@@ -344,7 +357,11 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return _png_encode(pixels)
     if fmt == "jpg":
         return _dct_encode(pixels)
-    if fmt in _REAL_FMTS:
+    if fmt == "jpeg":
+        if HAVE_REAL_CODEC:
+            return _real_encode(pixels, fmt)
+        return _jf.jpeg_encode(pixels, quality=JPEG_QUALITY)
+    if fmt in _PIL_ONLY_FMTS:
         if HAVE_REAL_CODEC:
             return _real_encode(pixels, fmt)
         raise NotImplementedError(
@@ -366,10 +383,17 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     elif fmt == "jpg":
         if _is_dct(data):
             return _dct_decode(data)
+        if data[:2] == b"\xff\xd8":
+            # real-world ingest: an actual JPEG bitstream stored as 'jpg'
+            return _jf.jpeg_decode(data)
         # legacy stand-in stream (stores written before the DCT codec):
         # bare zlib of the 16-level-quantized pixel block
         buf = np.frombuffer(zlib.decompress(data), np.uint8)
-    elif fmt in _REAL_FMTS:
+    elif fmt == "jpeg":
+        if HAVE_REAL_CODEC:
+            return _real_decode(data)
+        return _jf.jpeg_decode(data)
+    elif fmt in _PIL_ONLY_FMTS:
         if HAVE_REAL_CODEC:
             return _real_decode(data)
         raise NotImplementedError(
@@ -437,8 +461,9 @@ def decode_batch(payloads: list[bytes], w: int, h: int, fmt: str) -> np.ndarray:
             return np.empty((0, h, w, 3), np.uint8)
         if all(_is_dct(p) for p in payloads):
             return _dct_decode_many(payloads)
-        if any(_is_dct(p) for p in payloads):
-            # mixed vintages: decode per payload by its own signature
+        if any(_is_dct(p) or p[:2] == b"\xff\xd8" for p in payloads):
+            # mixed vintages / real JPEG bitstream ingest: decode per
+            # payload by its own signature
             return np.stack([decode(p, w, h, fmt) for p in payloads])
         # legacy stand-in streams: bare zlib of the quantized pixel block
         buf = np.frombuffer(b"".join(zlib.decompress(p) for p in payloads), np.uint8)
