@@ -309,6 +309,10 @@ def q_langid(spark, sf_dir):
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_repetition(spark, sf_dir):
+    return text.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_fingerprints(spark, sf_dir):
     return text.fingerprint(_read(spark, sf_dir, "documents"))
 
@@ -423,6 +427,32 @@ def q_image_roundtrip(spark, sf_dir):  # no oracle: pixel codecs aren't SQL
     n = min(_read(spark, sf_dir, "documents").count(), 2000)
     imgs = fixtures.images(spark, n, partitions=8)
     return multimodal.verify_roundtrip(imgs)
+
+
+def q_image_jfif(spark, sf_dir):  # no oracle: pixel codecs aren't SQL
+    """Real ITU T.81 JPEG bitstream lane: re-encode fixture images as
+    JFIF payloads (pure-numpy codec, kernels/jpegfile.py) inside a
+    mapInPandas pass, then decode-verify the PSNR>=40dB + caption
+    invariants on fmt='jpeg'."""
+    import pandas as _pd  # noqa: F401 — mapInPandas batch type
+
+    from gol_tool_spark.kernels import image as _img
+
+    n = min(_read(spark, sf_dir, "documents").count(), 500)
+    imgs = fixtures.images(spark, n, partitions=8)
+
+    def reenc(batch_iter):
+        for pdf in batch_iter:
+            outs = []
+            for b, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                px = _img.decode(bytes(b), int(w), int(h), fmt)
+                outs.append(_img.encode(px, "jpeg"))
+            pdf = pdf.copy()
+            pdf["bytes"] = outs
+            pdf["fmt"] = "jpeg"
+            yield pdf
+
+    return multimodal.verify_roundtrip(imgs.mapInPandas(reenc, schema=imgs.schema))
 
 
 def q_phash_neardup(spark, sf_dir):  # no oracle: phash derives from pixels
@@ -998,16 +1028,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_diamond": q_pip_diamond,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
         "tally_priority": q_tally_priority,
         "tally_tags": q_tally_tags,
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
         "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
+        "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
-        # ----- ann_cosine + embedding_neardup rotated out when the two new
-        # ----- dedup-cluster queries took head slots)
+        # ----- ann_cosine + embedding_neardup + minhash_sigs rotated out
+        # ----- when the new dedup-cluster/repetition queries took head slots)
+        "minhash_sigs": q_minhash_sigs,
         "ann_cosine": q_ann_cosine,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,
@@ -1027,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tally_length_m": q_tally_length_m,
         "way_l1_length": q_way_l1_length,
         "ghost_copies": q_ghost_copies,
+        "image_jfif": q_image_jfif,  # rows-only: T.81 bitstream lane
     }
 
 
@@ -1506,6 +1538,23 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard_r "
             "FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id "
             "WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3"
+        ),
+        "repetition": (
+            "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "wstats AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words FROM ws), "
+            "wp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), "
+            "bg AS (SELECT a.doc_id, a.word || ' ' || b.word AS bg "
+            "FROM wp a JOIN wp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+            "ba AS (SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS top_c, COUNT(*) AS n_distinct_bg FROM bc GROUP BY 1) "
+            "SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words, "
+            "round(1.0 - CAST(s.n_distinct_words AS DOUBLE) / s.n_words, 6) AS dup_word_frac_r, "
+            "round(COALESCE(1.0 - CAST(a.n_distinct_bg AS DOUBLE) / a.n_bg, 0.0), 6) AS dup_bigram_frac_r, "
+            "round(COALESCE(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0), 6) AS top_bigram_frac_r, "
+            "(COALESCE(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0) <= 0.2 "
+            "AND COALESCE(1.0 - CAST(a.n_distinct_bg AS DOUBLE) / a.n_bg, 0.0) <= 0.5) AS repetition_ok "
+            "FROM wstats s LEFT JOIN ba a USING (doc_id)"
         ),
         "dup_clusters": (
             "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "

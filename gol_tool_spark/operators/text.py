@@ -68,6 +68,63 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition filters (Gopher-style, Rae et al. 2021):
+    the standard pretraining-corpus gate against boilerplate/looping text.
+    Per doc: duplicate-word fraction (1 - distinct/total), duplicate-bigram
+    fraction, top-bigram fraction (share of all bigram occurrences taken by
+    the most frequent one), and a composite repetition_ok gate
+    (top_bigram <= 0.2 AND dup_bigram <= 0.5).
+
+    Scale: word stats are per-row JVM higher-order functions (zero
+    shuffle); bigram stats are one explode -> two map-side-combined
+    groupBys keyed by doc_id — linear in corpus size, the same shuffle
+    shape as shingling.  Docs with < 2 words get zero fractions and pass
+    the gate."""
+    t = F.col(text_col)
+    ws = tokens(t)
+    word_stats = df.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+    )
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        df.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bg"),
+            F.max("c").alias("top_c"),
+            F.count(F.lit(1)).alias("n_distinct_bg"),
+        )
+    )
+    j = word_stats.join(bg_counts, "doc_id", "left")
+    dup_word = 1.0 - F.col("n_distinct_words").cast("double") / F.col("n_words")
+    dup_bg = F.when(
+        F.col("n_bg") > 0,
+        1.0 - F.col("n_distinct_bg").cast("double") / F.col("n_bg"),
+    ).otherwise(F.lit(0.0))
+    top_bg = F.when(
+        F.col("n_bg") > 0, F.col("top_c").cast("double") / F.col("n_bg")
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(dup_word, 6).alias("dup_word_frac_r"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac_r"),
+        F.round(top_bg, 6).alias("top_bigram_frac_r"),
+        ((top_bg <= 0.2) & (dup_bg <= 0.5)).alias("repetition_ok"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized text (exact-dup
     key). A rolling-hash variant lives in dedup.simhash for near-dups."""

@@ -376,6 +376,23 @@ class TestTextDedup:
         lid = docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
         assert lid.filter(F.col("lang_pred") == "und").count() < docs.count()
 
+    def test_repetition_stats_gopher_gate(self, spark):
+        rows = [
+            (1, "spam spam spam spam spam spam"),        # one bigram repeated
+            (2, "the quick brown fox jumps over dogs"),  # all distinct
+            (3, "ab cd ab cd ab cd ab cd"),              # alternating pair
+            (4, "solo"),                                 # < 2 words: zero fracs
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+        assert not got[1].repetition_ok  # top bigram 'spam spam' = 5/5
+        assert got[1].top_bigram_frac_r == 1.0
+        assert got[2].repetition_ok and got[2].dup_word_frac_r == 0.0
+        assert not got[3].repetition_ok  # 7 bigrams, only 2 distinct
+        assert got[3].dup_bigram_frac_r > 0.5
+        assert got[4].repetition_ok and got[4].top_bigram_frac_r == 0.0
+        assert got[4].n_words == 1
+
     def test_exact_dedup_finds_injected(self, spark):
         rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
