@@ -342,6 +342,15 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.dedup_canonical(docs, dedup.dup_clusters(pairs))
 
 
+def q_contamination(spark, sf_dir):
+    # benchmark decontamination: held-out set = every 37th doc (derived
+    # deterministically so the oracle can reproduce it); bench shingles
+    # broadcast, corpus side never shuffles for the semi join
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return dedup.benchmark_contamination(docs, bench, n=3, threshold=0.1)
+
+
 def q_minhash_lsh(spark, sf_dir):  # full oracle: banding reproduced in SQL (md5-hex hashes)
     return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.3)
 
@@ -1028,7 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_diamond": q_pip_diamond,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
+        "contamination": q_contamination,  # new in r5: benchmark decontamination
         "tally_priority": q_tally_priority,
         "tally_tags": q_tally_tags,
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
@@ -1036,8 +1045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
-        # ----- ann_cosine + embedding_neardup + minhash_sigs rotated out
-        # ----- when the new dedup-cluster/repetition queries took head slots)
+        # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
+        # ----- rotated out when the new dedup-cluster/repetition/
+        # ----- contamination queries took head slots)
+        "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
         "ann_cosine": q_ann_cosine,
         "embedding_neardup": q_embedding_neardup,
@@ -1555,6 +1566,23 @@ def oracle_sql() -> dict[str, str]:
             "(COALESCE(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0) <= 0.2 "
             "AND COALESCE(1.0 - CAST(a.n_distinct_bg AS DOUBLE) / a.n_bg, 0.0) <= 0.5) AS repetition_ok "
             "FROM wstats s LEFT JOIN ba a USING (doc_id)"
+        ),
+        "contamination": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS word, "
+            "generate_subscripts(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 1) AS pos FROM documents), "
+            "sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0), "
+            "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1), "
+            "hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap FROM sh "
+            "WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(t.n_shingles, 0) AS n_shingles, "
+            "COALESCE(h.n_overlap, 0) AS n_overlap, "
+            "round(COALESCE(CAST(h.n_overlap AS DOUBLE) / t.n_shingles, 0.0), 6) AS overlap_frac_r, "
+            "(COALESCE(CAST(h.n_overlap AS DOUBLE) / t.n_shingles, 0.0) >= 0.1) AS contaminated "
+            "FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id "
+            "LEFT JOIN hit h ON d.doc_id = h.doc_id"
         ),
         "dup_clusters": (
             "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + ", "

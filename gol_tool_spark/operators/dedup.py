@@ -288,6 +288,55 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 8) -> DataFrame:
     return hash64_near_dups(images, "image_id", "phash", max_hamming)
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination (the standard pretraining hygiene pass):
+    per training doc, the fraction of its word n-gram shingles that appear
+    ANYWHERE in the held-out benchmark corpus, plus a contaminated flag at
+    `threshold`.  Docs shorter than n words have no shingles -> overlap 0.
+
+    Scale: the benchmark shingle set is tiny next to the corpus (eval sets
+    are thousands of docs, the corpus is billions) — it deduplicates to a
+    distinct-shingle table and BROADCASTs into a left-semi-shaped join, so
+    the corpus side never shuffles; per-doc totals and hits are one
+    map-side-combined groupBy each.  Output: (doc_id, n_shingles,
+    n_overlap, overlap_frac_r, contaminated)."""
+    sh = shingles(docs, n, text_col)
+    bench_sh = (
+        shingles(bench.select(F.col("doc_id"), F.col(text_col)), n, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    j = (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .fillna(0, ["n_shingles", "n_overlap"])
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_overlap").cast("double") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.round(frac, 6).alias("overlap_frac_r"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

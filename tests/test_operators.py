@@ -393,6 +393,29 @@ class TestTextDedup:
         assert got[4].repetition_ok and got[4].top_bigram_frac_r == 0.0
         assert got[4].n_words == 1
 
+    def test_benchmark_contamination(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),    # verbatim leak
+                (2, "alpha beta gamma x y z"),                 # partial overlap
+                (3, "nothing shared with the benchmark here"),  # clean
+                (4, "ab"),                                     # < n words
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in dedup.benchmark_contamination(docs, bench, n=3).collect()
+        }
+        assert got[1].contaminated and got[1].overlap_frac_r == 1.0
+        assert got[2].n_overlap == 1 and got[2].contaminated  # 1/4 >= 0.1
+        assert got[3].n_overlap == 0 and not got[3].contaminated
+        assert got[4].n_shingles == 0 and not got[4].contaminated
+
     def test_exact_dedup_finds_injected(self, spark):
         rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")]
         df = spark.createDataFrame(rows, "doc_id long, text string")

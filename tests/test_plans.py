@@ -114,6 +114,14 @@ class TestPlanShapes:
         plan = plan_of(dedup.minhash_lsh_pairs(docs, n=3, threshold=0.3))
         assert "CartesianProduct" not in plan  # banded bucket join, not all-pairs
 
+    def test_contamination_broadcasts_benchmark_side(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 37 == 0)
+        plan = plan_of(dedup.benchmark_contamination(docs, bench, n=3))
+        # the held-out shingle set broadcasts into a semi join — the corpus
+        # side must never shuffle for the overlap probe
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
     def test_ann_cosine_broadcasts_queries(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         plan = plan_of(ann.cosine_topk(emb, [0, 1], k=5), mode="simple")
