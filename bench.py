@@ -128,11 +128,43 @@ def main():
     timed("simhash_syn", lambda: dedup.simhash_near_dups(docs_syn, max_hamming=3, n=3).count())
     timed("ann_lsh_syn", lambda: ann.ann_topk_lsh(emb_syn, [0, 1, 2, 3, 4], k=10, dim=64).count(),
         repeats=2)
+    # new r5 ops at corpus scale: CC clustering over the LSH pairs
+    # (iterative star rounds + localCheckpoints), the Gopher repetition
+    # scan (zero-shuffle word stats + bigram groupBys), and benchmark
+    # decontamination (broadcast shingle semi-join)
+    from gol_tool_spark.operators import text as text_ops
+
+    timed("dup_clusters_syn", lambda: dedup.dup_clusters(
+        dedup.minhash_lsh_pairs(docs_syn, n=3, threshold=0.3)).count())
+    timed("repetition_syn", lambda: text_ops.repetition_stats(docs_syn).count())
+    timed("contamination_syn", lambda: dedup.benchmark_contamination(
+        docs_syn, docs_syn.filter(F.col("doc_id") % 37 == 0), n=3).count())
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
     imgs = fixtures.images(spark, N_IMAGES, partitions=64)
     timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)), repeats=2)
+    # real ITU T.81 bitstream lane (pure-numpy Huffman codec — the interop
+    # path, NOT the hot path): re-encode 2k fixtures as JFIF + verify
+    from gol_tool_spark.kernels import image as img_kernel
+
+    imgs_2k = fixtures.images(spark, min(N_IMAGES, 2000), partitions=64)
+
+    def _jfif_verify():
+        def reenc(batch_iter):
+            for pdf in batch_iter:
+                outs = []
+                for b, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                    px = img_kernel.decode(bytes(b), int(w), int(h), fmt)
+                    outs.append(img_kernel.encode(px, "jpeg"))
+                pdf = pdf.copy()
+                pdf["bytes"] = outs
+                pdf["fmt"] = "jpeg"
+                yield pdf
+
+        force(multimodal.verify_roundtrip(imgs_2k.mapInPandas(reenc, schema=imgs_2k.schema)))
+
+    timed("image_jfif_2k", _jfif_verify)
 
     # -- typed-store incremental merge (gol update): bulk-load a store
     # subset, then apply a 1k-node delta — measures the partition-scoped

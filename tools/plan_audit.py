@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from gol_tool_spark.functions import synth  # noqa: E402
-from gol_tool_spark.operators import ann, spatial_query, tiling  # noqa: E402
+from gol_tool_spark.operators import ann, dedup, spatial_query, text, tiling  # noqa: E402
 from gol_tool_spark.plans import build_pipeline as BP  # noqa: E402
 from gol_tool_spark.session import get_spark  # noqa: E402
 
@@ -67,6 +67,31 @@ def main():
         spark.read.parquet(f"{sf}/embeddings.parquet"), [0, 1], k=5),
         "Broadcast the query vectors; quantized dot products are JVM higher-order "
         "aggregates; single window for ranking.", mode="simple")
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    add("Benchmark decontamination (broadcast shingle semi-join)",
+        dedup.benchmark_contamination(docs, docs.filter(F.col("doc_id") % 37 == 0), n=3),
+        "The held-out shingle set dedups and BROADCASTs into a LeftSemi join — "
+        "the corpus side never shuffles for the overlap probe; totals/hits are "
+        "partial/final HashAggregate pairs.", mode="simple")
+    add("Repetition filters (zero-shuffle word stats + bigram aggs)",
+        text.repetition_stats(docs),
+        "Word stats are per-row JVM higher-order functions (no exchange on that "
+        "branch); bigram stats are one explode feeding two map-side-combined "
+        "groupBys keyed by doc_id.", mode="simple")
+    _pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=100000)
+    _edges = _pairs.select(F.least("doc_a", "doc_b").alias("a"),
+                           F.greatest("doc_a", "doc_b").alias("b")).dropDuplicates(["a", "b"])
+    _s = _edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        _edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    _m = _s.groupBy("u").agg(F.min("v").alias("mn")).select("u", F.least("mn", "u").alias("m"))
+    add("Dup-cluster CC round (large-star unit, repeated O(log n) times)",
+        _s.join(_m, "u").filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("a"), F.col("v").alias("b")).dropDuplicates(["a", "b"]),
+        "One alternating-star round of dup_clusters: edge state only (2 ids/row), "
+        "shuffled on node id, min computed via a map-combined aggregate; each "
+        "round is localCheckpointed so plan depth stays O(1) per round.",
+        mode="simple")
 
     # store-scan pushdown proof
     with tempfile.TemporaryDirectory(prefix="plan_audit_") as td:
