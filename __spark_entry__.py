@@ -317,6 +317,49 @@ def q_fingerprints(spark, sf_dir):
     return text.fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark, sf_dir):
+    # C4-style corpus-global line dedup; fixture texts carry no newlines,
+    # so derive deterministic 8-word lines first (oracle reproduces the
+    # same blocking in SQL)
+    docs = text.block_lines(_read(spark, sf_dir, "documents"), words_per_line=8)
+    return text.line_dedup(docs)
+
+
+def q_hash_split(spark, sf_dir):
+    return text.hash_split(_read(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    # fixture texts are clean word streams; plant deterministic PII so the
+    # scrub has real matches (oracle plants the identical strings)
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or admin@test.org"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit(" server 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1 up"),
+                ),
+            )
+            .when(F.col("doc_id") % 5 == 2, F.lit(" call 555-867-5309 now"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return text.scrub_pii(planted)
+
+
 def q_exact_dups(spark, sf_dir):
     return dedup.exact_dup_groups(_read(spark, sf_dir, "documents"))
 
@@ -1023,9 +1066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_assembly": q_way_assembly,
         "ways_geojson": q_ways_geojson,
         "ways_xml": q_ways_xml,
-        "rels_xml": q_rels_xml,
-        "geom_collection": q_geom_collection,
-        "goql_value_list": q_goql_value_list,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
@@ -1043,12 +1083,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
         "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
         "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
+        "line_dedup": q_line_dedup,  # new in r5: C4 global line-level dedup
+        "hash_split": q_hash_split,  # new in r5: deterministic corpus split
+        "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
         # ----- rotated out when the new dedup-cluster/repetition/
-        # ----- contamination queries took head slots)
+        # ----- contamination queries took head slots; goql_value_list +
+        # ----- rels_xml + geom_collection rotated out for line_dedup/
+        # ----- hash_split/pii_scrub)
         "simhash": q_simhash,
+        "rels_xml": q_rels_xml,
+        "geom_collection": q_geom_collection,
+        "goql_value_list": q_goql_value_list,
         "minhash_sigs": q_minhash_sigs,
         "ann_cosine": q_ann_cosine,
         "embedding_neardup": q_embedding_neardup,
@@ -1566,6 +1614,42 @@ def oracle_sql() -> dict[str, str]:
             "(COALESCE(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0) <= 0.2 "
             "AND COALESCE(1.0 - CAST(a.n_distinct_bg AS DOUBLE) / a.n_bg, 0.0) <= 0.5) AS repetition_ok "
             "FROM wstats s LEFT JOIN ba a USING (doc_id)"
+        ),
+        "line_dedup": (
+            # the same 8-word blocking as text.block_lines, then global
+            # first-occurrence keep (ROW_NUMBER twin of the min-struct agg)
+            "WITH ld AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "blk AS (SELECT doc_id, list_transform(generate_series(0, CAST(CEIL(len(w) / 8.0) AS INT) - 1), "
+            "i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')) AS lines FROM ld), "
+            "ln AS (SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS line_no FROM blk), "
+            "rk AS (SELECT doc_id, line_no, line, "
+            "ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM ln), "
+            "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY line_no) AS text_dedup FROM rk WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(len(b.lines) AS BIGINT) AS n_lines, "
+            "COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text_dedup, '') AS text_dedup "
+            "FROM blk b LEFT JOIN agg a USING (doc_id)"
+        ),
+        "hash_split": (
+            "SELECT doc_id, h8, CASE "
+            + " ".join(
+                f"WHEN h8 < '{thr}' THEN '{name}'"
+                for name, thr in text.split_thresholds()[:-1]
+            )
+            + f" ELSE '{text.split_thresholds()[-1][0]}' END AS split "
+            "FROM (SELECT doc_id, substr(md5(text), 1, 8) AS h8 FROM documents)"
+        ),
+        "pii_scrub": (
+            "WITH planted AS (SELECT doc_id, text || CASE "
+            "WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or admin@test.org' "
+            "WHEN doc_id % 5 = 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' "
+            "WHEN doc_id % 5 = 2 THEN ' call 555-867-5309 now' ELSE '' END AS text FROM documents), "
+            f"s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails, "
+            f"regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM planted), "
+            f"s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t1, '{text.PII_IPV4}')) AS BIGINT) AS n_ips, "
+            f"regexp_replace(t1, '{text.PII_IPV4}', '<IP>', 'g') AS t2 FROM s1) "
+            f"SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '{text.PII_PHONE}')) AS BIGINT) AS n_phones, "
+            f"regexp_replace(t2, '{text.PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed FROM s2"
         ),
         "contamination": (
             "WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS word, "

@@ -139,6 +139,11 @@ def main():
     timed("repetition_syn", lambda: text_ops.repetition_stats(docs_syn).count())
     timed("contamination_syn", lambda: dedup.benchmark_contamination(
         docs_syn, docs_syn.filter(F.col("doc_id") % 37 == 0), n=3).count())
+    # C4 line dedup (explode + min-struct groupBy + join back) and the PII
+    # regex scrub (pure scan) — noop writes so no column prunes away
+    timed("line_dedup_syn", lambda: force(
+        text_ops.line_dedup(text_ops.block_lines(docs_syn))))
+    timed("pii_scrub_syn", lambda: force(text_ops.scrub_pii(docs_syn)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()

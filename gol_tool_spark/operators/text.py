@@ -125,6 +125,152 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def block_lines(df: DataFrame, text_col: str = "text", words_per_line: int = 8) -> DataFrame:
+    """Rewrite `text_col` into newline-separated lines of `words_per_line`
+    whitespace tokens each (the last line may be shorter).  Fixture texts
+    carry no newlines; this derives a deterministic line structure so the
+    line-level operators (line_dedup) have real work to do, identically
+    reproducible in SQL.  Pure JVM higher-order functions — zero shuffle."""
+    w = words_per_line
+    words = F.split(F.col(text_col), " ")
+    n_blocks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        ),
+        "\n",
+    )
+    return df.withColumn(text_col, lined)
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-global line-level exact deduplication (the C4 / RefinedWeb
+    boilerplate stage, Raffel et al. 2020 §2.2): every distinct line keeps
+    exactly ONE occurrence across the whole corpus — the one in the lowest
+    (doc_id, line_no) — and every other occurrence is dropped; documents
+    are reassembled from their surviving lines in original order.
+
+    Returns (doc_id, n_lines, n_kept, text_dedup); n_kept = 0 docs come
+    back with text_dedup = '' (every one of their lines appeared earlier
+    elsewhere).
+
+    Scale: one explode, then a groupBy(line) whose min-struct aggregate is
+    map-side combined (hot boilerplate lines collapse to one row per input
+    partition BEFORE the shuffle — the skew case this operator exists
+    for), one shuffle join back on line (AQE skew-split handles residual
+    hot keys), and one groupBy(doc) reassembly.  Linear in corpus size; no
+    Python on any path."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("line_no", "line"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct(id_col, "line_no")).alias("w")
+    )
+    kept = (
+        lines.join(winners, "line")
+        .filter(
+            (F.col(id_col) == F.col(f"w.{id_col}"))
+            & (F.col("line_no") == F.col("w.line_no"))
+        )
+        .select(id_col, "line_no", "line")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+    totals = df.select(
+        id_col, F.size(F.split(F.col(text_col), "\n", -1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    standard leakage-safe corpus split (same document always lands in the
+    same split, independent of partitioning, ordering, or cluster size).
+
+    The first 8 hex chars of md5(text || salt) are compared
+    lexicographically against cumulative-weight thresholds; md5 hex is
+    identical everywhere (JVM, DuckDB, Python), so the split is
+    reproducible outside Spark.  Pure per-row JVM expressions — zero
+    shuffle, scan-speed at any corpus size."""
+    h8 = F.substring(F.md5(F.concat(F.col(text_col), F.lit(salt))), 1, 8)
+    expr = None
+    thresholds = split_thresholds(weights)
+    for name, thr in thresholds[:-1]:
+        cond = h8 < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = thresholds[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.select("doc_id", h8.alias("h8"), split.alias("split"))
+
+
+def split_thresholds(weights: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """(name, upper-threshold-hex) pairs for hash_split, cumulative over
+    the weight order; the last threshold is 'ffffffff' (catch-all).
+    Shared by the operator and its SQL oracle so both compare against
+    bit-identical literals."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")))
+    out.append((names[-1], "ffffffff"))
+    return out
+
+
+# PII patterns: shared RE2/Java subset (no lookaround, ASCII \b and \d) so
+# the Spark scrub and any SQL-engine twin replace byte-identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: emails -> <EMAIL>, IPv4 ->
+    <IP>, US-style phone numbers -> <PHONE>, with per-category match
+    counts.  Replacement is staged (emails first, then IPs, then phones)
+    and each count is taken on the text AS THAT STAGE SEES IT, so an
+    IP-shaped host inside an already-scrubbed email is not double-counted.
+    Pure per-row JVM regex — zero shuffle, scan-speed."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ips.cast("bigint").alias("n_ips"),
+        n_phones.cast("bigint").alias("n_phones"),
+        t3.alias("text_scrubbed"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized text (exact-dup
     key). A rolling-hash variant lives in dedup.simhash for near-dups."""

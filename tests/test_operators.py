@@ -445,6 +445,73 @@ class TestTextDedup:
         pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_dups(df).collect()}
         assert (1, 2) in pairs and pairs[(1, 2)] == 0
 
+    def test_line_dedup_global_first_occurrence(self, spark):
+        rows = [
+            (1, "boiler plate\nunique one"),
+            (2, "boiler plate\nunique two\nboiler plate"),  # within-doc dup too
+            (3, "boiler plate"),                            # fully boilerplate
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.line_dedup(df).collect()}
+        # doc 1 owns the first global occurrence of 'boiler plate'
+        assert got[1].n_kept == 2 and got[1].text_dedup == "boiler plate\nunique one"
+        # doc 2 loses BOTH its copies (global winner is doc 1's line 0)
+        assert got[2].n_lines == 3 and got[2].n_kept == 1
+        assert got[2].text_dedup == "unique two"
+        # doc 3 loses everything -> empty doc, still present in the output
+        assert got[3].n_kept == 0 and got[3].text_dedup == ""
+
+    def test_line_dedup_preserves_order_and_within_doc_winner(self, spark):
+        df = spark.createDataFrame(
+            [(7, "z last\na first\nz last")], "doc_id long, text string"
+        )
+        row = text.line_dedup(df).collect()[0]
+        # first occurrence (line 0) wins within the doc; original order kept
+        assert row.n_kept == 2 and row.text_dedup == "z last\na first"
+
+    def test_block_lines_shapes(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+        )
+        lined = text.block_lines(df, words_per_line=8).collect()[0].text
+        lines = lined.split("\n")
+        assert len(lines) == 3
+        assert [len(x.split(" ")) for x in lines] == [8, 8, 4]
+        assert lined.replace("\n", " ") == " ".join(f"w{i}" for i in range(20))
+
+    def test_hash_split_deterministic_and_partitioned(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r.doc_id: r.split for r in text.hash_split(docs).collect()}
+        b = {r.doc_id: r.split for r in text.hash_split(docs.repartition(7)).collect()}
+        assert a == b  # partitioning-independent
+        frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+        assert 0.8 < frac_train < 0.98  # ~0.9 by content hash
+        assert set(a.values()) <= {"train", "val", "test"}
+        # salt changes assignments; custom weights respected
+        c = {r.doc_id: r.split for r in text.hash_split(docs, salt="s2").collect()}
+        assert c != a
+        d = text.hash_split(docs, weights={"all": 1.0}).collect()
+        assert all(r.split == "all" for r in d)
+
+    def test_scrub_pii_staged_counts(self, spark):
+        rows = [
+            (1, "mail me at bob.smith+x@sub.example.co thanks"),
+            (2, "host 192.168.0.1 and 10.0.0.254 up"),
+            (3, "call 555-867-5309 or 555 123 4567"),
+            (4, "ip-in-email user@1.2.3.4.net stays one email"),
+            (5, "clean text with no identifiers at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+        assert got[1].n_emails == 1 and "<EMAIL>" in got[1].text_scrubbed
+        assert "bob" not in got[1].text_scrubbed
+        assert got[2].n_ips == 2 and got[2].text_scrubbed.count("<IP>") == 2
+        assert got[3].n_phones == 2 and got[3].text_scrubbed.count("<PHONE>") == 2
+        # staged: the email eats its IP-shaped host, so n_ips stays 0
+        assert got[4].n_emails == 1 and got[4].n_ips == 0
+        assert got[5].n_emails == 0 and got[5].n_ips == 0 and got[5].n_phones == 0
+        assert got[5].text_scrubbed == rows[4][1]
+
 
 class TestAnn:
     def test_exact_topk_shape(self, spark, sf_dir):

@@ -79,6 +79,12 @@ def main():
         "Word stats are per-row JVM higher-order functions (no exchange on that "
         "branch); bigram stats are one explode feeding two map-side-combined "
         "groupBys keyed by doc_id.", mode="simple")
+    add("C4 line dedup (map-combined min-struct winner + join back)",
+        text.line_dedup(text.block_lines(docs)),
+        "Global first-occurrence keep: the groupBy(line) min-struct aggregate is "
+        "map-side combined (a partial SortAggregate below the exchange — struct min is sort-based) so hot boilerplate "
+        "lines collapse pre-shuffle; the join back is a plain shuffled join AQE "
+        "can skew-split; reassembly is one groupBy(doc_id).", mode="simple")
     _pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=100000)
     _edges = _pairs.select(F.least("doc_a", "doc_b").alias("a"),
                            F.greatest("doc_a", "doc_b").alias("b")).dropDuplicates(["a", "b"])
