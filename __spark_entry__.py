@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from gol_tool_spark.functions import synth
 from gol_tool_spark.functions.goql import compile_goql
-from gol_tool_spark.operators import ann, dedup, relations, spatial_query, stats, text, tiling
+from gol_tool_spark.operators import ann, dedup, hexgrid, relations, spatial_query, stats, text, tiling
 from gol_tool_spark.operators import multimodal
 from gol_tool_spark.sources import fixtures
 
@@ -70,6 +70,20 @@ def q_tile_assign(spark, sf_dir):
 
 def q_tile_density(spark, sf_dir):
     return tiling.density(_points(spark, sf_dir).select("x", "y"))
+
+
+def q_hex_assign(spark, sf_dir):
+    # H3-style hex cell index (north-star alternative to the quad pyramid);
+    # pure-codegen axial transform + cube rounding, bit-identical SQL twin
+    return hexgrid.assign_hex(_points(spark, sf_dir), res=6).select(
+        "id", "hex_q", "hex_r", "hex_id"
+    )
+
+
+def q_hex_rollup(spark, sf_dir):
+    # res-6 density rolled to res 5 by H3's center-containment parent rule
+    dens = hexgrid.hex_density(_points(spark, sf_dir), res=6)
+    return hexgrid.hex_rollup(dens, res=6)
 
 
 def q_density_rollup(spark, sf_dir):
@@ -1065,7 +1079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pile_assignment": q_pile_assignment,
         "way_assembly": q_way_assembly,
         "ways_geojson": q_ways_geojson,
-        "ways_xml": q_ways_xml,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
@@ -1075,7 +1088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cell_ring": q_knn_cell_ring,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "contamination": q_contamination,  # new in r5: benchmark decontamination
         "tally_priority": q_tally_priority,
@@ -1086,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,  # new in r5: C4 global line-level dedup
         "hash_split": q_hash_split,  # new in r5: deterministic corpus split
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
+        "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
+        "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -1094,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- rels_xml + geom_collection rotated out for line_dedup/
         # ----- hash_split/pii_scrub)
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ways_xml": q_ways_xml,
         "rels_xml": q_rels_xml,
         "geom_collection": q_geom_collection,
         "goql_value_list": q_goql_value_list,
@@ -1125,6 +1141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _PTS = synth.POINTS_CTE
 _MEM = synth.MEMBERSHIP_CTE
+
+# hex-index SQL twins (same constants/evaluation order as hexgrid's JVM
+# expressions): res-6 assignment, and the res-6 -> res-5 parent transform
+# over cell centers (H3 center-containment rule)
+_HEXQ6, _HEXR6 = hexgrid.axial_sql("x", "y", hexgrid.cell_size(6))
+_HEX_CX6, _HEX_CY6 = hexgrid.center_sql("q6", "r6", hexgrid.cell_size(6))
+_HEXPQ5, _HEXPR5 = hexgrid.axial_sql(_HEX_CX6, _HEX_CY6, hexgrid.cell_size(5))
 _T12 = f"SELECT *, {synth.tile_sql('x', 'y', 12)} AS tile FROM pts"
 _HALF = 1 << 31
 
@@ -1285,6 +1308,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST({simhash_word} AS BIGINT) AS simhash FROM v"
         ),
         "tile_assign": _with_points("SELECT id, x, y, tile FROM t12"),
+        "hex_assign": _with_points(
+            "SELECT id, hex_q, hex_r, "
+            f"{hexgrid.hex_id_sql(6, 'hex_q', 'hex_r')} AS hex_id FROM "
+            f"(SELECT id, {_HEXQ6} AS hex_q, {_HEXR6} AS hex_r FROM pts)"
+        ),
+        "hex_rollup": _with_points(
+            "SELECT hex_q, hex_r, "
+            f"{hexgrid.hex_id_sql(5, 'hex_q', 'hex_r')} AS hex_id, "
+            "CAST(SUM(cnt) AS BIGINT) AS cnt FROM "
+            f"(SELECT {_HEXPQ5} AS hex_q, {_HEXPR5} AS hex_r, cnt FROM "
+            f"(SELECT hex_q AS q6, hex_r AS r6, CAST(COUNT(*) AS BIGINT) AS cnt FROM "
+            f"(SELECT {_HEXQ6} AS hex_q, {_HEXR6} AS hex_r FROM pts) GROUP BY 1, 2)) "
+            "GROUP BY 1, 2"
+        ),
         "tile_density": _with_points(f"SELECT tile, CAST(cnt AS BIGINT) AS cnt FROM ({dens})"),
         "density_rollup": _with_points(f", dens AS ({dens}) SELECT * FROM ({_rollup_cte()})"),
         "catalog_topk": _with_points(

@@ -58,6 +58,11 @@ def main():
     # -- tiling stage (C1 + A4/D2-D4 + pile routing); the host is noisy, so
     # the headline stages take best-of-2 (driver runs bench once per round)
     timed("tile_assign", lambda: force(pts_tiled), repeats=2)
+    # hex-index twin of the tile stage (north-star H3/S2 lane): pure-codegen
+    # axial assignment + one map-combined density groupBy
+    from gol_tool_spark.operators import hexgrid
+
+    timed("hex_density", lambda: force(hexgrid.hex_density(points, res=8)))
     cat = tiling.catalog_topk(
         tiling.rollup(tiling.density(pts_tiled.select("x", "y"))),
         max_tiles=256, min_density=50,

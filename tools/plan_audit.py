@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from gol_tool_spark.functions import synth  # noqa: E402
-from gol_tool_spark.operators import ann, dedup, spatial_query, text, tiling  # noqa: E402
+from gol_tool_spark.operators import ann, dedup, hexgrid, spatial_query, text, tiling  # noqa: E402
 from gol_tool_spark.plans import build_pipeline as BP  # noqa: E402
 from gol_tool_spark.session import get_spark  # noqa: E402
 
@@ -52,6 +52,11 @@ def main():
         "points table's GROUP BY dedup — the driver's lineitem has duplicate keys — "
         "not to tile assignment; on a materialized store C1 is shuffle-free, see "
         "the store-scan section.)")
+    add("Hex cell index (H3-style, pure codegen)",
+        hexgrid.hex_density(synth.points_df(spark, sf), res=8),
+        "The axial transform + cube rounding is a Project inside "
+        "WholeStageCodegen — no Python, no extra exchange beyond the one "
+        "map-side-combined density groupBy (partial/final HashAggregate pair).")
     add("C2 way assembly (shuffle join + partial agg)",
         tiling.way_assembly(mem, pts),
         "Join on node id; both aggregates show partial/final HashAggregate pairs "
