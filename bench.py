@@ -133,6 +133,13 @@ def main():
     timed("simhash_syn", lambda: dedup.simhash_near_dups(docs_syn, max_hamming=3, n=3).count())
     timed("ann_lsh_syn", lambda: ann.ann_topk_lsh(emb_syn, [0, 1, 2, 3, 4], k=10, dim=64).count(),
         repeats=2)
+    # PQ/ADC lane: codebooks train once (bounded driver sample, the real
+    # index-build shape); the timed path is JVM encode + ADC shortlist +
+    # exact rerank
+    pq_books = ann.pq_train(emb_syn, m=8, dim=64, k=16, sample=1024)
+    timed("pq_adc_syn", lambda: ann.pq_search(
+        ann.pq_encode(emb_syn, pq_books), [0, 1, 2, 3, 4], pq_books,
+        k=10, shortlist=200).count())
     # new r5 ops at corpus scale: CC clustering over the LSH pairs
     # (iterative star rounds + localCheckpoints), the Gopher repetition
     # scan (zero-shuffle word stats + bigram groupBys), and benchmark

@@ -223,3 +223,132 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("vec_id").alias("nid"), "rank", F.round("cos", 6).alias("cos_r"))
     )
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+def pq_train(
+    emb: DataFrame, m: int = 8, dim: int = 64, k: int = 16,
+    sample: int = 2048, seed: int = 29, iters: int = 8, col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011): split the
+    dim into `m` subspaces, k-means each on a BOUNDED deterministic sample
+    (vec_id order, <= sample*dim*8 bytes on the driver — the one permitted
+    collect; at 10^12 rows you train once on a sample and reuse the
+    codebooks, exactly like a real IVF-PQ index build).
+    Returns (m, k, dim//m) float64 codebooks."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = emb.select("vec_id", col).orderBy("vec_id").limit(sample).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        C = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(k):
+                pts = sub[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray, col: str = "embedding") -> DataFrame:
+    """Attach `codes` (array<int>, one code per subspace): nearest-centroid
+    argmin per subspace with the codebooks riding as LITERAL arrays into
+    the expression tree — pure JVM codegen, no Python on the encode path
+    (m*k bounded subvector distances per row; m=8,k=16 -> 128 eight-term
+    sums, well inside codegen limits).  First-occurrence argmin ties make
+    the encoding deterministic."""
+    m, k, dsub = books.shape
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(col), j * dsub + 1, dsub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(v)) for v in books[j][c]]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(k)
+        ])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return emb.withColumn("codes", F.array(*codes))
+
+
+def pq_luts(qvecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """ADC lookup tables: (nq, m*k) squared distances from each query
+    subvector to every centroid — numpy twin used by pq_search and tests."""
+    m, k, dsub = books.shape
+    nq = qvecs.shape[0]
+    luts = np.zeros((nq, m * k))
+    for j in range(m):
+        qs = qvecs[:, j * dsub : (j + 1) * dsub]
+        d = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)  # (nq, k)
+        luts[:, j * k : (j + 1) * k] = d
+    return luts
+
+
+def pq_search(
+    encoded: DataFrame, query_ids: list[int], books: np.ndarray,
+    k: int = 10, shortlist: int = 100, col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search with exact rerank: ADC distance =
+    sum_j lut[j, code_j] (a transform-with-index + aggregate, all JVM over
+    the broadcast per-query LUT), shortlist per query by ADC, then exact
+    float L2 rerank of the shortlist against the raw vectors — the
+    standard IVF-PQ serving shape (codes scan fast, exact math only on
+    candidates).  Candidates per query = shortlist, so the rerank join is
+    broadcastable at any corpus size."""
+    m, kc, dsub = books.shape
+    qrows = (
+        encoded.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", col).orderBy("vec_id").collect()
+    )
+    qvecs = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    luts = pq_luts(qvecs, books)
+    spark = encoded.sparkSession
+    queries = spark.createDataFrame(
+        [
+            (int(r[0]), [float(v) for v in luts[i]], [float(v) for v in qvecs[i]])
+            for i, r in enumerate(qrows)
+        ],
+        "qid long, lut array<double>, qvec array<double>",
+    )
+    adc = F.aggregate(
+        F.transform(
+            "codes", lambda c, i: F.element_at("lut", (i * kc + c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = encoded.select("vec_id", "codes", col).crossJoin(F.broadcast(queries))
+    pairs = pairs.filter(F.col("vec_id") != F.col("qid")).withColumn("adc", adc)
+    ws = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    cand = pairs.withColumn("srnk", F.row_number().over(ws)).filter(
+        F.col("srnk") <= shortlist
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(col), F.col("qvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("l2", l2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("nid"), "rank", F.round("l2", 6).alias("l2_r"))
+    )
