@@ -56,7 +56,10 @@ def main():
         hexgrid.hex_density(synth.points_df(spark, sf), res=8),
         "The axial transform + cube rounding is a Project inside "
         "WholeStageCodegen — no Python, no extra exchange beyond the one "
-        "map-side-combined density groupBy (partial/final HashAggregate pair).")
+        "map-side-combined density groupBy (partial/final HashAggregate pair). "
+        "(As in the C1 section, the LOWER Exchange/HashAggregate belongs to the "
+        "synthetic points table's GROUP BY dedup, not to hex assignment — on a "
+        "materialized table assignment itself is shuffle-free.)")
     add("C2 way assembly (shuffle join + partial agg)",
         tiling.way_assembly(mem, pts),
         "Join on node id; both aggregates show partial/final HashAggregate pairs "
