@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from gol_tool_spark.functions import synth
 from gol_tool_spark.functions.goql import compile_goql
 from gol_tool_spark.operators import ann, dedup, hexgrid, relations, spatial_query, stats, text, tiling
-from gol_tool_spark.operators import multimodal
+from gol_tool_spark.operators import geocluster, multimodal, temporal
 from gol_tool_spark.sources import fixtures
 
 # ---------------------------------------------------------------- helpers
@@ -84,6 +84,48 @@ def q_hex_rollup(spark, sf_dir):
     # res-6 density rolled to res 5 by H3's center-containment parent rule
     dens = hexgrid.hex_density(_points(spark, sf_dir), res=6)
     return hexgrid.hex_rollup(dens, res=6)
+
+
+def q_asof_join(spark, sf_dir):
+    # as-of join (DuckDB ASOF JOIN / pandas merge_asof semantics): each
+    # click gets the latest same-user purchase at or before it
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), "value"
+    )
+    res = temporal.asof_join(clicks, purchases, on="ts", by=["user_id"], prefix="m_")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("m_p_id").alias("purchase_id"),
+        F.round("m_value", 6).alias("purchase_value_r"),
+    )
+
+
+# DBSCAN gate parameters: the id%7<2 subsample keeps BOTH synthetic hot
+# boxes (hot ids end in 0/1, so id%5 only ever hits clusters 0 and 1; a
+# mod coprime to 10 preserves them) and bounds the oracle's recursive
+# reachability closure; eps/min_pts chosen so all three roles appear
+# (3 clusters / ~380 border / ~10k noise at sf0.01)
+DBSCAN_SUBSET_MOD, DBSCAN_EPS, DBSCAN_MIN_PTS = 7, 60000, 10
+
+
+def q_dbscan(spark, sf_dir):
+    pts = (
+        synth.points_df(spark, sf_dir)
+        .filter((F.col("id") % DBSCAN_SUBSET_MOD) < 2)
+        .select("id", "x", "y")
+    )
+    return geocluster.dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+def q_tile_raster(spark, sf_dir):
+    # vector->raster density image per zoom-4 tile through the REAL PNG
+    # codec; filled/px_sum are computed FROM THE DECODED PIXELS, so the
+    # SQL oracle (pure binning) checks the lossless pixel roundtrip itself
+    r = multimodal.density_raster(synth.points_df(spark, sf_dir), zoom=4, grid=16)
+    return r.select("tile", "filled", "px_sum")
 
 
 def q_density_rollup(spark, sf_dir):
@@ -1072,18 +1114,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_rollup": q_image_tile_rollup,
         "image_tile_density": q_image_tile_density,
         # -- r4-green, load-bearing --
+        "asof_join": q_asof_join,  # new in r5: as-of temporal join
+        "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
+        "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "tile_assign": q_tile_assign,
         "tile_density": q_tile_density,
         "density_rollup": q_density_rollup,
         "catalog_topk": q_catalog_topk,
         "pile_assignment": q_pile_assignment,
-        "way_assembly": q_way_assembly,
-        "ways_geojson": q_ways_geojson,
         "purgatory": q_purgatory,
         "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
         "goql_query": q_goql_query,
-        "goql_union": q_goql_union,
         "knn_grid": q_knn_grid,
         "knn_cell_ring": q_knn_cell_ring,
         "knn_batch": q_knn_batch,
@@ -1106,7 +1148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- rotated out when the new dedup-cluster/repetition/
         # ----- contamination queries took head slots; goql_value_list +
         # ----- rels_xml + geom_collection rotated out for line_dedup/
-        # ----- hash_split/pii_scrub)
+        # ----- hash_split/pii_scrub; way_assembly + ways_geojson +
+        # ----- goql_union rotated out for asof_join/dbscan/tile_raster)
+        "way_assembly": q_way_assembly,
+        "ways_geojson": q_ways_geojson,
+        "goql_union": q_goql_union,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ways_xml": q_ways_xml,
@@ -1172,6 +1218,39 @@ _NGRAM_PAIRS_CTE = (
     "JOIN sz sb ON i.doc_b = sb.doc_id "
     "WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3)"
 )
+
+
+# DBSCAN twin: same eps-cell blocking (3x3 offsets), bigint-exact distance
+# evaluated in doubles (|dx| <= 2*eps on qualifying pairs, exactly
+# representable; DuckDB's optimizer may evaluate the filter before the cell
+# equi-join, so int64 squares would overflow on far pairs), reachability
+# closure over core-core edges with min-label canonicalization — the same
+# recursive-CTE pattern as the dup_clusters oracle.
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE pts AS (SELECT id, x, y FROM ({_PTS}) WHERE id % {{mod}} < 2),
+cells AS (SELECT id, x, y,
+   CAST(FLOOR(CAST(x AS DOUBLE)/{{eps}}.0) AS BIGINT) AS cx,
+   CAST(FLOOR(CAST(y AS DOUBLE)/{{eps}}.0) AS BIGINT) AS cy FROM pts),
+offs(dx,dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+pr AS (SELECT a.id ia, b.id ib FROM cells a, offs o, cells b
+       WHERE b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy AND a.id < b.id
+         AND CAST(a.x-b.x AS DOUBLE)*CAST(a.x-b.x AS DOUBLE)
+           + CAST(a.y-b.y AS DOUBLE)*CAST(a.y-b.y AS DOUBLE) <= {{eps}}.0*{{eps}}.0),
+sym AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib u, ia v FROM pr),
+deg AS (SELECT u AS id, COUNT(*) + 1 AS cnt FROM sym GROUP BY u),
+core AS (SELECT id FROM deg WHERE cnt >= {{minpts}}),
+ce AS (SELECT u, v FROM sym WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+reach AS (SELECT id, id AS lbl FROM core
+          UNION
+          SELECT ce.v AS id, reach.lbl FROM reach JOIN ce ON ce.u = reach.id),
+comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+border AS (SELECT s.u AS id, MIN(c.cluster) AS cluster FROM sym s JOIN comp c ON c.id = s.v
+           WHERE s.u NOT IN (SELECT id FROM core) GROUP BY s.u)
+SELECT id, cluster, 'core' AS role FROM comp
+UNION ALL SELECT id, cluster, 'border' AS role FROM border
+UNION ALL SELECT p.id, CAST(NULL AS BIGINT) AS cluster, 'noise' AS role FROM pts p
+  WHERE p.id NOT IN (SELECT id FROM comp) AND p.id NOT IN (SELECT id FROM border)
+"""
 
 
 def _esc_sql(expr: str) -> str:
@@ -1574,6 +1653,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders o "
             "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate > o.o_orderdate) GROUP BY o.o_orderpriority"
+        ),
+        "asof_join": (
+            "SELECT c.event_id, c.user_id, p.event_id AS purchase_id, "
+            "round(p.value, 6) AS purchase_value_r "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "dbscan": _DBSCAN_ORACLE.format(
+            mod=DBSCAN_SUBSET_MOD, eps=DBSCAN_EPS, minpts=DBSCAN_MIN_PTS
+        ),
+        "tile_raster": _with_points(
+            f"SELECT tile, CAST(COUNT(*) AS BIGINT) AS filled, "
+            f"CAST(SUM(c) AS BIGINT) AS px_sum FROM ("
+            f"SELECT {synth.tile_sql('x', 'y', 4)} AS tile, "
+            f"((x + {_HALF}) // {1 << 24}) % 16 AS bx, "
+            f"(({_HALF - 1} - y) // {1 << 24}) % 16 AS by, "
+            f"LEAST(COUNT(*), 255) AS c FROM pts GROUP BY 1, 2, 3"
+            f") GROUP BY tile"
         ),
         "window_top3_events": (
             "SELECT event_type, event_id, rn, value FROM ("

@@ -158,3 +158,61 @@ def rasterize_tiles(images_placed: DataFrame, tile_px: int = 8) -> DataFrame:
         )
 
     return images_placed.groupBy("tile").applyInPandas(per_tile, schema)
+
+
+def density_raster(
+    points: DataFrame,
+    zoom: int = 4,
+    grid: int = 16,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Vector->raster bridge with a PROVEN roundtrip: bin points into a
+    grid x grid per-tile density image, encode it through the REAL PNG
+    codec, decode it back, and report stats FROM THE DECODED PIXELS —
+    (tile, png, filled, px_sum).  Because the codec is lossless, filled
+    (non-zero bins) and px_sum (sum of u8-clamped counts) must equal the
+    pure-SQL binning — which is exactly what the gate's DuckDB oracle
+    recomputes, making the pixel roundtrip itself oracle-checked.
+
+    Scale shape: the binning is ONE map-side-combinable groupBy on
+    (tile, bx, by); the raster stage then sees at most grid^2 rows per
+    tile — O(tiles), independent of the input row count — so the Python
+    stage's input is bounded no matter how many points feed it.  Counts
+    clamp to 255 (u8 raster); grid must be a power of two so bin indices
+    stay bit-exact shift/mask math (same discipline as functions/spatial).
+    """
+    from ..functions import spatial as SP
+
+    if grid & (grid - 1):
+        raise ValueError("grid must be a power of two")
+    gbits = grid.bit_length() - 1
+    shift = 32 - zoom - gbits  # world-units-per-bin, as a shift
+    if shift < 0:
+        raise ValueError("grid finer than the integer plane at this zoom")
+
+    tile = SP.tile_of_point(F.col(x_col), F.col(y_col), zoom)
+    bx = F.shiftright(F.col(x_col).cast("bigint") + F.lit(SP.HALF), shift) % grid
+    by = F.shiftright(F.lit(SP.HALF - 1) - F.col(y_col).cast("bigint"), shift) % grid
+    binned = (
+        points.select(tile.alias("tile"), bx.alias("bx"), by.alias("by"))
+        .groupBy("tile", "bx", "by")
+        .agg(F.least(F.count(F.lit(1)), F.lit(255)).cast("int").alias("c"))
+    )
+
+    schema = "tile long, png binary, filled long, px_sum long"
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((grid, grid), np.uint8)
+        arr[pdf["by"].to_numpy(np.int64), pdf["bx"].to_numpy(np.int64)] = (
+            pdf["c"].to_numpy(np.int64).astype(np.uint8)
+        )
+        rgb = np.repeat(arr[:, :, None], 3, axis=2)
+        png = IMG.encode(rgb, "png")
+        dec = IMG.decode(png, grid, grid, "png")[:, :, 0]
+        return pd.DataFrame(
+            [(int(key[0]), png, int((dec > 0).sum()), int(dec.astype(np.int64).sum()))],
+            columns=["tile", "png", "filled", "px_sum"],
+        )
+
+    return binned.groupBy("tile").applyInPandas(per_tile, schema)

@@ -1,0 +1,117 @@
+"""asof_join vs pandas.merge_asof (the reference semantics) on adversarial
+random data: duplicate timestamps across sides, keys with no right rows,
+strict/tolerance variants, and partitioning independence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.operators import temporal
+
+
+def _mk(spark, seed=7, n_left=400, n_right=300, n_keys=12):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01")
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_left),
+            "k": rng.integers(0, n_keys, n_left),
+            # second-resolution so cross-side ts collisions actually happen
+            "ts": base + pd.to_timedelta(rng.integers(0, 5000, n_left), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys - 2, n_right),  # keys 10,11 stay unmatched
+            "ts": base + pd.to_timedelta(rng.integers(0, 5000, n_right), unit="s"),
+            "rid": np.arange(n_right),
+            "val": rng.normal(size=n_right).round(6),
+        }
+    )
+    # force exact cross-side ts collisions to exercise the inclusive bound
+    left.loc[: n_keys - 1, "ts"] = right.loc[: n_keys - 1, "ts"].values
+    left.loc[: n_keys - 1, "k"] = right.loc[: n_keys - 1, "k"].values
+    # dedupe right per (k, ts): merge_asof keeps the LAST row of equal ts;
+    # asof_join resolves ties via tie_col, so align both to a unique key
+    right = right.sort_values("rid").drop_duplicates(["k", "ts"], keep="last")
+    ldf = spark.createDataFrame(left).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rdf = spark.createDataFrame(right).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return left, right, ldf, rdf
+
+
+def _expected(left, right, strict=False, tolerance_s=None):
+    kw = {}
+    if tolerance_s is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance_s)
+    return pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=not strict,
+        **kw,
+    ).sort_values("lid")
+
+
+def _got(ldf, rdf, **kw):
+    out = temporal.asof_join(ldf, rdf, on="ts", by=["k"], prefix="m_", **kw)
+    return (
+        out.select("lid", "m_rid", "m_val")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+
+def _norm(vals):
+    # Spark nullable ints arrive in pandas as float64 (NaN for null);
+    # normalize BOTH sides to None/int before comparing
+    return [None if pd.isna(v) else int(v) for v in vals]
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_matches_merge_asof(spark, strict):
+    left, right, ldf, rdf = _mk(spark)
+    exp = _expected(left, right, strict=strict)
+    got = _got(ldf, rdf, strict=strict)
+    assert _norm(got["m_rid"]) == _norm(exp["rid"])
+    for g, e in zip(got["m_val"], exp["val"]):
+        assert (pd.isna(g) and pd.isna(e)) or g == e
+
+
+def test_tolerance(spark):
+    left, right, ldf, rdf = _mk(spark, seed=11)
+    exp = _expected(left, right, tolerance_s=600)
+    got = _got(ldf, rdf, tolerance_s=600)
+    assert _norm(got["m_rid"]) == _norm(exp["rid"])
+
+
+def test_partitioning_independent(spark):
+    _, _, ldf, rdf = _mk(spark, seed=23)
+    a = _got(ldf, rdf)
+    b = _got(ldf.repartition(13), rdf.repartition(3))
+    assert a.equals(b)
+
+
+def test_right_tie_resolution(spark):
+    # two right rows at the SAME (k, ts): tie_col picks the larger rid
+    ldf = spark.createDataFrame([(1, 1, "2024-01-01 00:10:00")], "lid int, k int, ts string")
+    rdf = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 7, 1.0), (1, "2024-01-01 00:05:00", 9, 2.0)],
+        "k int, ts string, rid int, val double",
+    )
+    ldf = ldf.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rdf = rdf.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = temporal.asof_join(ldf, rdf, on="ts", by=["k"], prefix="m_", tie_col="rid")
+    assert got.select("m_rid").first()[0] == 9
+
+
+def test_missing_on_column_raises(spark):
+    ldf = spark.range(3).withColumn("ts", F.current_timestamp())
+    rdf = spark.range(3)
+    with pytest.raises(ValueError):
+        temporal.asof_join(ldf, rdf, on="ts", by=[])
