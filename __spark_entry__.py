@@ -103,6 +103,50 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    # range join: every error within 24 hours AFTER a click, per user —
+    # a JOIN (all qualifying pairs), not an asof (latest only); the events
+    # table is ~2k clicks / ~2k errors over ~a month, so a day-wide window
+    # gives a dense-enough pair set to be a real gate (~900 rows at sf0.01)
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    res = temporal.interval_join(
+        clicks, errors, on="ts", by=["user_id"], lower_s=0, upper_s=86400, prefix="e_"
+    )
+    return res.select("event_id", "user_id", F.col("e_err_id").alias("err_id"))
+
+
+def q_resample_locf(spark, sf_dir):
+    # gap-fill: each user's value resampled to the hourly grid, last
+    # observation carried forward; (user_id, ts) deduped first so LOCF at
+    # a tie is well-defined on both engines
+    ev = _read(spark, sf_dir, "events")
+    series = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    return temporal.resample_locf(
+        series, on="ts", by=["user_id"], values=["value"], step_s=3600
+    )
+
+
+def q_box_overlap(spark, sf_dir):
+    # 2-D range join: deterministic small boxes grown from the point
+    # subsample; the hot clusters supply real overlap density
+    pts = (
+        synth.points_df(spark, sf_dir)
+        .filter((F.col("id") % 7) < 2)
+        .select(
+            "id",
+            F.col("x").alias("minx"),
+            F.col("y").alias("miny"),
+            (F.col("x") + 1 + (F.col("id") % 97) * 512).alias("maxx"),
+            (F.col("y") + 1 + (F.col("id") % 89) * 512).alias("maxy"),
+        )
+    )
+    return spatial_query.box_overlap_join(pts, zoom=11)
+
+
 # DBSCAN gate parameters: the id%7<2 subsample keeps BOTH synthetic hot
 # boxes (hot ids end in 0/1, so id%5 only ever hits clusters 0 and 1; a
 # mod coprime to 10 preserves them) and bounds the oracle's recursive
@@ -1115,6 +1159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_density": q_image_tile_density,
         # -- r4-green, load-bearing --
         "asof_join": q_asof_join,  # new in r5: as-of temporal join
+        "interval_join": q_interval_join,  # new in r5: bucketed range join
+        "resample_locf": q_resample_locf,  # new in r5: gap-fill resample
+        "box_overlap": q_box_overlap,  # new in r5: 2-D range join
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "tile_assign": q_tile_assign,
@@ -1123,11 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_topk": q_catalog_topk,
         "pile_assignment": q_pile_assignment,
         "purgatory": q_purgatory,
-        "relation_bbox": q_relation_bbox,
         "super_relation_bbox": q_super_relation_bbox,
         "goql_query": q_goql_query,
-        "knn_grid": q_knn_grid,
-        "knn_cell_ring": q_knn_cell_ring,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "minhash_lsh": q_minhash_lsh,
@@ -1149,7 +1193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- contamination queries took head slots; goql_value_list +
         # ----- rels_xml + geom_collection rotated out for line_dedup/
         # ----- hash_split/pii_scrub; way_assembly + ways_geojson +
-        # ----- goql_union rotated out for asof_join/dbscan/tile_raster)
+        # ----- goql_union rotated out for asof_join/dbscan/tile_raster;
+        # ----- relation_bbox + knn_grid + knn_cell_ring (r4-green,
+        # ----- untouched) rotated out for interval_join/resample_locf/
+        # ----- box_overlap)
+        "relation_bbox": q_relation_bbox,
+        "knn_grid": q_knn_grid,
+        "knn_cell_ring": q_knn_cell_ring,
         "way_assembly": q_way_assembly,
         "ways_geojson": q_ways_geojson,
         "goql_union": q_goql_union,
@@ -1661,6 +1711,38 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events "
             "WHERE event_type = 'purchase') p "
             "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "interval_join": (
+            "SELECT c.event_id, c.user_id, e.event_id AS err_id "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+            "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e "
+            "ON c.user_id = e.user_id AND e.ts >= c.ts "
+            "AND e.ts <= c.ts + INTERVAL 86400 SECOND"
+        ),
+        "resample_locf": (
+            # LOCF = grid ASOF-joined to the (user_id, ts)-deduped series;
+            # epoch()/make_timestamp are the TZ-free twins of the Spark
+            # side's NTZ wall-second arithmetic
+            "WITH d AS (SELECT user_id, ts, MAX(value) AS value FROM events "
+            "GROUP BY user_id, ts), "
+            "b AS (SELECT user_id, "
+            "CAST(ceil(epoch(MIN(ts))/3600)*3600 AS BIGINT) AS g0, "
+            "CAST(floor(epoch(MAX(ts))/3600)*3600 AS BIGINT) AS g1 "
+            "FROM d GROUP BY user_id), "
+            "grid AS (SELECT user_id, unnest(generate_series(g0, g1, 3600)) AS ge "
+            "FROM b WHERE g0 <= g1) "
+            "SELECT g.user_id, make_timestamp(g.ge*1000000) AS ts, d.value "
+            "FROM grid g ASOF LEFT JOIN d "
+            "ON g.user_id = d.user_id AND make_timestamp(g.ge*1000000) >= d.ts"
+        ),
+        "box_overlap": _with_points(
+            "SELECT a.id AS id_a, b.id AS id_b FROM "
+            "(SELECT id, x AS minx, y AS miny, x + 1 + (id % 97) * 512 AS maxx, "
+            "y + 1 + (id % 89) * 512 AS maxy FROM pts WHERE id % 7 < 2) a "
+            "JOIN (SELECT id, x AS minx, y AS miny, x + 1 + (id % 97) * 512 AS maxx, "
+            "y + 1 + (id % 89) * 512 AS maxy FROM pts WHERE id % 7 < 2) b "
+            "ON a.id < b.id AND a.minx <= b.maxx AND b.minx <= a.maxx "
+            "AND a.miny <= b.maxy AND b.miny <= a.maxy"
         ),
         "dbscan": _DBSCAN_ORACLE.format(
             mod=DBSCAN_SUBSET_MOD, eps=DBSCAN_EPS, minpts=DBSCAN_MIN_PTS

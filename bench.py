@@ -102,12 +102,44 @@ def main():
         writers.geojson_way_format(measures.assemble_coords(mem, pts_tiled), id_col="way_id")
     ))
 
+    # -- r5 spatial-analytics lanes: grid-blocked DBSCAN over the hot-box
+    # subsample (cell equi-join + CC rounds) and the vector->raster bridge
+    # (one map-combined binning groupBy, then an O(tiles) Python stage)
+    from gol_tool_spark.operators import geocluster
+
+    timed("dbscan", lambda: geocluster.dbscan(
+        points.filter(F.col("id") % 7 < 2).select("id", "x", "y"),
+        eps=60000, min_pts=10).count())
+    timed("density_raster", lambda: force(
+        multimodal.density_raster(points, zoom=4, grid=16)), repeats=2)
+    # 2-D range join: cell-blocked rectangle overlap with reference-point
+    # dedup (no dropDuplicates shuffle on the pair set); the id%7 subsample
+    # keeps the hot-cluster overlap density realistic without making the
+    # in-cluster candidate count quadratic in sf
+    boxes = points.filter(F.col("id") % 7 < 2).select(
+        "id", F.col("x").alias("minx"), F.col("y").alias("miny"),
+        (F.col("x") + 1 + (F.col("id") % 97) * 512).alias("maxx"),
+        (F.col("y") + 1 + (F.col("id") % 89) * 512).alias("maxy"),
+    )
+    timed("box_overlap", lambda: spatial_query.box_overlap_join(boxes, zoom=13).count())
+
     # -- relational core
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     disc = F.round(F.col("l_discount") * 100).cast("bigint")
     timed("q1_pricing", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity"), F.sum(cents * (100 - disc)), F.count(F.lit(1))).collect())
+
+    # as-of temporal join on the event stream: one shuffle (union + window),
+    # the same cost shape as an equi sort-merge join on (user_id)
+    from gol_tool_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("asof_join", lambda: force(temporal.asof_join(
+        ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("p_id"), "value"),
+        on="ts", by=["user_id"], prefix="m_")), repeats=2)
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries

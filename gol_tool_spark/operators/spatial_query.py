@@ -320,3 +320,74 @@ def ways_intersect_polygon(
             yield pd.DataFrame({"way_id": pdf["way_id"].to_numpy(np.int64)[hit]})
 
     return pre.mapInPandas(run, "way_id long")
+
+
+def box_overlap_join(
+    boxes: DataFrame,
+    zoom: int = 12,
+    other: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """2-D range join: all pairs of closed axis-aligned boxes
+    (id, minx, miny, maxx, maxy) that intersect — the rectangle-overlap
+    analogue of the temporal interval join, and the primitive under
+    bbox-level spatial joins (relation-bbox vs relation-bbox, tile
+    manifests vs query extents).  Self-join when ``other`` is None
+    (pairs reported once, id_a < id_b), else left-vs-other.
+
+    Spark-first shape: grid blocking with REFERENCE-POINT dedup (the
+    partition-join trick from the spatial-join literature — report a
+    pair only in the grid cell containing the intersection's min
+    corner), so there is NO dropDuplicates shuffle on the pair set:
+      * each box explodes to the zoom-``zoom`` cells its extent covers
+        (sequence x sequence, pure JVM; fan-out = cells per box, the
+        caller picks zoom so typical boxes cover O(1) cells),
+      * ONE equi-join on the cell key,
+      * codegen filter: boxes overlap AND the intersection's min corner
+        falls in THIS cell — exactly one cell satisfies that per
+        intersecting pair, so each pair emerges exactly once.
+    Dense cells are AQE skew-split territory, same as the kNN cell join.
+    """
+    s = 32 - zoom
+
+    def cover(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"id_{tag}"),
+                F.col("minx").cast("bigint").alias(f"_nx_{tag}"),
+                F.col("miny").cast("bigint").alias(f"_ny_{tag}"),
+                F.col("maxx").cast("bigint").alias(f"_xx_{tag}"),
+                F.col("maxy").cast("bigint").alias(f"_xy_{tag}"),
+            )
+            .withColumn(
+                "_cx",
+                F.explode(
+                    F.sequence(
+                        F.shiftright(F.col(f"_nx_{tag}") + S.HALF, s),
+                        F.shiftright(F.col(f"_xx_{tag}") + S.HALF, s),
+                    )
+                ),
+            )
+            .withColumn(
+                "_cy",
+                F.explode(
+                    F.sequence(
+                        F.shiftright(F.col(f"_ny_{tag}") + S.HALF, s),
+                        F.shiftright(F.col(f"_xy_{tag}") + S.HALF, s),
+                    )
+                ),
+            )
+        )
+    a = cover(boxes, "a")
+    b = cover(boxes if other is None else other, "b")
+    j = a.join(b, ["_cx", "_cy"])
+    if other is None:
+        j = j.filter(F.col("id_a") < F.col("id_b"))
+    rx = F.greatest("_nx_a", "_nx_b") + S.HALF
+    ry = F.greatest("_ny_a", "_ny_b") + S.HALF
+    return j.filter(
+        (F.col("_nx_a") <= F.col("_xx_b")) & (F.col("_nx_b") <= F.col("_xx_a"))
+        & (F.col("_ny_a") <= F.col("_xy_b")) & (F.col("_ny_b") <= F.col("_xy_a"))
+        & (F.shiftright(rx, s) == F.col("_cx"))
+        & (F.shiftright(ry, s) == F.col("_cy"))
+    ).select("id_a", "id_b")

@@ -86,3 +86,144 @@ def asof_join(
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload]
     return matched.select(*out_cols)
+
+
+def _wall_secs(on: str) -> F.Column:
+    """Wall-clock seconds since the epoch wall time, via NTZ difference —
+    deterministic under any session timezone (LTZ inputs convert to NTZ by
+    the session TZ first, the standard Spark cast)."""
+    return F.expr(
+        f"CAST((CAST({on} AS TIMESTAMP_NTZ)"
+        f" - TIMESTAMP_NTZ '1970-01-01 00:00:00') AS BIGINT)"
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    lower_s: int = 0,
+    upper_s: int = 60,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Range (interval) join: every (left, right) pair sharing the ``by``
+    keys with right.on in [left.on + lower_s, left.on + upper_s] seconds —
+    the temporal range join Spark has no built-in for (DuckDB/kdb window
+    join territory; Structured Streaming only has it as a stream-stream
+    join condition).
+
+    Spark-first shape: epoch-bucket blocking.  Both sides bucket their
+    timestamps at width W = (upper_s - lower_s); the left side explodes to
+    the (at most two when the span <= W) consecutive buckets its window
+    touches, then ONE equi-join on (by..., bucket) + a codegen range
+    filter evaluates exact containment.  No crossJoin, no range explode
+    proportional to the window, no Python; fan-out is ceil(span/W)+1 = 2
+    rows per left row, independent of data volume or window size.
+
+    Skew bound: a bucket holds W seconds of one key's events — the same
+    per-key-per-window bound the sessionize/window operators already
+    carry; AQE skew-split applies to the join.
+    """
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    w = max(int(upper_s) - int(lower_s), 1)
+    by = list(by)
+    payload = [c for c in right.columns if c not in by]
+
+    # wall-clock seconds via NTZ difference — session-TZ-independent (the
+    # repo discipline: unix_timestamp() on NTZ shifts with the session TZ
+    # and is non-linear across DST transitions); sub-second inputs floor
+    le = _wall_secs(on)
+    lo = (le + F.lit(int(lower_s))).alias("_lo")
+    hi = (le + F.lit(int(upper_s))).alias("_hi")
+    l2 = left.select("*", lo, hi).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_lo") / w), F.floor(F.col("_hi") / w)
+            )
+        ),
+    )
+    r2 = right.select(
+        *by,
+        F.floor(_wall_secs(on) / w).alias("_bkt"),
+        _wall_secs(on).alias("_re"),
+        F.struct(*[F.col(c) for c in payload]).alias("_r"),
+    )
+    joined = l2.join(r2, by + ["_bkt"]).filter(
+        (F.col("_re") >= F.col("_lo")) & (F.col("_re") <= F.col("_hi"))
+    )
+    out = [F.col(c) for c in left.columns]
+    out += [F.col(f"_r.{c}").alias(f"{prefix}{c}") for c in payload]
+    return joined.select(*out)
+
+
+def resample_locf(
+    df: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    values: Sequence[str] = (),
+    step_s: int = 3600,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Gap-fill: resample each key's series onto the regular step_s grid
+    (grid points are multiples of step_s in epoch seconds — globally
+    aligned, not per-key phases), carrying the last observation forward
+    (LOCF).  Output: (by..., on, values...) with one row per grid point
+    from the first multiple >= the key's min(on) to the last <= max(on).
+    An observation exactly on a grid point is visible to it (inclusive).
+
+    Spark-first: the same tagged-union + running-last(ignoreNulls) window
+    as asof_join — generate each key's grid rows with sequence()+explode
+    (pure JVM, one row per grid point), union with the data rows, ONE
+    window over (by) ordered by (on, side) fills every value column in a
+    single pass.  Two shuffles total (per-key min/max agg + the window),
+    both on the same keys.
+    """
+    by = list(by)
+    values = list(values) or [
+        c for c in df.columns if c not in by and c != on and c != tie_col
+    ]
+    step = int(step_s)
+    e = _wall_secs(on)  # TZ-independent wall-clock seconds
+
+    bounds = df.groupBy(*by).agg(
+        (F.ceil(F.min(e) / step) * step).alias("_g0"),
+        (F.floor(F.max(e) / step) * step).alias("_g1"),
+    )
+    grid = (
+        bounds.filter(F.col("_g0") <= F.col("_g1"))
+        .withColumn("_ge", F.explode(F.sequence("_g0", "_g1", F.lit(step))))
+        .select(
+            *by,
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, _ge)"
+            ).cast(df.schema[on].dataType).alias(on),
+            F.lit(1).alias("_side"),
+        )
+    )
+    data = df.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_v_{c}") for c in values],
+        *([F.col(tie_col).alias("_tie")] if tie_col else []),
+    )
+    u = grid.unionByName(data, allowMissingColumns=True)
+    order = [F.col(on).asc(), F.col("_side").asc()]
+    if tie_col:
+        order.append(F.col("_tie").asc_nulls_first())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *by,
+        F.col(on),
+        F.col("_side"),
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in values],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

@@ -76,6 +76,55 @@ def main():
         "Broadcast the query vectors; quantized dot products are JVM higher-order "
         "aggregates; single window for ranking.", mode="simple")
 
+    from gol_tool_spark.operators import geocluster, multimodal, temporal
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    add("As-of temporal join (tagged union + one running-last window)",
+        temporal.asof_join(
+            ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", F.col("event_id").alias("p_id")),
+            on="ts", by=["user_id"]),
+        "ONE exchange on the by-keys feeding ONE Window whose running "
+        "last(ignoreNulls) frame is streaming state — the same shuffle count "
+        "as an equi sort-merge join on user_id; no range explode, no Python.",
+        mode="simple")
+    add("Interval (range) join — epoch-bucket blocking",
+        temporal.interval_join(
+            ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+            ev.filter(F.col("event_type") == "error").select(
+                "user_id", "ts", F.col("event_id").alias("err_id")),
+            on="ts", by=["user_id"], lower_s=0, upper_s=86400),
+        "Both sides bucket at the window width; the left explodes to its "
+        "(at most 2) touched buckets, then ONE equi-join on (user_id, bucket) "
+        "with the exact containment filter in codegen — no range explode "
+        "proportional to the window, no crossJoin.", mode="simple")
+    add("2-D box-overlap join (grid blocking + reference-point dedup)",
+        spatial_query.box_overlap_join(
+            synth.points_df(spark, sf).select(
+                "id", F.col("x").alias("minx"), F.col("y").alias("miny"),
+                (F.col("x") + 50000).alias("maxx"), (F.col("y") + 50000).alias("maxy")),
+            zoom=11),
+        "Each box explodes to its covered cells (sequence x sequence, pure "
+        "JVM); ONE equi-join on the cell key; the reference-point conjunct "
+        "(intersection min corner in THIS cell) makes each pair emerge "
+        "exactly once with NO dropDuplicates shuffle on the pair set.",
+        mode="simple")
+    add("DBSCAN eps-pair generation (cell equi-join, never all-pairs)",
+        geocluster.eps_pairs(
+            synth.points_df(spark, sf).select("id", "x", "y"), eps=60000),
+        "The 3x3 neighbor fan-out multiplies one side by 9 BEFORE a plain "
+        "equi-join exchange on (cx, cy); the distance test is bigint codegen. "
+        "Dense-cell skew is AQE skew-join territory, identical to the kNN "
+        "cell-ring join.  (Core classification + the CC merge reuse the "
+        "dup_clusters round audited above.)", mode="simple")
+    add("Density raster (binning groupBy -> O(tiles) Python stage)",
+        multimodal.density_raster(synth.points_df(spark, sf), zoom=4, grid=16),
+        "The per-(tile,bx,by) binning is ONE map-side-combined HashAggregate "
+        "pair over pure shift/mask codegen; only then does FlatMapGroupsInPandas "
+        "run — its input is capped at grid^2 rows per tile, O(tiles) total, "
+        "independent of input row count.", mode="simple")
+
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     add("Benchmark decontamination (broadcast shingle semi-join)",
         dedup.benchmark_contamination(docs, docs.filter(F.col("doc_id") % 37 == 0), n=3),
