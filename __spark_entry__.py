@@ -172,6 +172,31 @@ def q_tile_raster(spark, sf_dir):
     return r.select("tile", "filled", "px_sum")
 
 
+def q_tally_percentiles(spark, sf_dir):
+    # D-family breadth: exact grouped percentiles (PERCENTILE_CONT
+    # interpolation — DuckDB quantile_cont twin), rounded to 6 so the
+    # interpolation arithmetic's last-ulp is never load-bearing
+    li = _read(spark, sf_dir, "lineitem")
+    r = stats.grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+    return r.select(
+        "l_returnflag",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    # equi-width histogram per event type (WIDTH_BUCKET semantics: 0 =
+    # below range, n+1 = at/above hi)
+    ev = _read(spark, sf_dir, "events")
+    return stats.value_histogram(
+        ev, "value", 0.0, 500.0, 20, group_cols=["event_type"]
+    )
+
+
 def q_density_rollup(spark, sf_dir):
     return tiling.rollup(q_tile_density(spark, sf_dir))
 
@@ -1162,11 +1187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,  # new in r5: bucketed range join
         "resample_locf": q_resample_locf,  # new in r5: gap-fill resample
         "box_overlap": q_box_overlap,  # new in r5: 2-D range join
+        "tally_percentiles": q_tally_percentiles,  # new in r5: exact grouped pcts
+        "value_histogram": q_value_histogram,  # new in r5: WIDTH_BUCKET histogram
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "tile_assign": q_tile_assign,
-        "tile_density": q_tile_density,
-        "density_rollup": q_density_rollup,
         "catalog_topk": q_catalog_topk,
         "pile_assignment": q_pile_assignment,
         "purgatory": q_purgatory,
@@ -1196,7 +1221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- goql_union rotated out for asof_join/dbscan/tile_raster;
         # ----- relation_bbox + knn_grid + knn_cell_ring (r4-green,
         # ----- untouched) rotated out for interval_join/resample_locf/
-        # ----- box_overlap)
+        # ----- box_overlap; tile_density + density_rollup rotated out
+        # ----- for tally_percentiles/value_histogram)
+        "tile_density": q_tile_density,
+        "density_rollup": q_density_rollup,
         "relation_bbox": q_relation_bbox,
         "knn_grid": q_knn_grid,
         "knn_cell_ring": q_knn_cell_ring,
@@ -1743,6 +1771,19 @@ def oracle_sql() -> dict[str, str]:
             "y + 1 + (id % 89) * 512 AS maxy FROM pts WHERE id % 7 < 2) b "
             "ON a.id < b.id AND a.minx <= b.maxx AND b.minx <= a.maxx "
             "AND a.miny <= b.maxy AND b.miny <= a.maxy"
+        ),
+        "tally_percentiles": (
+            "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+            "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, "
+            "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "value_histogram": (
+            # WIDTH_BUCKET emulation mirroring Spark's float order
+            "SELECT event_type, CASE WHEN value IS NULL THEN NULL "
+            "WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 21 "
+            "ELSE 1 + CAST(FLOOR((value - 0.0) / (500.0 - 0.0) * 20) AS BIGINT) END AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, bucket"
         ),
         "dbscan": _DBSCAN_ORACLE.format(
             mod=DBSCAN_SUBSET_MOD, eps=DBSCAN_EPS, minpts=DBSCAN_MIN_PTS

@@ -85,3 +85,45 @@ def tally_roles(rel_members: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.countDistinct("rel_id").alias("n_relations"),
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — SQL
+    PERCENTILE_CONT semantics) of ``value_col`` per group.  Uses the
+    built-in exact `percentile` aggregate: one map-side-combined groupBy,
+    all JVM.  Exactness costs a per-group value buffer — the right tool
+    for bounded-cardinality groups; for 100-TB unbounded groups use
+    `approx_percentile` with the same call shape (documented seam,
+    deliberately not silently substituted: the two differ numerically)."""
+    aggs = [
+        F.expr(f"percentile({value_col}, {p})").alias(
+            f"p{str(p)[2:].ljust(2, '0')}"
+        )
+        for p in ps
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] = (),
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` over [lo, hi): bucket 0 is
+    below-range, n_bins+1 above-range (SQL WIDTH_BUCKET semantics),
+    optionally per group.  One map-side-combined groupBy on the bucket
+    id; empty buckets are absent (join a sequence spine if a dense axis
+    is needed)."""
+    b = F.expr(f"width_bucket({value_col}, {float(lo)}, {float(hi)}, {int(n_bins)})")
+    return (
+        df.groupBy(*list(group_cols), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
