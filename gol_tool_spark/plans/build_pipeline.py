@@ -59,6 +59,15 @@ class BuildConfig:
     #: compile-layout locality key: 'hilbert' (tighter bbox row-group
     #: locality; Arrow-batched build-time kernel) or 'morton' (pure JVM)
     locality: str = "hilbert"
+    #: >1 splits the compile stage into this many independently-committed
+    #: pile batches (per-TILE checkpoints): each batch overwrites only its
+    #: own pile partitions (dynamic partitionOverwriteMode) and commits a
+    #: batch manifest stamped with a fingerprint of the sort-stage
+    #: manifest, so a killed compile resumes at the first unfinished batch
+    #: and an upstream re-run invalidates every batch.  The reference's
+    #: per-tile work-queue restart (BuildCommand.java:240-265 resumes the
+    #: Compiler mid-tile-set) at Spark granularity.
+    compile_batches: int = 1
 
 
 def _manifest_path(cfg: BuildConfig, stage: str) -> str:
@@ -202,9 +211,175 @@ def _synth_tags(returnflag, qty):
     return F.when(qty > 45, named).otherwise(base)
 
 
-def _stage_compile(spark, cfg: BuildConfig, t0):
+def _compiled(pts, cfg: BuildConfig):
+    """The compile transform (tags, key-index bucket, locality order) as a
+    pure DataFrame function so the whole-stage and per-batch writers share
+    one plan definition."""
     from ..functions import keybits as KB
     from ..functions.spatial import hilbert_cell, morton_cell
+
+    schema = KB.parse_schema(cfg.indexed_keys)
+    tags = _synth_tags(F.col("returnflag"), F.col("qty"))
+    loc = hilbert_cell if cfg.locality == "hilbert" else morton_cell
+    return (
+        pts.withColumn("tags", tags)
+        .withColumn("keybits", KB.keybits_col(F.col("tags"), schema))
+        .withColumn("zorder", loc(F.col("x"), F.col("y"), 16))
+        .repartition("pile")
+        .sortWithinPartitions("keybits", "zorder", "id")
+        .drop("zorder", "returnflag", "qty")
+    )
+
+
+def _batch_manifest_path(cfg: BuildConfig, b: int) -> str:
+    return os.path.join(cfg.out_dir, f"_manifest_compile_batch_{b}.json")
+
+
+def _sort_fingerprint(cfg: BuildConfig) -> str:
+    """Identity of the compile stage's INPUT.  The sort manifest is
+    rewritten (fresh wall_sec, file list) whenever the sort stage re-runs,
+    so its md5 changes exactly when compile batches go stale."""
+    import hashlib
+
+    with open(_manifest_path(cfg, "sort"), "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()
+
+
+def _batch_files(cfg: BuildConfig, piles: list[int]) -> list[dict]:
+    """Footer-metadata lineage for the pile partitions a batch owns (the
+    per-tile slice of what _write_manifest collects store-wide)."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(cfg.out_dir, "compile")
+    files = []
+    for p in piles:
+        pdir = os.path.join(root, f"pile={p}")
+        if not os.path.isdir(pdir):
+            continue
+        for dp, _, fs in os.walk(pdir):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    full = os.path.join(dp, f)
+                    files.append({
+                        "file": os.path.relpath(full, root),
+                        "rows": int(pq.ParquetFile(full).metadata.num_rows),
+                        "bytes": os.path.getsize(full),
+                    })
+    return files
+
+
+def _batch_done(cfg: BuildConfig, b: int, fingerprint: str) -> bool:
+    """A batch counts as committed iff its manifest exists, was produced
+    from the CURRENT sort output, and every file it recorded is still on
+    disk at the recorded size — otherwise it re-runs."""
+    mp = _batch_manifest_path(cfg, b)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as fh:
+            m = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return False
+    if m.get("input_fingerprint") != fingerprint:
+        return False
+    root = os.path.join(cfg.out_dir, "compile")
+    for entry in m.get("files", []):
+        full = os.path.join(root, entry["file"])
+        if not (os.path.exists(full) and os.path.getsize(full) == entry["bytes"]):
+            return False
+    return True
+
+
+def _compile_batch(spark, cfg: BuildConfig, b: int, piles: list[int], fingerprint: str):
+    """Write ONE pile batch.  Dynamic partitionOverwriteMode replaces only
+    the partitions this batch produces, so a half-written batch that died
+    before its manifest re-runs cleanly without touching committed
+    batches' directories.  The batch manifest is written AFTER the data
+    (temp+rename): manifest present == batch durable."""
+    pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort")).filter(
+        F.col("pile").isin(piles)  # IN-list on the partition column: planning-time prune
+    )
+    out = _compiled(pts, cfg)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("pile", "keybits").parquet(
+            os.path.join(cfg.out_dir, "compile")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    files = _batch_files(cfg, piles)
+    manifest = {
+        "batch": b,
+        "piles": piles,
+        "input_fingerprint": fingerprint,
+        "files": files,
+        "rows": sum(f["rows"] for f in files),
+        "bytes": sum(f["bytes"] for f in files),
+    }
+    tmp = _batch_manifest_path(cfg, b) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _batch_manifest_path(cfg, b))
+    return manifest
+
+
+def _stage_compile(spark, cfg: BuildConfig, t0):
+    if cfg.compile_batches > 1:
+        # per-tile checkpointed lane: piles hash into compile_batches
+        # deterministic groups; each group commits independently, so a
+        # kill at batch k resumes at batch k (tests/test_pipeline.py
+        # TestCompileBatches kill-mid-compile proof).
+        cat = spark.read.parquet(os.path.join(cfg.out_dir, "prepare"))
+        all_piles = sorted(r.pile for r in cat.select("pile").collect())
+        fingerprint = _sort_fingerprint(cfg)
+        groups = {b: [] for b in range(cfg.compile_batches)}
+        for p in all_piles:
+            groups[p % cfg.compile_batches].append(p)
+        # stale-input sweep: dynamic overwrite only REPLACES partitions the
+        # new batch produces — (pile, keybits) dirs that vanished from the
+        # re-sorted input would linger.  Any committed batch carrying a
+        # different fingerprint (or a pile set that no longer matches the
+        # deterministic grouping) means the input moved: wipe the stage and
+        # recompile every batch from the new sort output.
+        import glob as _glob
+        import shutil
+
+        stale = False
+        for mp in _glob.glob(os.path.join(cfg.out_dir, "_manifest_compile_batch_*.json")):
+            try:
+                with open(mp) as fh:
+                    m = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                stale = True
+                break
+            b = m.get("batch", -1)
+            if m.get("input_fingerprint") != fingerprint or m.get("piles") != groups.get(b):
+                stale = True
+                break
+        if stale:
+            shutil.rmtree(os.path.join(cfg.out_dir, "compile"), ignore_errors=True)
+            for mp in _glob.glob(os.path.join(cfg.out_dir, "_manifest_compile_batch_*.json")):
+                os.remove(mp)
+        summary = []
+        for b in range(cfg.compile_batches):
+            if not groups[b]:
+                continue
+            if _batch_done(cfg, b, fingerprint):
+                summary.append({"batch": b, "piles": len(groups[b]), "skipped": True})
+                continue
+            m = _compile_batch(spark, cfg, b, groups[b], fingerprint)
+            summary.append({
+                "batch": b, "piles": len(groups[b]), "skipped": False,
+                "rows": m["rows"], "bytes": m["bytes"],
+            })
+        out = spark.read.parquet(os.path.join(cfg.out_dir, "compile"))
+        _write_manifest(cfg, "compile", out, t0, extra={
+            "compile_batches": cfg.compile_batches,
+            "input_fingerprint": fingerprint,
+            "batches": summary,
+        })
+        return
 
     pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort"))
     # key-index buckets as physical partitions: each (pile, keybits) pair
@@ -218,17 +393,7 @@ def _stage_compile(spark, cfg: BuildConfig, t0):
     # measured at sf0.01 (17 row groups, 40 deterministic bboxes): Hilbert
     # ordering touches 62 row groups vs Morton's 139 — 2.2x fewer reads
     # for the same data (tests/test_pipeline.py TestLocalityLayout)
-    schema = KB.parse_schema(cfg.indexed_keys)
-    tags = _synth_tags(F.col("returnflag"), F.col("qty"))
-    loc = hilbert_cell if cfg.locality == "hilbert" else morton_cell
-    out = (
-        pts.withColumn("tags", tags)
-        .withColumn("keybits", KB.keybits_col(F.col("tags"), schema))
-        .withColumn("zorder", loc(F.col("x"), F.col("y"), 16))
-        .repartition("pile")
-        .sortWithinPartitions("keybits", "zorder", "id")
-        .drop("zorder", "returnflag", "qty")
-    )
+    out = _compiled(pts, cfg)
     out.write.mode("overwrite").partitionBy("pile", "keybits").parquet(
         os.path.join(cfg.out_dir, "compile")
     )

@@ -1035,3 +1035,81 @@ class TestSessionWindows:
             by_user.setdefault(r.user_id, []).append(r.n_events)
         assert sorted(by_user[1]) == [1, 2]  # two sessions: events 1+2, then 3
         assert by_user[2] == [1]
+
+
+class TestCompileBatches:
+    """Per-tile checkpointed compile (BuildConfig.compile_batches > 1):
+    kill-mid-compile resumes at the first unfinished batch, upstream
+    re-runs invalidate every batch, and the batched store is row-for-row
+    identical to the whole-stage store."""
+
+    @pytest.fixture()
+    def cfg(self, tmp_path, sf_dir):
+        return BP.BuildConfig(out_dir=str(tmp_path / "golb"), sf_dir=sf_dir,
+                              max_tiles=30, min_density=20, salt_threshold=100,
+                              compile_batches=3)
+
+    def _store_rows(self, spark, out_dir):
+        df = spark.read.parquet(os.path.join(out_dir, "compile"))
+        return sorted(
+            (r.id, r.pile, r.keybits)
+            for r in df.select("id", "pile", "keybits").collect()
+        )
+
+    def test_batched_equals_whole_stage(self, spark, cfg, tmp_path, sf_dir):
+        m = BP.run_build(spark, cfg)
+        assert m["compile"]["compile_batches"] == 3
+        ran = [b for b in m["compile"]["batches"] if not b["skipped"]]
+        assert len(ran) >= 2  # >=2 non-empty batches at 30 piles
+        whole = BP.BuildConfig(out_dir=str(tmp_path / "golw"), sf_dir=sf_dir,
+                               max_tiles=30, min_density=20, salt_threshold=100)
+        BP.run_build(spark, whole)
+        assert self._store_rows(spark, cfg.out_dir) == \
+            self._store_rows(spark, whole.out_dir)
+
+    def test_kill_mid_compile_resumes_remaining_batches(
+            self, spark, cfg, monkeypatch):
+        real = BP._compile_batch
+        calls = []
+
+        def dying(spark_, c, b, piles, fp):
+            if len(calls) == 1:
+                raise RuntimeError("simulated executor loss mid-compile")
+            calls.append(b)
+            return real(spark_, c, b, piles, fp)
+
+        monkeypatch.setattr(BP, "_compile_batch", dying)
+        with pytest.raises(RuntimeError, match="mid-compile"):
+            BP.run_build(spark, cfg)
+        # batch 0 committed, stage manifest absent -> stage not done
+        assert os.path.exists(BP._batch_manifest_path(cfg, calls[0]))
+        assert not os.path.exists(BP._manifest_path(cfg, "compile"))
+        monkeypatch.setattr(BP, "_compile_batch", real)
+        m = BP.run_build(spark, cfg)
+        done = {b["batch"]: b["skipped"] for b in m["compile"]["batches"]}
+        assert done[calls[0]] is True          # committed batch NOT re-run
+        assert sum(not s for s in done.values()) >= 1  # the rest ran
+        # resumed store is complete: every sorted row reached compile
+        assert m["compile"]["rows"] == m["sort"]["rows"]
+
+    def test_upstream_rerun_invalidates_batches(self, spark, cfg):
+        BP.run_build(spark, cfg)
+        m = BP.run_build(spark, cfg, force_from="sort")
+        # sort manifest changed -> fingerprint moved -> no batch skipped
+        assert all(not b["skipped"] for b in m["compile"]["batches"])
+        assert m["compile"]["rows"] == m["sort"]["rows"]
+
+    def test_batch_manifest_lineage(self, spark, cfg):
+        BP.run_build(spark, cfg)
+        with open(BP._batch_manifest_path(cfg, 0)) as fh:
+            bm = json.load(fh)
+        assert bm["rows"] == sum(f["rows"] for f in bm["files"]) > 0
+        assert all(f["file"].startswith("pile=") for f in bm["files"])
+        # batch piles are disjoint and cover the catalog
+        seen = []
+        b = 0
+        while os.path.exists(BP._batch_manifest_path(cfg, b)):
+            with open(BP._batch_manifest_path(cfg, b)) as fh:
+                seen.extend(json.load(fh)["piles"])
+            b += 1
+        assert len(seen) == len(set(seen))
