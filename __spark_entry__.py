@@ -454,6 +454,42 @@ def q_hash_split(spark, sf_dir):
     return text.hash_split(_read(spark, sf_dir, "documents"))
 
 
+#: geodesic disc query: center grid point (a hot synthetic cluster at
+#: ~77°S, so meridian convergence is actually exercised) + radius.  The
+#: trig literals below are folded HERE with python floats (== JVM doubles)
+#: and interpolated into both the operator call and the oracle SQL, so the
+#: two sides share bit-identical constants.
+RADIUS_CENTER = (-1500000000, -1500000000)
+RADIUS_M = 300000.0
+_R_TWO_PI = 2.0 * 3.141592653589793
+_R_LAT_C = __import__("math").atan(__import__("math").sinh(RADIUS_CENTER[1] / 4294967296.0 * _R_TWO_PI))
+_R_LON_C = RADIUS_CENTER[0] / 4294967296.0 * _R_TWO_PI
+_R_COS_C = __import__("math").cos(_R_LAT_C)
+_R_TWO_RE = 2.0 * (40075016.68557849 / _R_TWO_PI)
+
+
+def q_radius_query(spark, sf_dir):
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return spatial_query.radius_query_m(pts, *RADIUS_CENTER, RADIUS_M)
+
+
+#: fixed BM25 query batch (vocabulary words from the synthetic corpus);
+#: shared verbatim by the Spark query and the oracle's VALUES list
+BM25_QUERIES = [
+    ("q1", "spark table join"),
+    ("q2", "fast scan filter window"),
+    ("q3", "customer order merge stream"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    from gol_tool_spark.operators import retrieval
+
+    docs = _read(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id string, qtext string")
+    return retrieval.bm25_topk(docs, qdf, k=10)
+
+
 def q_pii_scrub(spark, sf_dir):
     # fixture texts are clean word streams; plant deterministic PII so the
     # scrub has real matches (oracle plants the identical strings)
@@ -1192,10 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "tile_assign": q_tile_assign,
-        "catalog_topk": q_catalog_topk,
         "pile_assignment": q_pile_assignment,
-        "purgatory": q_purgatory,
-        "super_relation_bbox": q_super_relation_bbox,
+        "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
         "goql_query": q_goql_query,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
@@ -1208,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
         "line_dedup": q_line_dedup,  # new in r5: C4 global line-level dedup
         "hash_split": q_hash_split,  # new in r5: deterministic corpus split
+        "bm25_topk": q_bm25_topk,  # new in r5: BM25 ranked retrieval
+        "radius_query": q_radius_query,  # new in r5: geodesic disc query
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
@@ -1257,7 +1293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tally_length_m": q_tally_length_m,
         "way_l1_length": q_way_l1_length,
         "ghost_copies": q_ghost_copies,
-        "image_jfif": q_image_jfif,  # rows-only: T.81 bitstream lane
+        # super_relation_bbox + catalog_topk + purgatory rotated out (r4
+        # driver green, relations.py/tiling.py untouched in r5) to give
+        # image_jfif, bm25_topk and radius_query their first driver rows
+        "super_relation_bbox": q_super_relation_bbox,
+        "catalog_topk": q_catalog_topk,
+        "purgatory": q_purgatory,
     }
 
 
@@ -1897,6 +1938,45 @@ def oracle_sql() -> dict[str, str]:
             )
             + f" ELSE '{text.split_thresholds()[-1][0]}' END AS split "
             "FROM (SELECT doc_id, substr(md5(text), 1, 8) AS h8 FROM documents)"
+        ),
+        "radius_query": (
+            # haversine on the engine sphere, same expression tree as
+            # radius_query_m (v = (y/2^32)*2pi; lat = atan((e^v-e^-v)/2));
+            # center trig folded to the SAME python-float literals
+            f"WITH pts AS ({_PTS}), "
+            "c AS (SELECT id, x, y, "
+            "atan((exp((CAST(y AS DOUBLE) / 4294967296.0) * 6.283185307179586) "
+            "- exp(-((CAST(y AS DOUBLE) / 4294967296.0) * 6.283185307179586))) / 2.0) AS lat, "
+            "(CAST(x AS DOUBLE) / 4294967296.0) * 6.283185307179586 AS lon FROM pts), "
+            f"d AS (SELECT id, x, y, {_R_TWO_RE!r} * asin(sqrt("
+            f"sin((lat - {_R_LAT_C!r}) / 2.0) * sin((lat - {_R_LAT_C!r}) / 2.0) "
+            f"+ cos(lat) * {_R_COS_C!r} * sin((lon - {_R_LON_C!r}) / 2.0) * sin((lon - {_R_LON_C!r}) / 2.0)"
+            ")) AS dist FROM c) "
+            f"SELECT id, x, y, round(dist, 3) AS dist_m FROM d WHERE dist <= {RADIUS_M!r}"
+        ),
+        "bm25_topk": (
+            # BM25 (Lucene idf variant) twin: same tokenization as the
+            # operator, double-cast literals so DuckDB never falls into
+            # DECIMAL arithmetic, same evaluation order as retrieval.bm25
+            "WITH q(query_id, qtext) AS (VALUES "
+            + ", ".join(f"('{qid}', '{qt}')" for qid, qt in BM25_QUERIES)
+            + "), "
+            "tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term FROM documents), "
+            "post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1), "
+            "qt AS (SELECT DISTINCT query_id, term FROM (SELECT query_id, "
+            "unnest(string_split(trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g')), ' ')) AS term FROM q) WHERE term <> ''), "
+            "scored AS (SELECT query_id, doc_id, round(sum("
+            "ln(1e0 + (CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0)) "
+            "* (CAST(tf AS DOUBLE) * 2.2e0) / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))"
+            "), 6) AS score_r "
+            "FROM post JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot "
+            "GROUP BY 1, 2) "
+            "SELECT query_id, doc_id, score_r, CAST(rnk AS INT) AS rnk FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS rnk FROM scored"
+            ") WHERE rnk <= 10"
         ),
         "pii_scrub": (
             "WITH planted AS (SELECT doc_id, text || CASE "

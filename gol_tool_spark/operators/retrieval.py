@@ -1,0 +1,122 @@
+"""BM25 ranked retrieval over the documents corpus.
+
+Not in the reference (no text corpus ops there); first-class for a
+training-data engine: dataset curation ranks candidate documents against
+benchmark/query strings (quality-by-relevance selection, contamination
+triage, topic targeting) — at 100 TB that ranking must be a distributed
+scan, not an external index build.
+
+Shape (all built-in JVM expressions, no Python on the hot path):
+
+  postings  = explode(tokens) -> groupBy(doc_id, term).count()    [1 shuffle,
+              map-side combined; the only wide op over the corpus]
+  doclen    = sum(tf) per doc — derived FROM the postings, no 2nd scan
+  term df   = groupBy(term) over the postings (map-combined)
+  queries   = tiny (query_id, term) table, BROADCAST to the postings
+  score     = one groupBy(query_id, doc_id) over the ~|q| x matched rows
+
+Scaling: the corpus-sized tables shuffle once each on natural keys
+(doc_id, term); everything query-sided is broadcast.  Skewed hot terms
+(stopwords) are exactly the rows the broadcast semi-join DROPS unless a
+query asks for them, so the score shuffle carries only matched postings.
+
+The Okapi idf is the Lucene/ATIRE non-negative variant
+ln(1 + (N - df + 0.5)/(df + 0.5)); scores round to 6 decimals so the
+DuckDB oracle (same arithmetic, same evaluation order) matches the repr
+hash — the discipline every float oracle in this repo follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def _terms(text):
+    """Whitespace tokens of the normalized text (same normalization as
+    text.line_dedup: lower, collapse runs of whitespace)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf) — the inverted-index rows.  Cache/persist this
+    to amortize across query batches; at scale it is a bucketed table on
+    `term`."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_terms(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every (query, document) pair with a matching term.
+
+    queries: (query_id, qtext).  Returns (query_id, doc_id, score_r)
+    with score_r = round(BM25, 6), score descending deterministic."""
+    post = postings(docs, text_col, id_col)
+    doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # corpus totals as a 1-row broadcast (no driver-side collect)
+    totals = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        queries.select("query_id", F.explode(_terms(F.col("qtext"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    matched = (
+        post.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        matched.withColumn("contrib", idf * tf_part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score_r"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per-query top-k by BM25 (rank ties broken by doc_id so the result
+    is partitioning-independent).  The window partitions by query_id —
+    bounded by the query batch, never by corpus size."""
+    from pyspark.sql import Window
+
+    scored = bm25(docs, queries, text_col, id_col, k1, b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_r", "rnk")
+    )

@@ -391,3 +391,90 @@ def box_overlap_join(
         & (F.shiftright(rx, s) == F.col("_cx"))
         & (F.shiftright(ry, s) == F.col("_cy"))
     ).select("id_a", "id_b")
+
+
+# great-circle radius query ------------------------------------------------
+
+#: sphere radius implied by the engine's EARTH_CIRCUMFERENCE (measures.py)
+EARTH_R = 40075016.68557849 / (2.0 * 3.141592653589793)
+_GRID = 4294967296.0
+_TWO_PI = 2.0 * 3.141592653589793
+
+
+def _lat_rad(y):
+    """Latitude (radians) of a grid y — atan(sinh(v)) written as the
+    explicit exp form so the SQL twin reproduces it bit-for-bit (the same
+    discipline as measures.mercator_scale_col)."""
+    v = y.cast("double") / _GRID * _TWO_PI
+    return F.atan((F.exp(v) - F.exp(-v)) / 2.0)
+
+
+def radius_prefilter_bounds(
+    cx: int, cy: int, radius_m: float, margin: float = 1.001
+) -> tuple[int, int, int, int]:
+    """Conservative grid-space bbox containing the great-circle disc.
+
+    Driver-side float math (python == JVM doubles): lat span of the disc
+    is radius/R_e; the x span uses the meridian convergence at the
+    FARTHEST latitude of the disc, so the box only ever over-covers.
+    Clamped to the grid; margin absorbs projection round-off."""
+    import math
+
+    lat_c = math.atan(math.sinh(cy / _GRID * _TWO_PI))
+    dlat = radius_m / EARTH_R * margin
+    lat_lo = max(-1.5707, lat_c - dlat)
+    lat_hi = min(1.5707, lat_c + dlat)
+    half = int(_GRID / 2) - 1
+
+    def y_of(lat):
+        return max(-half, min(half, int(_GRID / _TWO_PI * math.asinh(math.tan(lat)))))
+
+    cos_far = min(math.cos(lat_lo), math.cos(lat_hi))
+    if cos_far <= 1e-9:  # disc touches a pole: no lon bound survives
+        dx = half * 2
+    else:
+        dx = int(radius_m / (EARTH_R * cos_far) / _TWO_PI * _GRID * margin) + 1
+    return (
+        max(-half, cx - dx), y_of(lat_lo), min(half, cx + dx), y_of(lat_hi)
+    )
+
+
+def radius_query_m(
+    points: DataFrame,
+    cx: int,
+    cy: int,
+    radius_m: float,
+    goql: str | None = None,
+) -> DataFrame:
+    """All points within radius_m metres (great-circle/haversine on the
+    engine's sphere) of grid point (cx, cy) — `gol query`'s bbox scope
+    generalized to a geodesic disc.
+
+    Two-phase like every spatial predicate here: a conservative x/y range
+    (plain column compares -> PushedFilters on a stored scan, exactly the
+    bbox_query path) then the exact haversine residual, all JVM codegen.
+    The center's lat/lon/cos are folded to python-float literals so the
+    SQL oracle shares bit-identical constants."""
+    import math
+
+    w, s, e, n = radius_prefilter_bounds(cx, cy, radius_m)
+    lat_c = math.atan(math.sinh(cy / _GRID * _TWO_PI))
+    lon_c = cx / _GRID * _TWO_PI
+    cos_c = math.cos(lat_c)
+    lat = _lat_rad(F.col("y"))
+    lon = F.col("x").cast("double") / _GRID * _TWO_PI
+    sin_dphi = F.sin((lat - F.lit(lat_c)) / 2.0)
+    sin_dlmb = F.sin((lon - F.lit(lon_c)) / 2.0)
+    a = sin_dphi * sin_dphi + F.cos(lat) * F.lit(cos_c) * sin_dlmb * sin_dlmb
+    dist = F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(a))
+    out = (
+        points.filter(
+            (F.col("x") >= w) & (F.col("x") <= e)
+            & (F.col("y") >= s) & (F.col("y") <= n)
+        )
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+    )
+    if goql:
+        out = out.withColumn("ftype", F.lit("n")).filter(compile_goql(goql)).drop("ftype")
+    return out.withColumn("dist_m", F.round("dist_m", 3))

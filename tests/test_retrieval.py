@@ -1,0 +1,91 @@
+"""BM25 ranked retrieval: exact scores vs a pure-python reference,
+determinism, and plan shape (broadcast query side, no cartesian)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from gol_tool_spark.operators import retrieval
+
+DOCS = [
+    (1, "spark table join join"),
+    (2, "fast scan filter"),
+    (3, "spark spark spark window agg"),
+    (4, "customer order merge stream table"),
+    (5, "the quick brown fox"),
+]
+QUERIES = [("qa", "spark table"), ("qb", "fast fox")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        for d, t in toks.items():
+            s = 0.0
+            for term in set(qtext.lower().split()):
+                tf = t.count(term)
+                if tf == 0 or term not in df:
+                    continue
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl[d] / avgdl))
+            if s > 0:
+                out[(qid, d)] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def q_df(spark):
+    return spark.createDataFrame(QUERIES, "query_id string, qtext string")
+
+
+class TestBM25:
+    def test_scores_match_reference(self, docs_df, q_df):
+        got = {
+            (r.query_id, r.doc_id): r.score_r
+            for r in retrieval.bm25(docs_df, q_df).collect()
+        }
+        want = _py_bm25(DOCS, QUERIES)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+    def test_topk_order_and_tiebreak(self, docs_df, q_df):
+        rows = retrieval.bm25_topk(docs_df, q_df, k=3).collect()
+        by_q = {}
+        for r in sorted(rows, key=lambda r: (r.query_id, r.rnk)):
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+            for a, bb in zip(rs, rs[1:]):
+                assert (a.score_r, -a.doc_id) >= (bb.score_r, -bb.doc_id)
+        # qa: doc3 (3x spark) and doc1 (2x join-heavy but has both terms)
+        assert by_q["qa"][0].doc_id in (1, 3)
+
+    def test_repeated_query_terms_count_once(self, docs_df, spark):
+        q1 = spark.createDataFrame([("q", "spark")], "query_id string, qtext string")
+        q2 = spark.createDataFrame([("q", "spark spark spark")], "query_id string, qtext string")
+        s1 = {r.doc_id: r.score_r for r in retrieval.bm25(docs_df, q1).collect()}
+        s2 = {r.doc_id: r.score_r for r in retrieval.bm25(docs_df, q2).collect()}
+        assert s1 == s2
+
+    def test_plan_broadcasts_query_side(self, docs_df, q_df, spark):
+        plan = retrieval.bm25(docs_df, q_df)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
