@@ -188,6 +188,19 @@ def main():
     timed("line_dedup_syn", lambda: force(
         text_ops.line_dedup(text_ops.block_lines(docs_syn))))
     timed("pii_scrub_syn", lambda: force(text_ops.scrub_pii(docs_syn)))
+    # BM25 ranked retrieval: postings shuffle + broadcast query batch over
+    # the synthetic corpus (the three-query batch from the gate entry)
+    from gol_tool_spark.operators import retrieval
+
+    bm25_q = spark.createDataFrame(
+        [("q1", "spark table join"), ("q2", "fast scan filter window"),
+         ("q3", "customer order merge stream")],
+        "query_id string, qtext string")
+    timed("bm25_topk_syn", lambda: force(retrieval.bm25_topk(docs_syn, bm25_q, k=10)))
+    # geodesic disc over the tiled points: range prefilter + haversine
+    timed("radius_query", lambda: force(spatial_query.radius_query_m(
+        pts_tiled.select("id", "x", "y"), -1500000000, -1500000000, 300000.0)),
+        repeats=2)
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()

@@ -126,6 +126,20 @@ def main():
         "independent of input row count.", mode="simple")
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from gol_tool_spark.operators import retrieval
+
+    add("BM25 ranked retrieval (postings shuffle + broadcast query batch)",
+        retrieval.bm25_topk(
+            docs,
+            spark.createDataFrame([("q1", "spark table join")],
+                                  "query_id string, qtext string"), k=10),
+        "The corpus pays ONE map-combined explode->groupBy (postings); doc "
+        "lengths and term df derive FROM the postings (no second corpus "
+        "scan); the query terms BROADCAST into the postings so unmatched "
+        "(stopword-heavy) rows never reach the score exchange; the final "
+        "groupBy(query_id, doc_id) carries only matched rows and the top-k "
+        "window partitions by query_id — bounded by the query batch, never "
+        "the corpus.", mode="simple")
     add("Benchmark decontamination (broadcast shingle semi-join)",
         dedup.benchmark_contamination(docs, docs.filter(F.col("doc_id") % 37 == 0), n=3),
         "The held-out shingle set dedups and BROADCASTs into a LeftSemi join — "
@@ -166,6 +180,15 @@ def main():
             "Against the compiled store, range predicates reach the parquet scan "
             "(PushedFilters) and the pile predicate prunes partitions (PartitionFilters); "
             "Z-order layout keeps row-group min/max stats tight.")
+        add("Geodesic radius query on the store (pushdown prefilter + haversine residual)",
+            spatial_query.radius_query_m(
+                store.select("id", "x", "y"), -1500000000, -1500000000, 300000.0),
+            "The conservative Mercator box (cos(lat_far) meridian correction, "
+            "driver-side floats) is plain column compares — they reach the "
+            "parquet scan as PushedFilters, exactly the bbox_query path; the "
+            "exact great-circle distance is whole-stage-codegen trig on the "
+            "survivors.  No shuffle at all: a scan-shaped predicate at any "
+            "scale.")
         kq = BP.query_store(spark, os.path.join(cfg.out_dir, "compile"),
                             "n[highway]", cfg.indexed_keys)
         add("Keybits index (GOQL tag query -> bucket pruning)", kq,
