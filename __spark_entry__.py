@@ -473,6 +473,12 @@ def q_radius_query(spark, sf_dir):
     return spatial_query.radius_query_m(pts, *RADIUS_CENTER, RADIUS_M)
 
 
+def q_span_dedup(spark, sf_dir):
+    # exact-substring dedup at 8-token windows; the synthetic corpus draws
+    # from a small vocabulary, so cross-doc duplicate windows genuinely occur
+    return text.ngram_span_dedup(_read(spark, sf_dir, "documents"), n=8)
+
+
 #: fixed BM25 query batch (vocabulary words from the synthetic corpus);
 #: shared verbatim by the Spark query and the oracle's VALUES list
 BM25_QUERIES = [
@@ -1230,7 +1236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "pile_assignment": q_pile_assignment,
         "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
-        "goql_query": q_goql_query,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "minhash_lsh": q_minhash_lsh,
@@ -1244,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,  # new in r5: deterministic corpus split
         "bm25_topk": q_bm25_topk,  # new in r5: BM25 ranked retrieval
         "radius_query": q_radius_query,  # new in r5: geodesic disc query
+        "span_dedup": q_span_dedup,  # new in r5: exact-substring dedup
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
@@ -1293,12 +1299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tally_length_m": q_tally_length_m,
         "way_l1_length": q_way_l1_length,
         "ghost_copies": q_ghost_copies,
-        # super_relation_bbox + catalog_topk + purgatory rotated out (r4
-        # driver green, relations.py/tiling.py untouched in r5) to give
-        # image_jfif, bm25_topk and radius_query their first driver rows
+        # super_relation_bbox + catalog_topk + purgatory + goql_query rotated
+        # out (r4 driver green, relations/tiling/goql untouched in r5) to give
+        # image_jfif, bm25_topk, radius_query, span_dedup their first driver rows
         "super_relation_bbox": q_super_relation_bbox,
         "catalog_topk": q_catalog_topk,
         "purgatory": q_purgatory,
+        "goql_query": q_goql_query,
     }
 
 
@@ -1938,6 +1945,29 @@ def oracle_sql() -> dict[str, str]:
             )
             + f" ELSE '{text.split_thresholds()[-1][0]}' END AS split "
             "FROM (SELECT doc_id, substr(md5(text), 1, 8) AS h8 FROM documents)"
+        ),
+        "span_dedup": (
+            # exact-substring dedup twin: same tokenization, same md5 window
+            # hashes (engine-portable), ROW_NUMBER keeper = Spark's
+            # min-struct, identical gaps-and-islands frame
+            "WITH base AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents), "
+            "wins AS (SELECT doc_id, CAST(i AS INT) AS pos, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h "
+            "FROM base, UNNEST(CASE WHEN len(w) >= 8 THEN generate_series(1, len(w) - 7) ELSE [] END) AS g(i)), "
+            "rk AS (SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn, "
+            "COUNT(*) OVER (PARTITION BY h) AS cnt FROM wins), "
+            "removals AS (SELECT doc_id, pos, pos + 7 AS fin FROM rk WHERE cnt > 1 AND rn > 1), "
+            "st AS (SELECT doc_id, pos, fin, CASE WHEN pos > COALESCE(MAX(fin) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483648) + 1 "
+            "THEN 1 ELSE 0 END AS step FROM removals), "
+            "isl AS (SELECT doc_id, pos, fin, SUM(step) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM st), "
+            "merged AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(fin) AS e FROM isl GROUP BY 1, 2), "
+            "remcnt AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed FROM merged GROUP BY 1), "
+            "tokpos AS (SELECT doc_id, CAST(i AS INT) AS i, w[i] AS tok FROM base, UNNEST(generate_series(1, len(w))) AS g(i)), "
+            "keptagg AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS text_dedup FROM tokpos t "
+            "WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.doc_id = t.doc_id AND t.i BETWEEN m.s AND m.e) GROUP BY 1) "
+            "SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tokens, COALESCE(r.n_removed, 0) AS n_removed, "
+            "COALESCE(k.text_dedup, '') AS text_dedup "
+            "FROM base b LEFT JOIN remcnt r USING (doc_id) LEFT JOIN keptagg k ON k.doc_id = b.doc_id"
         ),
         "radius_query": (
             # haversine on the engine sphere, same expression tree as

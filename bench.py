@@ -188,6 +188,9 @@ def main():
     timed("line_dedup_syn", lambda: force(
         text_ops.line_dedup(text_ops.block_lines(docs_syn))))
     timed("pii_scrub_syn", lambda: force(text_ops.scrub_pii(docs_syn)))
+    # exact-substring dedup: windows ~= 1 row/token through one
+    # map-combined hash groupBy + join back + per-doc island merge
+    timed("span_dedup_syn", lambda: force(text_ops.ngram_span_dedup(docs_syn, n=8)))
     # BM25 ranked retrieval: postings shuffle + broadcast query batch over
     # the synthetic corpus (the three-query batch from the gate entry)
     from gol_tool_spark.operators import retrieval

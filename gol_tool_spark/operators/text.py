@@ -276,3 +276,100 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     key). A rolling-hash variant lives in dedup.simhash for near-dups."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def ngram_span_dedup(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-global EXACT-SUBSTRING deduplication at n-token window
+    granularity (the suffix-array dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-expressed as a
+    distributed hash plan): every n-token window occurring more than once
+    in the corpus keeps exactly ONE occurrence — the lowest (doc_id, pos)
+    — and every other occurrence's token span is removed from its
+    document.  Overlapping removal spans merge (gaps-and-islands) before
+    tokens are dropped, so a long duplicated passage is excised once, not
+    window-by-window.
+
+    Returns (doc_id, n_tokens, n_removed, text_dedup); documents shorter
+    than n tokens pass through untouched.
+
+    Scale: windows ~= one row per token — the SAME order of magnitude a
+    suffix array indexes, but here it is one explode + one map-combined
+    groupBy(hash) (hot boilerplate windows collapse pre-shuffle) + one
+    join back on the hash + one per-doc window for the island merge
+    (bounded by that doc's duplicated-window count).  All JVM expressions;
+    md5 window hashes are engine-portable so the SQL oracle reproduces
+    the result bit-for-bit."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col), toks.alias("w"))
+    # (doc, pos, h) for every n-window; 1-based pos, inclusive span end
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("w", i, n))).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+        ).alias("win"),
+    ).select(id_col, "win.pos", "win.h")
+    dup_keeper = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(F.struct(id_col, "pos")).alias("k"))
+        .filter(F.col("cnt") > 1)
+        .select("h", f"k.{id_col}", F.col("k.pos").alias("kpos"))
+        .withColumnRenamed(id_col, "kdoc")
+    )
+    removals = (
+        wins.join(dup_keeper, "h")
+        .filter(~((F.col(id_col) == F.col("kdoc")) & (F.col("pos") == F.col("kpos"))))
+        .select(id_col, "pos", (F.col("pos") + (n - 1)).alias("fin"))
+    )
+    # gaps-and-islands: a window starts a new island iff it begins past
+    # every previous island's end + 1 (adjacent spans merge too — they
+    # remove a contiguous token run)
+    byd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("fin").over(byd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        removals.withColumn(
+            "step", F.when(F.col("pos") > prev_max + 1, 1).when(prev_max.isNull(), 1).otherwise(0)
+        )
+        .withColumn("grp", F.sum("step").over(byd))
+        .groupBy(id_col, "grp")
+        .agg(F.min("pos").alias("s"), F.max("fin").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    out = base.join(islands, id_col, "left").select(
+        id_col,
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate("ivs", F.lit(0), lambda acc, iv: acc + iv["e"] - iv["s"] + 1),
+            F.lit(0),
+        ).cast("bigint").alias("n_removed"),
+        F.when(F.col("ivs").isNull(), F.array_join("w", " ")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            "w", (lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i")))
+                        ),
+                        lambda s: ~F.exists(
+                            "ivs", lambda iv: (s["i"] >= iv["s"]) & (s["i"] <= iv["e"])
+                        ),
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            )
+        ).alias("text_dedup"),
+    )
+    return out

@@ -144,3 +144,73 @@ class TestDedupCanonical:
         comp = {r["doc_id"]: r["comp"] for r in clusters.collect()}
         assert comp[1] == comp[2] == comp[3] == 1
         assert 9 not in comp  # singleton never emitted
+
+
+class TestNgramSpanDedup:
+    """Exact-substring (n-token window) dedup vs a brute-force python twin:
+    keeper retention, span merging, internal repeats, sub-n docs."""
+
+    def _py_twin(self, rows, n):
+        toks = {d: " ".join(t.lower().split()).split(" ") for d, t in rows}
+        occ = {}
+        for d in sorted(toks):
+            w = toks[d]
+            for i in range(len(w) - n + 1):
+                occ.setdefault(tuple(w[i:i + n]), []).append((d, i + 1))
+        rem = {d: set() for d in toks}
+        for win, places in occ.items():
+            if len(places) > 1:
+                for d, p in sorted(places)[1:]:
+                    rem[d].update(range(p, p + n))
+        out = {}
+        for d, w in toks.items():
+            kept = [t for i, t in enumerate(w, 1) if i not in rem[d]]
+            out[d] = (len(w), len(rem[d]), " ".join(kept))
+        return out
+
+    def _check(self, spark, rows, n):
+        from gol_tool_spark.operators import text as T
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_dedup)
+            for r in T.ngram_span_dedup(df, n=n).collect()
+        }
+        assert got == self._py_twin(rows, n)
+
+    def test_basic_keeper_and_merge(self, spark):
+        self._check(spark, [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h z"),
+            (3, "short doc"),
+            (4, "a b c d e f g h a b c d e f g h"),
+        ], 8)
+
+    def test_random_small_vocab(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (d, " ".join(rng.choice(vocab, rng.integers(3, 40)).tolist()))
+            for d in range(60)
+        ]
+        self._check(spark, rows, 5)
+
+    def test_normalization_collapses_whitespace(self, spark):
+        self._check(spark, [
+            (1, "a  b   c d e F"),
+            (2, "A b\tc d E f"),
+        ], 3)
+
+    def test_no_python_in_plan(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = T.ngram_span_dedup(df, n=2)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        # createDataFrame's input RDD mentions applySchemaToPythonRDD; what
+        # must NOT appear is any Python EVALUATION operator
+        for node in ("BatchEvalPython", "ArrowEval", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, node

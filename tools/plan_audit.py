@@ -140,6 +140,15 @@ def main():
         "groupBy(query_id, doc_id) carries only matched rows and the top-k "
         "window partitions by query_id — bounded by the query batch, never "
         "the corpus.", mode="simple")
+    add("Exact-substring span dedup (window hashes + island merge)",
+        text.ngram_span_dedup(docs, n=8),
+        "The Lee-et-al suffix-array dedup as a hash plan: one explode to "
+        "~1 row/token, a map-combined groupBy(h) (hot boilerplate windows "
+        "collapse pre-shuffle) with a ROW_NUMBER-free min-struct keeper, one "
+        "join back on h, and a per-doc window ONLY over that doc's removal "
+        "spans (gaps-and-islands) — never over the corpus.  Token excision "
+        "is higher-order array functions; no Python evaluation anywhere.",
+        mode="simple")
     add("Benchmark decontamination (broadcast shingle semi-join)",
         dedup.benchmark_contamination(docs, docs.filter(F.col("doc_id") % 37 == 0), n=3),
         "The held-out shingle set dedups and BROADCASTs into a LeftSemi join — "
