@@ -473,6 +473,16 @@ def q_radius_query(spark, sf_dir):
     return spatial_query.radius_query_m(pts, *RADIUS_CENTER, RADIUS_M)
 
 
+#: source->keep-rate mixing plan shared by the query and its oracle
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+MIX_DEFAULT = 0.75
+
+
+def q_mix_sample(spark, sf_dir):
+    out = text.mix_sample(_read(spark, sf_dir, "documents"), MIX_RATES, MIX_DEFAULT)
+    return out.select("doc_id", "source", "h8")
+
+
 def q_span_dedup(spark, sf_dir):
     # exact-substring dedup at 8-token windows; the synthetic corpus draws
     # from a small vocabulary, so cross-doc duplicate windows genuinely occur
@@ -1234,7 +1244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "tile_assign": q_tile_assign,
-        "pile_assignment": q_pile_assignment,
         "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
@@ -1250,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,  # new in r5: BM25 ranked retrieval
         "radius_query": q_radius_query,  # new in r5: geodesic disc query
         "span_dedup": q_span_dedup,  # new in r5: exact-substring dedup
+        "mix_sample": q_mix_sample,  # new in r5: source-weighted mixing
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
@@ -1306,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_topk": q_catalog_topk,
         "purgatory": q_purgatory,
         "goql_query": q_goql_query,
+        "pile_assignment": q_pile_assignment,
     }
 
 
@@ -1945,6 +1956,17 @@ def oracle_sql() -> dict[str, str]:
             )
             + f" ELSE '{text.split_thresholds()[-1][0]}' END AS split "
             "FROM (SELECT doc_id, substr(md5(text), 1, 8) AS h8 FROM documents)"
+        ),
+        "mix_sample": (
+            "WITH h AS (SELECT doc_id, source, substr(md5(text), 1, 8) AS h8, "
+            "CASE "
+            + " ".join(
+                f"WHEN source = '{src}' THEN '{format(min(int(r * (1 << 32)), (1 << 32) - 1), '08x')}'"
+                for src, r in MIX_RATES.items()
+            )
+            + f" ELSE '{format(min(int(MIX_DEFAULT * (1 << 32)), (1 << 32) - 1), '08x')}' END AS thr "
+            "FROM documents) "
+            "SELECT doc_id, source, h8 FROM h WHERE h8 < thr"
         ),
         "span_dedup": (
             # exact-substring dedup twin: same tokenization, same md5 window

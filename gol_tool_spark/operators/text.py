@@ -373,3 +373,47 @@ def ngram_span_dedup(
         ).alias("text_dedup"),
     )
     return out
+
+
+def mix_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic source-weighted subsampling — the data-MIXING stage of
+    a training pipeline ("keep 30% of web, 100% of code"): a row survives
+    iff the first 8 hex chars of md5(text || salt) fall below its source's
+    rate threshold.  Content-hash gating (same discipline as hash_split)
+    means the decision is reproducible anywhere, independent of
+    partitioning, ordering, or cluster size, and a document duplicated
+    across sources is kept/dropped consistently per source.
+
+    Pure per-row JVM expressions — zero shuffle, scan-speed at any corpus
+    size.  Returns the surviving rows + (h8, rate used)."""
+
+    def _thr(rate: float) -> str:
+        return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+    h8 = F.substring(F.md5(F.concat(F.col(text_col), F.lit(salt))), 1, 8)
+    rate_expr = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == src
+        rate_expr = (
+            F.when(cond, F.lit(_thr(r)))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(_thr(r)))
+        )
+    thr = (
+        F.lit(_thr(default_rate))
+        if rate_expr is None
+        else rate_expr.otherwise(F.lit(_thr(default_rate)))
+    )
+    return (
+        df.withColumn("h8", h8)
+        .withColumn("thr", thr)
+        .filter(F.col("h8") < F.col("thr"))
+        .drop("thr")
+    )

@@ -214,3 +214,34 @@ class TestNgramSpanDedup:
         for node in ("BatchEvalPython", "ArrowEval", "MapInPandas",
                      "FlatMapGroupsInPandas"):
             assert node not in plan, node
+
+
+class TestMixSample:
+    def test_rates_and_determinism(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        rows = [(i, f"doc text number {i}", f"src{i % 4}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+        out = T.mix_sample(df, rates, default_rate=0.25)
+        got = {(r.doc_id, r.source) for r in out.collect()}
+        # determinism: identical second run
+        assert got == {(r.doc_id, r.source) for r in out.collect()}
+        by_src = {}
+        for _, s in got:
+            by_src[s] = by_src.get(s, 0) + 1
+        assert by_src.get("src0") == 500          # rate 1.0 keeps all
+        assert "src2" not in by_src               # rate 0 keeps none
+        assert 175 <= by_src.get("src1", 0) <= 325   # ~0.5 of 500
+        assert 60 <= by_src.get("src3", 0) <= 190    # default 0.25 of 500
+
+    def test_partitioning_independent(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        rows = [(i, f"t {i}", "a") for i in range(500)]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string, source string").repartition(1)
+        df2 = spark.createDataFrame(rows, "doc_id long, text string, source string").repartition(32)
+        r = {"a": 0.4}
+        k1 = {x.doc_id for x in T.mix_sample(df1, r).collect()}
+        k2 = {x.doc_id for x in T.mix_sample(df2, r).collect()}
+        assert k1 == k2 and 100 <= len(k1) <= 300
