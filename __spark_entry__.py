@@ -710,6 +710,29 @@ def q_way_l1_length(spark, sf_dir):
     return m.select("way_id", "n_nodes", "l1_len", "closed")
 
 
+def q_way_centroid(spark, sf_dir):
+    # the fixture membership's closed ways are all degenerate A-B-A rings
+    # (zero area), so build REAL rings: each order with >=3 lineitems is a
+    # way over its lineitem points in linenumber order, closed back to the
+    # first — mirrored row-for-row in the oracle's mem CTE
+    from gol_tool_spark.operators import measures
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").cast("int").alias("seq"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("node_ref"),
+    )
+    cl = base.groupBy("way_id").agg(
+        F.min("node_ref").alias("node_ref"), F.count(F.lit(1)).alias("cnt")
+    ).filter(F.col("cnt") >= 3)
+    mem = base.join(cl.select("way_id"), "way_id").unionByName(
+        cl.select("way_id", F.lit(99).alias("seq"), "node_ref")
+    )
+    pts = synth.points_df(spark, sf_dir)
+    return measures.way_centroids(mem, pts.select("id", "x", "y"))
+
+
 def q_ghost_copies(spark, sf_dir):
     from gol_tool_spark.operators import classify
 
@@ -1243,7 +1266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,  # new in r5: WIDTH_BUCKET histogram
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
-        "tile_assign": q_tile_assign,
         "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
@@ -1260,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_query": q_radius_query,  # new in r5: geodesic disc query
         "span_dedup": q_span_dedup,  # new in r5: exact-substring dedup
         "mix_sample": q_mix_sample,  # new in r5: source-weighted mixing
+        "way_centroid": q_way_centroid,  # new in r5: shoelace centroid
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
@@ -1317,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purgatory": q_purgatory,
         "goql_query": q_goql_query,
         "pile_assignment": q_pile_assignment,
+        "tile_assign": q_tile_assign,
     }
 
 
@@ -2163,6 +2187,43 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(CAST(SUM(ABS(x - px) + ABS(y - py)) AS BIGINT), 0) AS l1_len, "
             "(MAX(fx) = MAX(lx) AND MAX(fy) = MAX(ly) AND COUNT(*) > 2) AS closed "
             "FROM st GROUP BY way_id"
+        ),
+        "way_centroid": _with_points(
+            # shoelace centroid twin: ordered coord lists + list_reduce
+            # left folds prepended with 0.0 == Spark's aggregate(init=0.0)
+            ", wbase AS (SELECT l_orderkey AS way_id, CAST(l_linenumber AS INT) AS seq, "
+            "l_orderkey * 8 + l_linenumber AS node_ref FROM lineitem), "
+            "wcl AS (SELECT way_id, MIN(node_ref) AS node_ref, COUNT(*) AS cnt FROM wbase GROUP BY 1), "
+            "mem AS (SELECT b.way_id, b.seq, b.node_ref FROM wbase b JOIN wcl ON b.way_id = wcl.way_id AND wcl.cnt >= 3 "
+            "UNION ALL SELECT way_id, 99, node_ref FROM wcl WHERE cnt >= 3), "
+            "j AS ("
+            "SELECT m.way_id, m.seq, p.x, p.y FROM mem m JOIN t12 p ON m.node_ref = p.id), "
+            "arr AS (SELECT way_id, list(x ORDER BY seq, x, y) AS xs, "
+            "list(y ORDER BY seq, x, y) AS ys FROM j GROUP BY way_id), "
+            "cl AS (SELECT way_id, xs, ys, len(xs) AS n FROM arr "
+            "WHERE len(xs) > 2 AND xs[1] = xs[len(xs)] AND ys[1] = ys[len(ys)]), "
+            # EXACT shoelace sums in HUGEINT (= Spark's DECIMAL(38,0) lane),
+            # coords shifted to the ring's first point; doubles appear only
+            # in the final division
+            "d AS (SELECT way_id, n, "
+            "list_transform(xs, v -> CAST(v - xs[1] AS HUGEINT)) AS dx, "
+            "list_transform(ys, v -> CAST(v - ys[1] AS HUGEINT)) AS dy, "
+            "xs[1] AS x0, ys[1] AS y0 FROM cl), "
+            "t AS (SELECT way_id, n, x0, y0, "
+            "list_transform(generate_series(1, n), i -> "
+            "dx[i] * dy[i % n + 1] - dx[i % n + 1] * dy[i]) AS cr, "
+            "list_transform(generate_series(1, n), i -> "
+            "(dx[i] + dx[i % n + 1]) * (dx[i] * dy[i % n + 1] - dx[i % n + 1] * dy[i])) AS sxt, "
+            "list_transform(generate_series(1, n), i -> "
+            "(dy[i] + dy[i % n + 1]) * (dx[i] * dy[i % n + 1] - dx[i % n + 1] * dy[i])) AS syt FROM d), "
+            "f AS (SELECT way_id, n, x0, y0, "
+            "list_reduce(list_prepend(CAST(0 AS HUGEINT), cr), (a, v) -> a + v) AS a2, "
+            "list_reduce(list_prepend(CAST(0 AS HUGEINT), sxt), (a, v) -> a + v) AS sx, "
+            "list_reduce(list_prepend(CAST(0 AS HUGEINT), syt), (a, v) -> a + v) AS sy FROM t) "
+            "SELECT way_id, CAST(n AS INT) AS n_nodes, "
+            "CAST(round((CAST(x0 AS DOUBLE) + CAST(sx AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) * 100) AS BIGINT) AS cx_c, "
+            "CAST(round((CAST(y0 AS DOUBLE) + CAST(sy AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))) * 100) AS BIGINT) AS cy_c "
+            "FROM f WHERE a2 != 0"
         ),
         "ghost_copies": _with_points(
             f", mem AS ({_MEM}), wt AS ("

@@ -176,3 +176,71 @@ def way_measures(membership: DataFrame, points: DataFrame) -> DataFrame:
         euclidean_length(F.col("coords")).alias("l2_len"),
         ((first["x"] == last["x"]) & (first["y"] == last["y"]) & (F.size("coords") > 2)).alias("closed"),
     )
+
+
+def ring_centroid(coords: Column) -> tuple[Column, Column]:
+    """Shoelace-weighted polygon centroid of a closed ring (grid units):
+    Cx = x0 + sum((dx_i + dx_j) * cross_ij) / (3 * A2), j = wrap-next,
+    with dx/dy relative to the ring's FIRST point and every product/sum
+    carried in DECIMAL(38,0) — EXACT integer arithmetic (|terms| < 1e29
+    at full grid spread), so float rounding (and FMA contraction, which
+    made a float version diverge from DuckDB by 1 ulp on cancellation-
+    heavy bowtie rings) never enters until one final double division
+    that any IEEE engine reproduces bit-for-bit.  NULL for degenerate
+    rings (A2 = 0) or n < 3."""
+    n = F.size(coords)
+    idx = F.sequence(F.lit(0), n - 1)
+    x0 = F.element_at(coords, 1)["x"]
+    y0 = F.element_at(coords, 1)["y"]
+    dec = "decimal(38,0)"
+
+    def _dx(i):  # i is the 1-based element index expression
+        return (F.element_at(coords, i)["x"] - x0).cast(dec)
+
+    def _dy(i):
+        return (F.element_at(coords, i)["y"] - y0).cast(dec)
+
+    def _cross(i):  # i is the 0-based fold index
+        return _dx(i + 1) * _dy((i + 1) % n + 1) - _dx((i + 1) % n + 1) * _dy(i + 1)
+
+    def _fold(term):
+        return F.aggregate(
+            F.transform(idx, term), F.lit(0).cast(dec), lambda a, v: a + v
+        )
+
+    a2 = _fold(_cross)
+    sx = _fold(lambda i: (_dx(i + 1) + _dx((i + 1) % n + 1)) * _cross(i))
+    sy = _fold(lambda i: (_dy(i + 1) + _dy((i + 1) % n + 1)) * _cross(i))
+    ok = (n >= 3) & (a2 != F.lit(0).cast(dec))
+    cx = x0.cast("double") + sx.cast("double") / (F.lit(3.0) * a2.cast("double"))
+    cy = y0.cast("double") + sy.cast("double") / (F.lit(3.0) * a2.cast("double"))
+    return (F.when(ok, cx).otherwise(F.lit(None)), F.when(ok, cy).otherwise(F.lit(None)))
+
+
+def way_centroids(membership: DataFrame, points: DataFrame) -> DataFrame:
+    """Per-way shoelace centroid for CLOSED ways (the label-anchor /
+    feature-point computation a renderer or geocoder runs over every
+    polygon): (way_id, n_nodes, cx_r, cy_r) with centroids rounded to
+    1e-2 grid units.  One shuffle (the assemble groupBy); the fold is
+    whole-stage codegen over the per-way coord arrays."""
+    coords = assemble_coords(membership, points)
+    first = F.element_at("coords", 1)
+    last = F.element_at("coords", F.size("coords"))
+    closed = (
+        (first["x"] == last["x"]) & (first["y"] == last["y"]) & (F.size("coords") > 2)
+    )
+    cx, cy = ring_centroid(F.col("coords"))
+    # centi-grid-unit quantization (round(x*100)::bigint): the round
+    # decision happens on one exact double in BOTH engines — fractional
+    # round(x, 2) differs at scaling boundaries (DuckDB scales in float,
+    # Spark in BigDecimal), which cost one row in the 9.7k-ring gate
+    return (
+        coords.filter(closed)
+        .select(
+            "way_id",
+            F.size("coords").alias("n_nodes"),
+            F.round(cx * 100).cast("bigint").alias("cx_c"),
+            F.round(cy * 100).cast("bigint").alias("cy_c"),
+        )
+        .filter(F.col("cx_c").isNotNull())
+    )

@@ -291,3 +291,61 @@ class TestProjectionMultiWildcard:
         assert set(out.tags.keys()) == {"addr:city", "name:en"}
         all_out = projection.project_columns(df, ["*"]).first()
         assert set(all_out.tags.keys()) == {"addr:city", "name:en", "other", "name"}
+
+
+class TestRingCentroid:
+    """Shoelace centroid vs the textbook formula; orientation invariance,
+    degenerate rejection, closed-only filtering."""
+
+    def _py_centroid(self, ring):
+        n = len(ring)
+        a2 = sx = sy = 0.0
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            c = x1 * y2 - x2 * y1
+            a2 += c
+            sx += (x1 + x2) * c
+            sy += (y1 + y2) * c
+        return sx / (3 * a2), sy / (3 * a2)
+
+    def _run(self, spark, rings):
+        from gol_tool_spark.operators import measures
+
+        mem, pts, nid = [], [], 1000
+        for wid, ring in rings.items():
+            closed = list(ring) + [ring[0]]
+            for seq, (x, y) in enumerate(closed):
+                mem.append((wid, seq, nid))
+                pts.append((nid, x, y))
+                nid += 1
+        mdf = spark.createDataFrame(mem, "way_id long, seq int, node_ref long")
+        pdf = spark.createDataFrame(pts, "id long, x long, y long")
+        return {
+            r.way_id: (r.cx_c, r.cy_c)
+            for r in measures.way_centroids(mdf, pdf).collect()
+        }
+
+    def test_known_shapes(self, spark):
+        rings = {
+            1: [(0, 0), (10, 0), (10, 10), (0, 10)],             # square
+            2: [(0, 0), (9, 0), (0, 9)],                         # triangle
+            3: [(0, 0), (0, 10), (10, 10), (10, 0)],             # CW square
+            4: [(0, 0), (4, 0), (4, 6), (2, 6), (2, 2), (0, 2)], # L-shape
+        }
+        got = self._run(spark, rings)
+        for wid, ring in rings.items():
+            cx, cy = self._py_centroid(ring)
+            assert got[wid] == (round(cx * 100), round(cy * 100)), wid
+        assert got[1] == (500, 500) and got[3] == (500, 500)  # orientation-proof
+
+    def test_degenerate_and_open_excluded(self, spark):
+        from gol_tool_spark.operators import measures
+
+        mem = [(1, 0, 1), (1, 1, 2), (1, 2, 3),          # open way
+               (2, 0, 4), (2, 1, 5), (2, 2, 6), (2, 3, 4)]  # collinear closed
+        pts = [(1, 0, 0), (2, 5, 0), (3, 9, 3),
+               (4, 0, 0), (5, 5, 5), (6, 10, 10)]
+        mdf = spark.createDataFrame(mem, "way_id long, seq int, node_ref long")
+        pdf = spark.createDataFrame(pts, "id long, x long, y long")
+        assert measures.way_centroids(mdf, pdf).count() == 0
