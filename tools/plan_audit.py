@@ -125,6 +125,25 @@ def main():
         "run — its input is capped at grid^2 rows per tile, O(tiles) total, "
         "independent of input row count.", mode="simple")
 
+    from gol_tool_spark.operators import measures
+
+    _li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    _wb = _li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").cast("int").alias("seq"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("node_ref"))
+    _wc = _wb.groupBy("way_id").agg(
+        F.min("node_ref").alias("node_ref"), F.count(F.lit(1)).alias("cnt")).filter("cnt>=3")
+    _mem = _wb.join(_wc.select("way_id"), "way_id").unionByName(
+        _wc.select("way_id", F.lit(99).alias("seq"), "node_ref"))
+    add("Way centroids (exact DECIMAL(38,0) shoelace folds)",
+        measures.way_centroids(_mem, synth.points_df(spark, sf).select("id", "x", "y")),
+        "One shuffle (the coord-assembly groupBy); the shoelace centroid is "
+        "a higher-order-function fold in EXACT decimal(38,0) integer "
+        "arithmetic over each way's coord array — float rounding enters only "
+        "at one final division, which is why the DuckDB HUGEINT twin "
+        "hash-matches bit-for-bit.  No Python evaluation.", mode="simple")
+
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     from gol_tool_spark.operators import retrieval
 
