@@ -733,6 +733,24 @@ def q_way_centroid(spark, sf_dir):
     return measures.way_centroids(mem, pts.select("id", "x", "y"))
 
 
+def q_way_simplify(spark, sf_dir):
+    # rows-only: Douglas-Peucker is a recursive split, not SQL-expressible;
+    # exactness is pytested against a recursive twin (TestSimplifyWays).
+    # Same lineitem-ring construction as way_centroid; drop the coord array
+    # (driver hashing wants stable scalar columns).
+    from gol_tool_spark.operators import measures
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").cast("int").alias("seq"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("node_ref"),
+    )
+    pts = synth.points_df(spark, sf_dir)
+    out = measures.simplify_ways(base, pts.select("id", "x", "y"), tolerance=2e8)
+    return out.select("way_id", "n_in", "n_kept")
+
+
 def q_ghost_copies(spark, sf_dir):
     from gol_tool_spark.operators import classify
 
@@ -1269,7 +1287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
-        "minhash_lsh": q_minhash_lsh,
         "contamination": q_contamination,  # new in r5: benchmark decontamination
         "tally_priority": q_tally_priority,
         "tally_tags": q_tally_tags,
@@ -1283,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,  # new in r5: exact-substring dedup
         "mix_sample": q_mix_sample,  # new in r5: source-weighted mixing
         "way_centroid": q_way_centroid,  # new in r5: shoelace centroid
+        "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
@@ -1341,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "goql_query": q_goql_query,
         "pile_assignment": q_pile_assignment,
         "tile_assign": q_tile_assign,
+        "minhash_lsh": q_minhash_lsh,
     }
 
 

@@ -235,3 +235,40 @@ def polyline_intersects_polygon(
             if segment_crosses_ring(int(xs[i]), int(ys[i]), int(xs[i + 1]), int(ys[i + 1]), ring):
                 return True
     return False
+
+
+def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep mask for one polyline (iterative stack — no
+    recursion limits): endpoints always kept; a vertex survives iff its
+    perpendicular distance to the current chord exceeds tol at some split
+    level.  Distances are computed against the chord LINE (the classic
+    formulation); a degenerate chord (coincident endpoints) falls back to
+    point distance.  Pure numpy, O(n log n) typical / O(n^2) worst."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    x = xs.astype(np.float64)
+    y = ys.astype(np.float64)
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        seg = np.hypot(dx, dy)
+        ix = np.arange(a + 1, b)
+        if seg == 0.0:
+            d = np.hypot(x[ix] - x[a], y[ix] - y[a])
+        else:
+            d = np.abs(dx * (y[ix] - y[a]) - dy * (x[ix] - x[a])) / seg
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = a + 1 + k
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep

@@ -244,3 +244,53 @@ def way_centroids(membership: DataFrame, points: DataFrame) -> DataFrame:
         )
         .filter(F.col("cx_c").isNotNull())
     )
+
+
+def simplify_ways(
+    membership: DataFrame,
+    points: DataFrame,
+    tolerance: float,
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification per way (grid units): the
+    geometry-reduction stage of tile export — a zoom-z tile only needs
+    vertices that deviate more than a pixel's worth of grid units.
+
+    Plan shape: the assemble groupBy is the only shuffle; the DP pass is
+    an Arrow-batched pandas UDF over each row's coord ARRAY (one row per
+    way — never a per-vertex Python loop boundary), returning the kept
+    1-based positions; the actual slicing stays JVM-side (higher-order
+    filter on the original array).  Not SQL-expressible (recursive
+    split), so this ships with a brute-force python twin test instead of
+    a DuckDB oracle.  Kernel: kernels/geometry.dp_keep_mask."""
+    import pandas as pd
+
+    from ..kernels import geometry as G
+
+    def _dp_fn(coords, tol):
+        import numpy as np
+
+        out = []
+        for ring, t in zip(coords, tol):
+            xs = np.fromiter((c["x"] for c in ring), dtype=np.int64, count=len(ring))
+            ys = np.fromiter((c["y"] for c in ring), dtype=np.int64, count=len(ring))
+            mask = G.dp_keep_mask(xs, ys, float(t))
+            out.append((np.nonzero(mask)[0] + 1).astype("int32").tolist())
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't infer — set real ones at runtime (tiling.py pattern)
+    _dp_fn.__annotations__ = {c: pd.Series for c in ("coords", "tol", "return")}
+    _dp_keep = F.pandas_udf(_dp_fn, "array<int>")
+
+    coords = assemble_coords(membership, points)
+    kept = coords.withColumn("keep_idx", _dp_keep("coords", F.lit(tolerance)))
+    pos = F.transform("coords", lambda c, i: c.withField("pos", i + 1))
+    return kept.select(
+        "way_id",
+        F.size("coords").alias("n_in"),
+        F.size("keep_idx").alias("n_kept"),
+        F.transform(
+            F.filter(pos, lambda c: F.array_contains("keep_idx", c["pos"])),
+            lambda c: c.dropFields("pos"),
+        ).alias("coords_simplified"),
+    )

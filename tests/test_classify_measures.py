@@ -349,3 +349,76 @@ class TestRingCentroid:
         mdf = spark.createDataFrame(mem, "way_id long, seq int, node_ref long")
         pdf = spark.createDataFrame(pts, "id long, x long, y long")
         assert measures.way_centroids(mdf, pdf).count() == 0
+
+
+class TestSimplifyWays:
+    """Douglas-Peucker vs a recursive python twin; endpoint retention,
+    tolerance monotonicity, zigzag preservation."""
+
+    def _twin(self, pts, tol):
+        import math
+
+        def rec(a, b, keep):
+            if b - a < 2:
+                return
+            ax, ay = pts[a]; bx, by = pts[b]
+            dx, dy = bx - ax, by - ay
+            seg = math.hypot(dx, dy)
+            best, bi = -1.0, -1
+            for i in range(a + 1, b):
+                px, py = pts[i]
+                d = (math.hypot(px - ax, py - ay) if seg == 0
+                     else abs(dx * (py - ay) - dy * (px - ax)) / seg)
+                if d > best:
+                    best, bi = d, i
+            if best > tol:
+                keep.add(bi)
+                rec(a, bi, keep)
+                rec(bi, b, keep)
+
+        keep = {0, len(pts) - 1}
+        rec(0, len(pts) - 1, keep)
+        return sorted(keep)
+
+    def _run(self, spark, ways, tol):
+        from gol_tool_spark.operators import measures
+
+        mem, pts, nid = [], [], 5000
+        for wid, line in ways.items():
+            for seq, (x, y) in enumerate(line):
+                mem.append((wid, seq, nid)); pts.append((nid, x, y)); nid += 1
+        mdf = spark.createDataFrame(mem, "way_id long, seq int, node_ref long")
+        pdf = spark.createDataFrame(pts, "id long, x long, y long")
+        out = measures.simplify_ways(mdf, pdf, tol)
+        return {
+            r.way_id: [(c.x, c.y) for c in r.coords_simplified]
+            for r in out.collect()
+        }
+
+    def test_matches_recursive_twin(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        ways = {}
+        for wid in range(12):
+            n = int(rng.integers(2, 60))
+            xs = np.cumsum(rng.integers(-50, 51, n))
+            ys = np.cumsum(rng.integers(-50, 51, n))
+            ways[wid] = list(zip(xs.tolist(), ys.tolist()))
+        for tol in (0.0, 5.0, 40.0):
+            got = self._run(spark, ways, tol)
+            for wid, line in ways.items():
+                want = [line[i] for i in self._twin(line, tol)]
+                assert got[wid] == want, (wid, tol)
+
+    def test_straight_line_collapses_zigzag_survives(self, spark):
+        ways = {
+            1: [(i * 10, 0) for i in range(20)],                 # straight
+            2: [(i * 10, 100 if i % 2 else -100) for i in range(20)],  # zigzag
+        }
+        got = self._run(spark, ways, 50.0)
+        assert got[1] == [(0, 0), (190, 0)]       # everything between dropped
+        # zigzag: spikes survive per the exact DP recursion (the slanted
+        # top-level chord absorbs a few near-chord spikes — twin agrees)
+        want2 = [ways[2][i] for i in self._twin(ways[2], 50.0)]
+        assert got[2] == want2 and len(got[2]) > 10
