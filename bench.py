@@ -204,6 +204,22 @@ def main():
     timed("radius_query", lambda: force(spatial_query.radius_query_m(
         pts_tiled.select("id", "x", "y"), -1500000000, -1500000000, 300000.0)),
         repeats=2)
+    # lineitem-ring geometry lanes: exact-decimal centroids and the
+    # Arrow-batched Douglas-Peucker pass over the same assembled ways
+    from gol_tool_spark.operators import measures as _me
+
+    _wb = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").cast("int").alias("seq"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("node_ref"))
+    _wc = _wb.groupBy("way_id").agg(
+        F.min("node_ref").alias("node_ref"), F.count(F.lit(1)).alias("cnt")).filter("cnt>=3")
+    _mem = _wb.join(_wc.select("way_id"), "way_id").unionByName(
+        _wc.select("way_id", F.lit(99).alias("seq"), "node_ref"))
+    timed("way_centroid", lambda: force(_me.way_centroids(_mem, points.select("id", "x", "y"))))
+    timed("way_simplify", lambda: force(
+        _me.simplify_ways(_wb, points.select("id", "x", "y"), tolerance=2e8)
+        .select("way_id", "n_in", "n_kept")))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
