@@ -733,6 +733,13 @@ def q_way_centroid(spark, sf_dir):
     return measures.way_centroids(mem, pts.select("id", "x", "y"))
 
 
+def q_idw_grid(spark, sf_dir):
+    from gol_tool_spark.operators import interpolate
+
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y", "qty")
+    return interpolate.idw_grid(pts, value_col="qty", zoom=7)
+
+
 def q_way_simplify(spark, sf_dir):
     # rows-only: Douglas-Peucker is a recursive split, not SQL-expressible;
     # exactness is pytested against a recursive twin (TestSimplifyWays).
@@ -1289,7 +1296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_diamond": q_pip_diamond,
         "contamination": q_contamination,  # new in r5: benchmark decontamination
         "tally_priority": q_tally_priority,
-        "tally_tags": q_tally_tags,
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
         "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
         "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
@@ -1301,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,  # new in r5: source-weighted mixing
         "way_centroid": q_way_centroid,  # new in r5: shoelace centroid
         "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
+        "idw_grid": q_idw_grid,  # new in r5: modified-IDW grid interpolation
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
@@ -1360,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pile_assignment": q_pile_assignment,
         "tile_assign": q_tile_assign,
         "minhash_lsh": q_minhash_lsh,
+        "tally_tags": q_tally_tags,
     }
 
 
@@ -2206,6 +2214,28 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(CAST(SUM(ABS(x - px) + ABS(y - py)) AS BIGINT), 0) AS l1_len, "
             "(MAX(fx) = MAX(lx) AND MAX(fy) = MAX(ly) AND COUNT(*) > 2) AS closed "
             "FROM st GROUP BY way_id"
+        ),
+        "idw_grid": _with_points(
+            # modified-IDW twin: same cell math ((x+2^31)//2^25 == the
+            # shiftright), d2 exact in doubles at zoom 7, ordered-list
+            # left folds (list_reduce prepended with 0.0), one final
+            # division + 1e6 quantization
+            ", p AS (SELECT id AS pid, x, y, CAST(qty AS DOUBLE) AS v, "
+            "(x + 2147483648) // 33554432 AS px, (y + 2147483648) // 33554432 AS py FROM pts), "
+            "t AS (SELECT DISTINCT px AS cx, py AS cy FROM p), "
+            "ring AS (SELECT cx, cy, cx + ox.o AS px, cy + oy.o AS py FROM t, "
+            "(SELECT unnest([-1, 0, 1]) AS o) ox, (SELECT unnest([-1, 0, 1]) AS o) oy), "
+            "j AS (SELECT r.cx, r.cy, p.pid, p.v, "
+            "CAST(p.x - (r.cx * 33554432 - 2147483648 + 16777216) AS DOUBLE) AS dx, "
+            "CAST(p.y - (r.cy * 33554432 - 2147483648 + 16777216) AS DOUBLE) AS dy "
+            "FROM ring r JOIN p ON p.px = r.px AND p.py = r.py), "
+            "a AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_pts, "
+            "list(struct_pack(w := 1.0 / (1.0 + (dx * dx + dy * dy)), v := v) ORDER BY pid) AS nb "
+            "FROM j GROUP BY 1, 2) "
+            "SELECT cx, cy, n_pts, CAST(round(("
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(nb, e -> e.w * e.v)), (x, z) -> x + z) "
+            "/ list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(nb, e -> e.w)), (x, z) -> x + z)"
+            ") * 1000000.0) AS BIGINT) AS idw_q FROM a"
         ),
         "way_centroid": _with_points(
             # shoelace centroid twin: ordered coord lists + list_reduce
