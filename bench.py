@@ -220,6 +220,11 @@ def main():
     timed("way_simplify", lambda: force(
         _me.simplify_ways(_wb, points.select("id", "x", "y"), tolerance=2e8)
         .select("way_id", "n_in", "n_kept")))
+    # modified-IDW surface over the full point set (cell join + folds)
+    from gol_tool_spark.operators import interpolate as _ip
+
+    timed("idw_grid", lambda: force(_ip.idw_grid(
+        points.select("id", "x", "y", "qty"), value_col="qty", zoom=7)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
