@@ -1,0 +1,127 @@
+"""Trajectory / movement analytics over timestamped point streams.
+
+The reference engine's features are static OSM geometries; a fleet/GPS
+workload over the same integer-Mercator grid needs the per-entity
+*temporal* derivatives the static model has no surface for:
+
+- ``track_derivatives`` — consecutive-fix deltas per entity (dt, L1/L2
+  displacement, quantized speed), the building block for speed maps,
+  odometer rollups, and outlier (teleport) detection.
+- ``grid_dwell`` — stay-point detection: maximal runs of consecutive
+  fixes inside one grid cell, kept when the run dwells long enough.
+  The classic gaps-and-islands plan (two row_numbers, one subtraction)
+  on the same shifted-floor cells the tiling operators use
+  (kernels/tile.py; reference tile math TileCatalog.java:35).
+
+Spark-first shape: both operators are ONE shuffle on the entity key
+(window partition), then pure codegen — no Python, no crossJoin, no
+driver collects.  At 100 TB the entity key is the natural partitioner
+(millions of entities, bounded fixes per entity); AQE handles residual
+skew on hot entities.
+
+Exactness discipline (functions/synth.py): displacements stay in 64-bit
+integers, timestamps become epoch seconds through the TZ-proof
+TIMESTAMP_NTZ difference (temporal._wall_secs), and the only doubles are
+IEEE-exact casts/mults/sqrt applied in the same order as the DuckDB
+oracle, quantized to integer micro-units at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gol_tool_spark.operators.temporal import _wall_secs
+
+HALF = 1 << 31
+
+
+def track_derivatives(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-entity consecutive-fix derivatives, ordered by (ts, id).
+
+    Returns one row per fix that HAS a predecessor: dt_s (epoch-second
+    delta, >= 0), l1 (exact |dx|+|dy| in map units), l2_q
+    (round(sqrt(dx^2+dy^2)) with the squares computed in doubles — both
+    operands < 2^33 so the casts are exact and the IEEE mults/sqrt are
+    deterministic), and speed_q = round(l1/dt * 1e6) micro-units/s
+    (NULL when dt_s = 0, i.e. same-second fixes).
+    """
+    # order by (epoch second, id): deterministic and engine-independent —
+    # the id tiebreak also covers same-second fixes
+    w = Window.partitionBy(by).orderBy("_ws", id_col)
+    ws = _wall_secs(ts)
+    cur = df.select(
+        F.col(by), F.col(id_col), ws.alias("_ws"),
+        F.col(x).cast("bigint").alias("_x"), F.col(y).cast("bigint").alias("_y"),
+    )
+    lagged = (
+        cur.withColumn("_pws", F.lag("_ws").over(w))
+        .withColumn("_px", F.lag("_x").over(w))
+        .withColumn("_py", F.lag("_y").over(w))
+        .filter(F.col("_pws").isNotNull())
+    )
+    dx = F.col("_x") - F.col("_px")
+    dy = F.col("_y") - F.col("_py")
+    dt = (F.col("_ws") - F.col("_pws")).alias("dt_s")
+    l1 = (F.abs(dx) + F.abs(dy)).alias("l1")
+    dxd = dx.cast("double")
+    dyd = dy.cast("double")
+    l2_q = F.round(F.sqrt(dxd * dxd + dyd * dyd)).cast("bigint").alias("l2_q")
+    out = lagged.select(F.col(by), F.col(id_col), dt, l1, l2_q)
+    speed_q = F.when(
+        F.col("dt_s") > 0,
+        F.round(F.col("l1").cast("double") / F.col("dt_s").cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    return out.withColumn("speed_q", speed_q)
+
+
+def grid_dwell(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 29,
+    min_dwell_s: int = 600,
+    min_fixes: int = 2,
+) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive fixes (per
+    entity, time order) that stay inside one grid cell of width
+    2^cell_shift, kept when the run spans >= min_dwell_s seconds and
+    >= min_fixes fixes.
+
+    Cells are the shifted-floor grid ((x + 2^31) >> shift — identical to
+    the tiling/IDW cell math so dwell output joins directly against tile
+    catalogs).  Islands via the rn-difference trick: row_number over
+    (entity) minus row_number over (entity, cell) is constant exactly on
+    maximal same-cell runs.  One shuffle (entity key), all codegen.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    base = df.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"),
+        cx.alias("cx"), cy.alias("cy"),
+    )
+    w_all = Window.partitionBy(by).orderBy("_ws", id_col)
+    w_cell = Window.partitionBy(by, "cx", "cy").orderBy("_ws", id_col)
+    isl = (F.row_number().over(w_all) - F.row_number().over(w_cell)).alias("island")
+    runs = (
+        base.withColumn("island", isl)
+        .groupBy(by, "cx", "cy", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.min("_ws").alias("enter_s"),
+            (F.max("_ws") - F.min("_ws")).alias("dwell_s"),
+        )
+    )
+    return runs.filter(
+        (F.col("dwell_s") >= F.lit(int(min_dwell_s))) & (F.col("n_fixes") >= F.lit(int(min_fixes)))
+    ).select(by, "cx", "cy", "island", "n_fixes", "enter_s", "dwell_s")

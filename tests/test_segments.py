@@ -1,0 +1,88 @@
+"""Exact twins for the grid-blocked segment-intersection join.
+
+The brute-force twin runs the identical orientation predicate in Python
+big-ints (exact), over every pair — so set equality proves both the
+predicate arithmetic AND that the grid blocking loses no candidate pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gol_tool_spark.operators import segments
+
+
+def _proper(a, b) -> bool:
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+
+    def cross(ax, ay, bx, by, px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    d1 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = cross(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = cross(bx1, by1, bx2, by2, ax2, ay2)
+    return ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0) and (
+        (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+    )
+
+
+def _synth_segs(n=400):
+    """Python twin of segments.synth_segments over LCG-placed points —
+    clustered so crossings actually occur."""
+    segs = []
+    for i in range(n):
+        # points clustered in a few 2^17-wide boxes so segments overlap
+        cx = ((i % 7) - 3) * (1 << 27)
+        cy = ((i % 5) - 2) * (1 << 27)
+        x = cx + (i * 2654435761) % (1 << 17)
+        y = cy + (i * 2246822519 + 1013904223) % (1 << 17)
+        dx = (i * segments.A_DX) % segments.OFF_MOD - segments.OFF_MOD // 2
+        dy = (i * segments.A_DY + segments.C_DY) % segments.OFF_MOD - segments.OFF_MOD // 2
+        if dx == 0 and dy == 0:
+            dx = 1
+        segs.append((i, x, y, x + dx, y + dy))
+    return segs
+
+
+class TestSegmentIntersections:
+    def test_matches_bruteforce(self, spark):
+        raw = _synth_segs()
+        df = spark.createDataFrame(
+            [(i, x1, y1) for i, x1, y1, _, _ in raw], "id long, x long, y long"
+        )
+        got = {
+            (r.seg_a, r.seg_b)
+            for r in segments.segment_intersections(segments.synth_segments(df)).collect()
+        }
+        coords = {i: (x1, y1, x2, y2) for i, x1, y1, x2, y2 in raw}
+        want = {
+            (i, j)
+            for i in coords
+            for j in coords
+            if i < j and _proper(coords[i], coords[j])
+        }
+        assert got == want
+        assert len(want) > 20  # non-vacuous
+
+    def test_hand_cases(self, spark):
+        # crossing X; endpoint touch; collinear overlap; parallel
+        segs = [
+            (1, -10, -10, 10, 10),
+            (2, -10, 10, 10, -10),  # crosses 1 at origin
+            (3, 10, 10, 20, 0),  # touches 1 at an endpoint -> excluded
+            (4, -5, -5, 5, 5),  # collinear with 1 -> excluded
+            (5, -10, -9, 10, 11),  # parallel to 1 -> excluded
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {
+            (r.seg_a, r.seg_b) for r in segments.segment_intersections(df).collect()
+        }
+        # 2 also properly crosses the collinear sub-segment 4, and crosses
+        # the near-parallel 5 (y = x + 1) at (-0.5, 0.5)
+        assert got == {(1, 2), (2, 4), (2, 5)}
+
+    def test_synth_never_degenerate(self, spark):
+        df = spark.createDataFrame([(0, 0, 0)], "id long, x long, y long")
+        row = segments.synth_segments(df).first()
+        assert (row.x1, row.y1) != (row.x2, row.y2)

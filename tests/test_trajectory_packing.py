@@ -1,0 +1,197 @@
+"""Exact Python twins for the trajectory and packing operators.
+
+Every assertion is bit-exact: the twins replay the same integer/IEEE
+arithmetic in plain Python (ints are exact; floats follow the same
+operation order), so any divergence is an operator bug, not tolerance.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gol_tool_spark.operators import packing, trajectory
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _events(spark, n=180, users=3):
+    """Deterministic fixture with same-second ties and same-cell runs."""
+    rows = []
+    eid = 0
+    per_user = n // users
+    for u in range(users):
+        ws = 1_700_000_000 + u * 50_000
+        for j in range(per_user):
+            if j % 5 != 4:  # every 5th fix repeats the second (dt_s = 0 tie)
+                ws += 97 + (j * 37) % 900
+            # coordinates: same-cell runs of ~12 fixes with jitter
+            cx = ((j // 12) % 5) * (1 << 29) - (1 << 30)
+            x = cx + (eid * 7919) % 100_000
+            y = -cx + (eid * 104729) % 100_000
+            rows.append((u, eid, dt.datetime.utcfromtimestamp(ws), x, y))
+            eid += 1
+    return spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
+
+
+class TestTrackDerivatives:
+    def test_matches_python_twin(self, spark):
+        ev = _events(spark)
+        got = {
+            (r.user_id, r.event_id): (r.dt_s, r.l1, r.l2_q, r.speed_q)
+            for r in trajectory.track_derivatives(ev).collect()
+        }
+        raw = ev.collect()
+        by_user: dict[int, list] = {}
+        for r in raw:
+            ws = int((r.ts - EPOCH).total_seconds())
+            by_user.setdefault(r.user_id, []).append((ws, r.event_id, r.x, r.y))
+        want = {}
+        for u, fixes in by_user.items():
+            fixes.sort()
+            for (pws, _, px, py), (ws, eid, x, y) in zip(fixes, fixes[1:]):
+                dx, dy = x - px, y - py
+                l1 = abs(dx) + abs(dy)
+                l2_q = int(_round_half_up(math.sqrt(float(dx) * float(dx) + float(dy) * float(dy))))
+                dt_s = ws - pws
+                speed = (
+                    int(_round_half_up(float(l1) / float(dt_s) * 1000000.0)) if dt_s > 0 else None
+                )
+                want[(u, eid)] = (dt_s, l1, l2_q, speed)
+        assert got == want
+        assert any(v[0] == 0 for v in want.values())  # ties exercised
+
+    def test_first_fix_has_no_row(self, spark):
+        ev = _events(spark, n=9, users=3)
+        out = trajectory.track_derivatives(ev)
+        assert out.count() == 6  # 3 fixes per user -> 2 derivative rows each
+
+
+def _round_half_up(v: float) -> float:
+    f = math.floor(v)
+    return f if v - f < 0.5 else f + 1
+
+
+class TestGridDwell:
+    def test_matches_python_twin(self, spark):
+        ev = _events(spark)
+        shift, min_dwell, min_fixes = 29, 600, 2
+        got = {
+            (r.user_id, r.cx, r.cy, r.island): (r.n_fixes, r.enter_s, r.dwell_s)
+            for r in trajectory.grid_dwell(
+                ev, cell_shift=shift, min_dwell_s=min_dwell, min_fixes=min_fixes
+            ).collect()
+        }
+        raw = ev.collect()
+        by_user: dict[int, list] = {}
+        for r in raw:
+            ws = int((r.ts - EPOCH).total_seconds())
+            cell = ((r.x + (1 << 31)) >> shift, (r.y + (1 << 31)) >> shift)
+            by_user.setdefault(r.user_id, []).append((ws, r.event_id, cell))
+        want = {}
+        for u, fixes in by_user.items():
+            fixes.sort()
+            seen_cell_count: dict[tuple, int] = {}
+            run: list | None = None
+            runs = []
+            for i, (ws, eid, cell) in enumerate(fixes):
+                k = seen_cell_count.get(cell, 0)
+                seen_cell_count[cell] = k + 1
+                island = i - k  # rn_all - rn_cell (0-based; same diff as 1-based)
+                if run and run[0] == cell and run[1] == island:
+                    run[2].append(ws)
+                else:
+                    if run:
+                        runs.append(run)
+                    run = [cell, island, [ws]]
+            if run:
+                runs.append(run)
+            for cell, island, wss in runs:
+                if len(wss) >= min_fixes and max(wss) - min(wss) >= min_dwell:
+                    want[(u, cell[0], cell[1], island)] = (len(wss), min(wss), max(wss) - min(wss))
+        assert got == want
+        assert want  # non-vacuous
+
+
+def _docs(spark, n=97):
+    rows = []
+    for i in range(n):
+        # token counts from 1 to ~70, with a few capacity-busting docs
+        k = 1 + (i * 13) % 70 + (260 if i % 19 == 0 else 0)
+        rows.append((i, " ".join(f"w{j}" for j in range(k))))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _bucket_of(doc_id: int, buckets: int = 8) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16) % buckets
+
+
+class TestPacking:
+    CAP = 64
+
+    def _tok_by_bucket(self, docs):
+        by_bucket: dict[int, list] = {}
+        for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+            n = len(r.text.split(" "))
+            by_bucket.setdefault(_bucket_of(r.doc_id), []).append((r.doc_id, n))
+        return by_bucket
+
+    def test_chunks_matches_twin(self, spark):
+        docs = _docs(spark)
+        got = {
+            r.doc_id: (r.bucket, r.n_tok, r.first_chunk, r.n_chunks)
+            for r in packing.pack_chunks(docs, capacity=self.CAP).collect()
+        }
+        want = {}
+        for b, items in self._tok_by_bucket(docs).items():
+            cum = 0
+            for doc_id, n in items:
+                first = cum // self.CAP
+                last = (cum + n - 1) // self.CAP
+                want[doc_id] = (b, n, first, last - first + 1)
+                cum += n
+        assert got == want
+        assert any(v[3] > 1 for v in want.values())  # straddles exercised
+
+    def test_greedy_matches_twin(self, spark):
+        docs = _docs(spark)
+        got = {
+            r.doc_id: (r.bucket, r.n_tok, r.bin_idx, r.fill_after)
+            for r in packing.pack_greedy(docs, capacity=self.CAP).collect()
+        }
+        want = {}
+        for b, items in self._tok_by_bucket(docs).items():
+            bin_idx, fill = 0, 0
+            for doc_id, n in items:
+                if fill > 0 and fill + n > self.CAP:
+                    bin_idx += 1
+                    fill = n
+                else:
+                    fill += n
+                want[doc_id] = (b, n, bin_idx, fill)
+        assert got == want
+
+    def test_greedy_invariants(self, spark):
+        docs = _docs(spark)
+        rows = packing.pack_greedy(docs, capacity=self.CAP).collect()
+        # a bin's fill only exceeds capacity when a single oversized doc owns it
+        from collections import defaultdict
+
+        per_bin = defaultdict(list)
+        for r in rows:
+            per_bin[(r.bucket, r.bin_idx)].append(r)
+        for members in per_bin.values():
+            total = sum(r.n_tok for r in members)
+            if total > self.CAP:
+                assert len(members) == 1 and members[0].n_tok > self.CAP
+        # bins are contiguous from 0 per bucket
+        by_bucket = defaultdict(set)
+        for r in rows:
+            by_bucket[r.bucket].add(r.bin_idx)
+        for bins in by_bucket.values():
+            assert bins == set(range(max(bins) + 1))
