@@ -758,6 +758,45 @@ def q_way_simplify(spark, sf_dir):
     return out.select("way_id", "n_in", "n_kept")
 
 
+def _events_xy(spark, sf_dir):
+    """events with deterministic synthetic positions (point_xy over
+    event_id) — the trajectory fixture; SQL twin synth.EVENTS_XY_CTE."""
+    ev = _read(spark, sf_dir, "events")
+    x, y = synth.point_xy(F.col("event_id"))
+    return ev.select("user_id", "event_id", "ts", x.alias("x"), y.alias("y"))
+
+
+def q_track_speed(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    return trajectory.track_derivatives(_events_xy(spark, sf_dir))
+
+
+def q_grid_dwell(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    return trajectory.grid_dwell(_events_xy(spark, sf_dir), min_dwell_s=3600, min_fixes=2)
+
+
+def q_pack_chunks(spark, sf_dir):
+    from gol_tool_spark.operators import packing
+
+    return packing.pack_chunks(_read(spark, sf_dir, "documents"), capacity=512, buckets=8)
+
+
+def q_pack_greedy(spark, sf_dir):
+    from gol_tool_spark.operators import packing
+
+    return packing.pack_greedy(_read(spark, sf_dir, "documents"), capacity=512, buckets=8)
+
+
+def q_seg_intersect(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return segments.segment_intersections(segments.synth_segments(pts))
+
+
 def q_ghost_copies(spark, sf_dir):
     from gol_tool_spark.operators import classify
 
@@ -1269,10 +1308,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
-        "string_freq": q_string_freq,
-        "duplicate_coarse": q_duplicate_coarse,
-        "tally_roles": q_tally_roles,
         "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
+        # -- new this session: trajectory / packing / crossing-join wave --
+        "track_speed": q_track_speed,  # per-entity fix derivatives
+        "grid_dwell": q_grid_dwell,  # stay-point islands
+        "pack_chunks": q_pack_chunks,  # concat-and-chunk packing
+        "pack_greedy": q_pack_greedy,  # greedy binning (recursive-CTE oracle)
+        "seg_intersect": q_seg_intersect,  # exact proper-crossing join
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
         "bbox_query": q_bbox_query,
@@ -1292,8 +1334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
-        "knn_batch": q_knn_batch,
-        "pip_diamond": q_pip_diamond,
         "contamination": q_contamination,  # new in r5: benchmark decontamination
         "tally_priority": q_tally_priority,
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
@@ -1322,7 +1362,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- relation_bbox + knn_grid + knn_cell_ring (r4-green,
         # ----- untouched) rotated out for interval_join/resample_locf/
         # ----- box_overlap; tile_density + density_rollup rotated out
-        # ----- for tally_percentiles/value_histogram)
+        # ----- for tally_percentiles/value_histogram; knn_batch +
+        # ----- pip_diamond (r4 driver green, code untouched in r5) and
+        # ----- string_freq + duplicate_coarse + tally_roles (r3 driver
+        # ----- green, locally re-verified in r4 AND again this session)
+        # ----- rotated out for the track_speed/grid_dwell/pack_chunks/
+        # ----- pack_greedy/seg_intersect wave)
+        "knn_batch": q_knn_batch,
+        "pip_diamond": q_pip_diamond,
+        "string_freq": q_string_freq,
+        "duplicate_coarse": q_duplicate_coarse,
+        "tally_roles": q_tally_roles,
         "tile_density": q_tile_density,
         "density_rollup": q_density_rollup,
         "relation_bbox": q_relation_bbox,
@@ -1388,6 +1438,15 @@ _HALF = 1 << 31
 
 def _with_points(body: str) -> str:
     return f"WITH pts AS ({_PTS}), t12 AS ({_T12}) {body}"
+
+
+# (doc_id, md5-digit bucket, whitespace token count) — the shared base of
+# both sequence-packing oracles (twin of packing.with_tokens, buckets=8)
+_PACK_BASE = (
+    "SELECT doc_id, "
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) % 8 AS bucket, "
+    "CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents"
+)
 
 
 # the ngram-jaccard pair chain as a reusable CTE fragment ending in
@@ -2236,6 +2295,83 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(nb, e -> e.w * e.v)), (x, z) -> x + z) "
             "/ list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(nb, e -> e.w)), (x, z) -> x + z)"
             ") * 1000000.0) AS BIGINT) AS idw_q FROM a"
+        ),
+        "track_speed": (
+            # trajectory-derivative twin: same (epoch-second, id) ordering,
+            # integer L1, IEEE sqrt over exactly-cast doubles, 1e6-quantized
+            # speed (floor(epoch()) == Spark's NTZ-interval BIGINT cast)
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "l AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, x, y, "
+            "LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pws, "
+            "LAG(x) OVER w AS px, LAG(y) OVER w AS py FROM exy "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)) "
+            "SELECT user_id, event_id, ws - pws AS dt_s, ABS(x - px) + ABS(y - py) AS l1, "
+            "CAST(round(sqrt(CAST(x - px AS DOUBLE) * CAST(x - px AS DOUBLE) "
+            "+ CAST(y - py AS DOUBLE) * CAST(y - py AS DOUBLE))) AS BIGINT) AS l2_q, "
+            "CASE WHEN ws > pws THEN CAST(round(CAST(ABS(x - px) + ABS(y - py) AS DOUBLE) "
+            "/ CAST(ws - pws AS DOUBLE) * 1000000.0) AS BIGINT) END AS speed_q "
+            "FROM l WHERE pws IS NOT NULL"
+        ),
+        "grid_dwell": (
+            # stay-point twin: shifted-floor cells + the rn-difference
+            # islands trick, identical (ws, id) ordering
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "g AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "(x + 2147483648) // 536870912 AS cx, (y + 2147483648) // 536870912 AS cy FROM exy), "
+            "r AS (SELECT user_id, cx, cy, ws, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ws, event_id) "
+            "- ROW_NUMBER() OVER (PARTITION BY user_id, cx, cy ORDER BY ws, event_id) AS INT) AS island FROM g) "
+            "SELECT user_id, cx, cy, island, CAST(COUNT(*) AS BIGINT) AS n_fixes, "
+            "MIN(ws) AS enter_s, MAX(ws) - MIN(ws) AS dwell_s FROM r GROUP BY 1, 2, 3, 4 "
+            "HAVING MAX(ws) - MIN(ws) >= 3600 AND COUNT(*) >= 2"
+        ),
+        "pack_chunks": (
+            # concat-and-chunk twin: md5-digit bucket, doc_id order, exact
+            # integer floor division on the running token sum
+            f"WITH d AS ({_PACK_BASE}), "
+            "c AS (SELECT doc_id, bucket, n_tok, CAST(COALESCE(SUM(n_tok) OVER "
+            "(PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM d) "
+            "SELECT doc_id, bucket, n_tok, cum // 512 AS first_chunk, "
+            "CAST((cum + n_tok - 1) // 512 - cum // 512 + 1 AS BIGINT) AS n_chunks FROM c"
+        ),
+        "pack_greedy": (
+            # greedy-binning twin: the sequential fill recurrence as a
+            # recursive CTE stepping idx -> idx+1 within each bucket
+            f"WITH RECURSIVE d AS (SELECT doc_id, bucket, n_tok, "
+            f"ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS idx FROM ({_PACK_BASE})), "
+            "r AS (SELECT doc_id, bucket, n_tok, idx, CAST(0 AS BIGINT) AS bin_idx, "
+            "CAST(n_tok AS BIGINT) AS fill_after FROM d WHERE idx = 1 "
+            "UNION ALL SELECT d.doc_id, d.bucket, d.n_tok, d.idx, "
+            "CASE WHEN r.fill_after + d.n_tok > 512 THEN r.bin_idx + 1 ELSE r.bin_idx END, "
+            "CASE WHEN r.fill_after + d.n_tok > 512 THEN CAST(d.n_tok AS BIGINT) ELSE r.fill_after + d.n_tok END "
+            "FROM r JOIN d ON d.bucket = r.bucket AND d.idx = r.idx + 1) "
+            "SELECT doc_id, bucket, n_tok, bin_idx, fill_after FROM r"
+        ),
+        "seg_intersect": _with_points(
+            # proper-crossing twin: same LCG segment synthesis, same <=2x2
+            # cover cells (bias 2^31+2^15 keeps floors non-negative), four
+            # HUGEINT cross products == Spark's DECIMAL(38,0) lane
+            ", sg AS (SELECT id AS seg, x AS x1, y AS y1, "
+            "x + (CASE WHEN (id * 48271) % 65536 - 32768 = 0 AND (id * 69621 + 12345) % 65536 - 32768 = 0 "
+            "THEN 1 ELSE (id * 48271) % 65536 - 32768 END) AS x2, "
+            "y + ((id * 69621 + 12345) % 65536 - 32768) AS y2 FROM pts), "
+            "cov AS (SELECT seg, x1, y1, x2, y2, ux.cx AS cx, uy.cy AS cy FROM sg, "
+            "UNNEST(list_distinct([(x1 + 2147516416) // 65536, (x2 + 2147516416) // 65536])) AS ux(cx), "
+            "UNNEST(list_distinct([(y1 + 2147516416) // 65536, (y2 + 2147516416) // 65536])) AS uy(cy)), "
+            "cand AS (SELECT a.seg AS seg_a, b.seg AS seg_b, "
+            "CAST(a.x1 AS HUGEINT) AS ax1, CAST(a.y1 AS HUGEINT) AS ay1, "
+            "CAST(a.x2 AS HUGEINT) AS ax2, CAST(a.y2 AS HUGEINT) AS ay2, "
+            "CAST(b.x1 AS HUGEINT) AS bx1, CAST(b.y1 AS HUGEINT) AS by1, "
+            "CAST(b.x2 AS HUGEINT) AS bx2, CAST(b.y2 AS HUGEINT) AS by2 "
+            "FROM cov a JOIN cov b ON a.cx = b.cx AND a.cy = b.cy AND a.seg < b.seg), "
+            "dd AS (SELECT seg_a, seg_b, "
+            "(ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d1, "
+            "(ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d2, "
+            "(bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d3, "
+            "(bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d4 FROM cand) "
+            "SELECT DISTINCT seg_a, seg_b FROM dd "
+            "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+            "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
         ),
         "way_centroid": _with_points(
             # shoelace centroid twin: ordered coord lists + list_reduce

@@ -141,6 +141,24 @@ def main():
             "user_id", "ts", F.col("event_id").alias("p_id"), "value"),
         on="ts", by=["user_id"], prefix="m_")), repeats=2)
 
+    # trajectory lanes at fleet scale: 2M synthetic fixes / 1000 entities
+    # (the events table is only 100k rows at sf0.1 — too small to expose
+    # the window-shuffle cost these operators are built around)
+    from gol_tool_spark.operators import trajectory
+
+    fixes = spark.range(2_000_000).select(
+        (F.col("id") % 1000).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / 1000).cast("bigint") * 60 + F.col("id") % 7
+        ).alias("ts"),
+        ((F.col("id") * 2654435761) % (1 << 32) - (1 << 31)).alias("x"),
+        ((F.col("id") * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)).alias("y"),
+    )
+    timed("track_speed_2m", lambda: force(trajectory.track_derivatives(fixes)), repeats=2)
+    timed("grid_dwell_2m", lambda: force(
+        trajectory.grid_dwell(fixes, cell_shift=24, min_dwell_s=600)))
+
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries
     spark.catalog.clearCache()
@@ -191,6 +209,12 @@ def main():
     # exact-substring dedup: windows ~= 1 row/token through one
     # map-combined hash groupBy + join back + per-doc island merge
     timed("span_dedup_syn", lambda: force(text_ops.ngram_span_dedup(docs_syn, n=8)))
+    # sequence packing at corpus scale: the window plan vs the per-bucket
+    # Arrow greedy pass (buckets = the parallelism unit)
+    from gol_tool_spark.operators import packing
+
+    timed("pack_chunks_syn", lambda: force(packing.pack_chunks(docs_syn, capacity=512, buckets=64)))
+    timed("pack_greedy_syn", lambda: force(packing.pack_greedy(docs_syn, capacity=512, buckets=64)))
     # BM25 ranked retrieval: postings shuffle + broadcast query batch over
     # the synthetic corpus (the three-query batch from the gate entry)
     from gol_tool_spark.operators import retrieval
@@ -225,6 +249,12 @@ def main():
 
     timed("idw_grid", lambda: force(_ip.idw_grid(
         points.select("id", "x", "y", "qty"), value_col="qty", zoom=7)))
+    # exact proper-crossing join over the LCG segment set (grid-blocked,
+    # DECIMAL(38,0) orientation predicate in codegen)
+    from gol_tool_spark.operators import segments as _sg
+
+    timed("seg_intersect", lambda: _sg.segment_intersections(
+        _sg.synth_segments(points.select("id", "x", "y"))).count())
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()

@@ -198,6 +198,21 @@ FROM (SELECT l_orderkey * 8 + l_linenumber AS id,
       FROM lineitem GROUP BY 1)
 """
 
+# point_xy over event_id — the SQL twin used by the trajectory oracles
+# (same LCG/hot-cluster formula as POINTS_CTE, keyed on the events table)
+EVENTS_XY_CTE = f"""
+SELECT user_id, event_id, ts,
+       CASE WHEN event_id % 10 < 2
+            THEN (event_id % 5) * 700000000 - 1500000000
+                 + ((event_id * {A_X}) % {MOD32}) % {HOT_SPREAD}
+            ELSE (event_id * {A_X}) % {MOD32} - {HALF} END AS x,
+       CASE WHEN event_id % 10 < 2
+            THEN ((event_id % 5) * 1111111111) % 3000000000 - 1500000000
+                 + ((event_id * {A_Y} + {C_Y}) % {MOD32}) % {HOT_SPREAD}
+            ELSE (event_id * {A_Y} + {C_Y}) % {MOD32} - {HALF} END AS y
+FROM events
+"""
+
 MEMBERSHIP_CTE = """
 SELECT l_orderkey AS way_id, l_linenumber AS seq,
        CASE WHEN (l_orderkey * 8 + l_linenumber) % 20 = 3
