@@ -797,6 +797,40 @@ def q_seg_intersect(spark, sf_dir):
     return segments.segment_intersections(segments.synth_segments(pts))
 
 
+def q_od_matrix(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    return trajectory.od_matrix(_events_xy(spark, sf_dir))
+
+
+def q_gridhash_density(spark, sf_dir):
+    from gol_tool_spark.operators import geocode
+
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return geocode.gridhash_rollup(pts, prefix_len=4)
+
+
+def q_snap_segments(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # split on id%4 (NOT id%2): the hot-cluster base is a function of
+    # id%5, and an even/odd split would put every even-base cluster on
+    # one side — zero matches.  id%4 mixes clusters across both sides.
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    segs = segments.synth_segments(pts.filter(F.col("id") % 4 < 2))
+    return segments.snap_points(pts.filter(F.col("id") % 4 >= 2), segs)
+
+
+def q_image_gradient(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Sobel gradient stats over the image fixture — exact int64
+    luminance/convolution sums per image (invariants pytest-proven in
+    tests/test_geocode.py; pixels themselves are not SQL-expressible)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.gradient_stats(fixtures.images(spark, 200))
+
+
 def q_ghost_copies(spark, sf_dir):
     from gol_tool_spark.operators import classify
 
@@ -1301,8 +1335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
         "late_ship_semi": q_late_ship_semi,
-        "window_top3_events": q_window_top3_events,
-        "sessionize": q_sessionize,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -1315,6 +1347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,  # concat-and-chunk packing
         "pack_greedy": q_pack_greedy,  # greedy binning (recursive-CTE oracle)
         "seg_intersect": q_seg_intersect,  # exact proper-crossing join
+        "od_matrix": q_od_matrix,  # origin-destination cell flows
+        "gridhash_density": q_gridhash_density,  # base32 Morton prefix rollup
+        "snap_segments": q_snap_segments,  # map matching (nearest segment)
+        "image_gradient": q_image_gradient,  # rows-only Sobel stats lane
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
         "bbox_query": q_bbox_query,
@@ -1323,7 +1359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_cdc": q_store_cdc,  # new in r5: snapshot-diff CDC read
         "image_roundtrip": q_image_roundtrip,
         "image_tile_rollup": q_image_tile_rollup,
-        "image_tile_density": q_image_tile_density,
         # -- r4-green, load-bearing --
         "asof_join": q_asof_join,  # new in r5: as-of temporal join
         "interval_join": q_interval_join,  # new in r5: bucketed range join
@@ -1335,7 +1370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
         "contamination": q_contamination,  # new in r5: benchmark decontamination
-        "tally_priority": q_tally_priority,
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
         "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
         "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
@@ -1367,12 +1401,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- string_freq + duplicate_coarse + tally_roles (r3 driver
         # ----- green, locally re-verified in r4 AND again this session)
         # ----- rotated out for the track_speed/grid_dwell/pack_chunks/
-        # ----- pack_greedy/seg_intersect wave)
+        # ----- pack_greedy/seg_intersect wave; window_top3_events +
+        # ----- sessionize + tally_priority (r3 driver green, locally
+        # ----- re-verified every round since) and image_tile_density
+        # ----- (code shared with the in-head image_tile_rollup +
+        # ----- tile_raster lanes) rotated out for od_matrix/
+        # ----- gridhash_density/snap_segments/image_gradient)
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "string_freq": q_string_freq,
         "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
+        "window_top3_events": q_window_top3_events,
+        "sessionize": q_sessionize,
+        "tally_priority": q_tally_priority,
+        "image_tile_density": q_image_tile_density,
         "tile_density": q_tile_density,
         "density_rollup": q_density_rollup,
         "relation_bbox": q_relation_bbox,
@@ -2372,6 +2415,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT seg_a, seg_b FROM dd "
             "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
             "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
+        ),
+        "od_matrix": (
+            # origin-destination twin: visit collapse via the same
+            # rn-difference islands, visit order = min fix row-number
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "g AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "(x + 2147483648) // 536870912 AS cx, (y + 2147483648) // 536870912 AS cy FROM exy), "
+            "r AS (SELECT user_id, cx, cy, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ws, event_id) AS rn, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, cx, cy ORDER BY ws, event_id) AS rnc FROM g), "
+            "v AS (SELECT user_id, cx, cy, MIN(rn) AS seq FROM r GROUP BY user_id, cx, cy, rn - rnc), "
+            "t AS (SELECT user_id, cx, cy, LAG(cx) OVER w AS fcx, LAG(cy) OVER w AS fcy FROM v "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY seq)) "
+            "SELECT fcx AS from_cx, fcy AS from_cy, cx AS to_cx, cy AS to_cy, "
+            "CAST(COUNT(*) AS BIGINT) AS n_trips, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities "
+            "FROM t WHERE fcx IS NOT NULL GROUP BY 1, 2, 3, 4"
+        ),
+        "gridhash_density": _with_points(
+            # base32 Morton twin: the same mask-ladder bit spread in
+            # 64-bit integers, 4-char prefix = bits 59..40
+            ", b AS (SELECT (x + 2147483648) >> 2 AS xb, (y + 2147483648) >> 2 AS yb FROM pts), "
+            "s1 AS (SELECT ((xb | (xb << 16)) & 281470681808895) AS xs, "
+            "((yb | (yb << 16)) & 281470681808895) AS ys FROM b), "
+            "s2 AS (SELECT ((xs | (xs << 8)) & 71777214294589695) AS xs, "
+            "((ys | (ys << 8)) & 71777214294589695) AS ys FROM s1), "
+            "s3 AS (SELECT ((xs | (xs << 4)) & 1085102592571150095) AS xs, "
+            "((ys | (ys << 4)) & 1085102592571150095) AS ys FROM s2), "
+            "s4 AS (SELECT ((xs | (xs << 2)) & 3689348814741910323) AS xs, "
+            "((ys | (ys << 2)) & 3689348814741910323) AS ys FROM s3), "
+            "s5 AS (SELECT ((xs | (xs << 1)) & 6148914691236517205) AS xs, "
+            "((ys | (ys << 1)) & 6148914691236517205) AS ys FROM s4), "
+            "m AS (SELECT (xs | (ys << 1)) AS mv FROM s5), "
+            "c AS (SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((mv >> 55) & 31 AS INT) + 1, 1) "
+            "|| substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((mv >> 50) & 31 AS INT) + 1, 1) "
+            "|| substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((mv >> 45) & 31 AS INT) + 1, 1) "
+            "|| substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((mv >> 40) & 31 AS INT) + 1, 1) AS gh_prefix FROM m) "
+            "SELECT gh_prefix, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY gh_prefix"
+        ),
+        "snap_segments": _with_points(
+            # map-matching twin: same LCG segments (even ids), same 3x3
+            # point ring / <=2x2 segment cover blocking, IDENTICAL IEEE
+            # op order for the clamped-projection distance, min-d2 then
+            # min-seg tie-break
+            ", sg AS (SELECT id AS seg, x AS x1, y AS y1, "
+            "x + (CASE WHEN (id * 48271) % 65536 - 32768 = 0 AND (id * 69621 + 12345) % 65536 - 32768 = 0 "
+            "THEN 1 ELSE (id * 48271) % 65536 - 32768 END) AS x2, "
+            "y + ((id * 69621 + 12345) % 65536 - 32768) AS y2 FROM pts WHERE id % 4 < 2), "
+            "cov AS (SELECT seg, x1, y1, x2, y2, ux.cx AS cx, uy.cy AS cy FROM sg, "
+            "UNNEST(list_distinct([(x1 + 2147516416) // 65536, (x2 + 2147516416) // 65536])) AS ux(cx), "
+            "UNNEST(list_distinct([(y1 + 2147516416) // 65536, (y2 + 2147516416) // 65536])) AS uy(cy)), "
+            "pr AS (SELECT id, x AS px, y AS py, (x + 2147516416) // 65536 AS pbx, "
+            "(y + 2147516416) // 65536 AS pby FROM pts WHERE id % 4 >= 2), "
+            "pc AS (SELECT id, px, py, pbx + ox.d AS cx, pby + oy.d AS cy FROM pr, "
+            "UNNEST([-1, 0, 1]) AS ox(d), UNNEST([-1, 0, 1]) AS oy(d)), "
+            "d0 AS (SELECT p.id, c.seg, c.x2 - c.x1 AS dxs, c.y2 - c.y1 AS dys, "
+            "p.px - c.x1 AS rx, p.py - c.y1 AS ry "
+            "FROM pc p JOIN cov c ON p.cx = c.cx AND p.cy = c.cy), "
+            "d1 AS (SELECT id, seg, dxs, dys, rx, ry, "
+            "LEAST(GREATEST(CAST(dxs * rx + dys * ry AS DOUBLE) / CAST(dxs * dxs + dys * dys AS DOUBLE), "
+            "CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t FROM d0), "
+            "sc AS (SELECT id, seg, "
+            "(CAST(rx AS DOUBLE) - t * CAST(dxs AS DOUBLE)) * (CAST(rx AS DOUBLE) - t * CAST(dxs AS DOUBLE)) "
+            "+ (CAST(ry AS DOUBLE) - t * CAST(dys AS DOUBLE)) * (CAST(ry AS DOUBLE) - t * CAST(dys AS DOUBLE)) AS d2 FROM d1), "
+            "f AS (SELECT id, seg, d2 FROM sc WHERE d2 <= CAST(4294967296.0 AS DOUBLE)), "
+            "m AS (SELECT id, MIN(d2) AS d2 FROM f GROUP BY id) "
+            "SELECT f.id, MIN(f.seg) AS seg, f.d2 FROM f JOIN m ON f.id = m.id AND f.d2 = m.d2 "
+            "GROUP BY f.id, f.d2"
         ),
         "way_centroid": _with_points(
             # shoelace centroid twin: ordered coord lists + list_reduce

@@ -158,6 +158,7 @@ def main():
     timed("track_speed_2m", lambda: force(trajectory.track_derivatives(fixes)), repeats=2)
     timed("grid_dwell_2m", lambda: force(
         trajectory.grid_dwell(fixes, cell_shift=24, min_dwell_s=600)))
+    timed("od_matrix_2m", lambda: force(trajectory.od_matrix(fixes, cell_shift=24)))
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries
@@ -255,11 +256,23 @@ def main():
 
     timed("seg_intersect", lambda: _sg.segment_intersections(
         _sg.synth_segments(points.select("id", "x", "y"))).count())
+    # map matching: snap half the points to the other half's segments
+    # (3x3 ring x <=2x2 cover candidate join, IEEE distance in codegen)
+    _pxy = points.select("id", "x", "y")
+    timed("snap_segments", lambda: _sg.snap_points(
+        _pxy.filter(F.col("id") % 4 >= 2),
+        _sg.synth_segments(_pxy.filter(F.col("id") % 4 < 2))).count())
+    # base32 Morton cell-id rollup: pure-codegen encode + one groupBy
+    from gol_tool_spark.operators import geocode as _gc
+
+    timed("gridhash_rollup", lambda: force(_gc.gridhash_rollup(_pxy, prefix_len=4)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
     imgs = fixtures.images(spark, N_IMAGES, partitions=64)
     timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)), repeats=2)
+    # Sobel gradient stats: exact-int64 stacked convolution per shape group
+    timed("image_gradient", lambda: force(multimodal.gradient_stats(imgs)))
     # real ITU T.81 bitstream lane (pure-numpy Huffman codec — the interop
     # path, NOT the hot path): re-encode 2k fixtures as JFIF + verify
     from gol_tool_spark.kernels import image as img_kernel

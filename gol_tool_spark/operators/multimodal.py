@@ -216,3 +216,64 @@ def density_raster(
         )
 
     return binned.groupBy("tile").applyInPandas(per_tile, schema)
+
+
+GRADIENT_SCHEMA = (
+    "image_id string, w int, h int, n_interior long, n_edge long, "
+    "grad_l1_sum long, gx_abs_sum long, gy_abs_sum long"
+)
+
+
+def gradient_stats(images: DataFrame, edge_thr: int = 4080) -> DataFrame:
+    """Sobel gradient statistics per image — the feature-extraction stage
+    a vision-data pipeline runs before filtering (blur/blank detection,
+    edge-density quality scores).
+
+    EXACT integer pipeline end to end: luminance = 299R + 587G + 114B
+    (the ITU BT.601 weights scaled x1000, kept as int64), Sobel-x/y by
+    shifted-slice sums over the whole (N, h, w) stack — one vectorized
+    numpy expression per shape group, no per-pixel Python.  Outputs are
+    exact integers (deterministic across hosts): interior pixel count,
+    edge count (|gx|+|gy| > edge_thr in luminance-milli-units), and the
+    L1 gradient sums.  Default edge_thr = 4080 = a 1-level step across
+    the full 4-pixel Sobel weight at x1000 scale... i.e. tiny; raise for
+    real edge maps.
+
+    Rows-only gate (pixels are not SQL); invariants are pytest-proven:
+    constant image -> all-zero gradients, vertical step edge -> gx-only
+    energy, transpose swaps gx/gy exactly.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                p = px.astype(np.int64)
+                lum = p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114
+                if h >= 3 and w >= 3:
+                    right = lum[:, :-2, 2:] + 2 * lum[:, 1:-1, 2:] + lum[:, 2:, 2:]
+                    left = lum[:, :-2, :-2] + 2 * lum[:, 1:-1, :-2] + lum[:, 2:, :-2]
+                    gx = right - left
+                    bot = lum[:, 2:, :-2] + 2 * lum[:, 2:, 1:-1] + lum[:, 2:, 2:]
+                    top = lum[:, :-2, :-2] + 2 * lum[:, :-2, 1:-1] + lum[:, :-2, 2:]
+                    gy = bot - top
+                    ax, ay = np.abs(gx), np.abs(gy)
+                    l1 = ax + ay
+                    n_interior = (h - 2) * (w - 2)
+                    n_edge = (l1 > edge_thr).sum(axis=(1, 2))
+                    grad_l1 = l1.sum(axis=(1, 2))
+                    gxs = ax.sum(axis=(1, 2))
+                    gys = ay.sum(axis=(1, 2))
+                else:  # too small for a 3x3 kernel: no interior pixels
+                    z = np.zeros(len(sub), np.int64)
+                    n_interior, n_edge, grad_l1, gxs, gys = 0, z, z, z, z
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "w": w, "h": h, "n_interior": n_interior,
+                    "n_edge": n_edge, "grad_l1_sum": grad_l1,
+                    "gx_abs_sum": gxs, "gy_abs_sum": gys,
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return images.mapInPandas(run, GRADIENT_SCHEMA)

@@ -105,3 +105,72 @@ def segment_intersections(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> Data
         & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
     )
     return cand.filter(proper).select("seg_a", "seg_b").dropDuplicates(["seg_a", "seg_b"])
+
+
+def snap_points(
+    points: DataFrame, segs: DataFrame, cell_shift: int = CELL_SHIFT
+) -> DataFrame:
+    """Map matching: snap each point to its nearest segment within one
+    cell width (2^cell_shift map units).
+
+    Candidates come from the same grid blocking as the crossing join —
+    each point probes the 3x3 cell ring around its own cell, each
+    segment sits in its (<= 4) bbox cover cells; because segment extent
+    < cell width, every point of a segment lies inside a cover cell, so
+    any segment within one cell width of the query point is guaranteed
+    to share a ring cell (exact recall, no range explode).
+
+    Distance is the classic clamped-projection point-to-segment form
+    with a fixed IEEE evaluation order: the dot product and squared
+    length are EXACT 64-bit integers (extent < 2^16, ring offset <
+    2^18), the division/clamp/mults run in doubles in the same order as
+    the DuckDB twin — bit-reproducible across engines.  Ties on d2
+    break to the smallest segment id (lexicographic (d2, seg) min; the
+    SQL twin spells it as min-d2-then-min-seg, which is the same order
+    without relying on cross-engine struct-comparison semantics).
+
+    Returns (id, seg, d2) — one row per point that has a segment within
+    range; d2 is the squared distance in map units (double).
+
+    Scale: shuffle carries (cell, point) x9 and (cell, segment) x<=4;
+    per-cell candidate volume is density-bounded; the min-aggregations
+    are map-combined on the point key.  No Python, no crossJoin.
+    """
+    ring = F.explode(F.array([F.lit(d) for d in (-1, 0, 1)]))
+    pcx = F.shiftright(F.col("x").cast("bigint") + BIAS, cell_shift)
+    pcy = F.shiftright(F.col("y").cast("bigint") + BIAS, cell_shift)
+    p = (
+        points.select(
+            F.col("id"),
+            F.col("x").cast("bigint").alias("px"),
+            F.col("y").cast("bigint").alias("py"),
+            pcx.alias("_bx"), pcy.alias("_by"),
+        )
+        .withColumn("_dx", ring)
+        .withColumn("_dy", ring)
+        .select(
+            "id", "px", "py",
+            (F.col("_bx") + F.col("_dx")).alias("_cx"),
+            (F.col("_by") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    s = _cover_cells(segs, cell_shift).select("seg", "x1", "y1", "x2", "y2", "_cx", "_cy")
+    cand = p.join(s, ["_cx", "_cy"])
+    dxs = F.col("x2") - F.col("x1")
+    dys = F.col("y2") - F.col("y1")
+    rx = F.col("px") - F.col("x1")
+    ry = F.col("py") - F.col("y1")
+    num = dxs * rx + dys * ry  # exact bigint
+    den = dxs * dxs + dys * dys  # exact bigint, >= 1 (no degenerate segs)
+    t = F.least(F.greatest(num.cast("double") / den.cast("double"), F.lit(0.0)), F.lit(1.0))
+    ddx = rx.cast("double") - t * dxs.cast("double")
+    ddy = ry.cast("double") - t * dys.cast("double")
+    d2 = (ddx * ddx + ddy * ddy).alias("d2")
+    r2 = float((1 << cell_shift) ** 2)
+    scored = cand.select("id", "seg", d2).filter(F.col("d2") <= F.lit(r2))
+    # ONE map-combined aggregation: lexicographic struct min == min d2
+    # then min seg on ties (a min-then-join-back draft evaluated the
+    # candidate subtree twice; the SQL oracle keeps that two-step form —
+    # same result, clearer SQL)
+    best = scored.groupBy("id").agg(F.min(F.struct("d2", "seg")).alias("_m"))
+    return best.select("id", F.col("_m.seg").alias("seg"), F.col("_m.d2").alias("d2"))

@@ -1,0 +1,163 @@
+"""Exact twins for the base32 gridhash and the Sobel gradient stats.
+
+gridhash is pure 64-bit integer math — the Python twin replays the mask
+ladder with arbitrary-precision ints masked to 64 bits, so equality is
+bit-exact.  gradient_stats is exact int64 numpy; the twin is a per-pixel
+Python loop (slow but independent of the numpy slicing under test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gol_tool_spark.operators import geocode, multimodal
+from gol_tool_spark.kernels import image as IMG
+
+M64 = (1 << 64) - 1
+
+
+def _spread_py(v: int) -> int:
+    for shift, mask in geocode._SPREAD:
+        v = ((v | (v << shift)) & mask) & M64
+    return v
+
+
+def _gridhash_py(x: int, y: int, prec: int = 12) -> str:
+    xb = (x + (1 << 31)) >> 2
+    yb = (y + (1 << 31)) >> 2
+    m = _spread_py(xb) | (_spread_py(yb) << 1)
+    return "".join(
+        geocode.ALPHABET[(m >> (60 - 5 * (i + 1))) & 31] for i in range(prec)
+    )
+
+
+def _coords():
+    pts = []
+    for i in range(300):
+        x = (i * 2654435761) % (1 << 32) - (1 << 31)
+        y = (i * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)
+        pts.append((i, x, y))
+    # the corners and axes
+    ext = [(1 << 31) - 1, -(1 << 31), 0, -1, 1]
+    for j, (x, y) in enumerate((a, b) for a in ext for b in ext):
+        pts.append((1000 + j, x, y))
+    return pts
+
+
+class TestGridhash:
+    def test_matches_python_twin(self, spark):
+        pts = _coords()
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        got = {r.id: r.gh for r in geocode.gridhash_points(df).collect()}
+        want = {i: _gridhash_py(x, y) for i, x, y in pts}
+        assert got == want
+
+    def test_prefix_property(self, spark):
+        # precision-k hash IS the 12-char hash truncated — the rollup
+        # hierarchy depends on it
+        pts = _coords()[:50]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        full = {r.id: r.gh for r in geocode.gridhash_points(df, precision=12).collect()}
+        for k in (1, 4, 7):
+            part = {r.id: r.gh for r in geocode.gridhash_points(df, precision=k).collect()}
+            assert part == {i: h[:k] for i, h in full.items()}
+
+    def test_locality(self, spark):
+        # two points inside one ALIGNED 2^7-unit box share >= 9 chars (60
+        # bits minus 2*5 low bits of the >>2'd coords = 50 bits = 10 full
+        # chars); a far pair differs at the first char
+        df = spark.createDataFrame(
+            [(1, 1024, 2048), (2, 1054, 2148), (3, -(1 << 30), 1 << 30)],
+            "id long, x long, y long",
+        )
+        gh = {r.id: r.gh for r in geocode.gridhash_points(df).collect()}
+        assert gh[1][:9] == gh[2][:9]
+        assert gh[1][0] != gh[3][0]
+
+    def test_rollup_counts(self, spark):
+        pts = _coords()
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        got = {r.gh_prefix: r.n for r in geocode.gridhash_rollup(df, 3).collect()}
+        want: dict[str, int] = {}
+        for i, x, y in pts:
+            p = _gridhash_py(x, y)[:3]
+            want[p] = want.get(p, 0) + 1
+        assert got == want
+
+    def test_precision_bounds(self):
+        import pyspark.sql.functions as F
+
+        with pytest.raises(ValueError):
+            geocode.gridhash(F.col("x"), F.col("y"), 0)
+        with pytest.raises(ValueError):
+            geocode.gridhash(F.col("x"), F.col("y"), 13)
+
+
+def _img_df(spark, arrays):
+    rows = [
+        (f"t{i}", bytearray(IMG.encode(a, "raw")), a.shape[1], a.shape[0], "raw")
+        for i, a in enumerate(arrays)
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def _sobel_twin(a: np.ndarray, thr: int = 4080):
+    h, w = a.shape[:2]
+    lum = [[int(a[r, c, 0]) * 299 + int(a[r, c, 1]) * 587 + int(a[r, c, 2]) * 114
+            for c in range(w)] for r in range(h)]
+    n_edge = gl1 = gxs = gys = 0
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            gx = (lum[r - 1][c + 1] + 2 * lum[r][c + 1] + lum[r + 1][c + 1]
+                  - lum[r - 1][c - 1] - 2 * lum[r][c - 1] - lum[r + 1][c - 1])
+            gy = (lum[r + 1][c - 1] + 2 * lum[r + 1][c] + lum[r + 1][c + 1]
+                  - lum[r - 1][c - 1] - 2 * lum[r - 1][c] - lum[r - 1][c + 1])
+            l1 = abs(gx) + abs(gy)
+            gl1 += l1
+            gxs += abs(gx)
+            gys += abs(gy)
+            n_edge += l1 > thr
+    return n_edge, gl1, gxs, gys
+
+
+class TestGradientStats:
+    def test_matches_loop_twin(self, spark):
+        rng = np.random.default_rng(7)
+        arrays = [rng.integers(0, 256, (12, 9, 3), np.uint8) for _ in range(4)]
+        out = {r.image_id: r for r in multimodal.gradient_stats(_img_df(spark, arrays)).collect()}
+        for i, a in enumerate(arrays):
+            r = out[f"t{i}"]
+            n_edge, gl1, gxs, gys = _sobel_twin(a)
+            assert (r.n_edge, r.grad_l1_sum, r.gx_abs_sum, r.gy_abs_sum) == (
+                n_edge, gl1, gxs, gys,
+            )
+            assert r.n_interior == 10 * 7
+
+    def test_constant_image_is_flat(self, spark):
+        a = np.full((8, 8, 3), 137, np.uint8)
+        r = multimodal.gradient_stats(_img_df(spark, [a])).first()
+        assert (r.n_edge, r.grad_l1_sum, r.gx_abs_sum, r.gy_abs_sum) == (0, 0, 0, 0)
+
+    def test_vertical_edge_is_gx_only(self, spark):
+        a = np.zeros((8, 8, 3), np.uint8)
+        a[:, 4:, :] = 255
+        r = multimodal.gradient_stats(_img_df(spark, [a])).first()
+        assert r.gy_abs_sum == 0 and r.gx_abs_sum > 0
+        assert r.n_edge > 0
+
+    def test_transpose_swaps_axes(self, spark):
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 256, (10, 14, 3), np.uint8)
+        at = np.ascontiguousarray(a.transpose(1, 0, 2))
+        out = {r.image_id: r for r in multimodal.gradient_stats(_img_df(spark, [a, at])).collect()}
+        assert out["t0"].gx_abs_sum == out["t1"].gy_abs_sum
+        assert out["t0"].gy_abs_sum == out["t1"].gx_abs_sum
+        assert out["t0"].grad_l1_sum == out["t1"].grad_l1_sum
+
+    def test_too_small_for_kernel(self, spark):
+        a = np.full((2, 2, 3), 9, np.uint8)
+        r = multimodal.gradient_stats(_img_df(spark, [a])).first()
+        assert (r.n_interior, r.n_edge, r.grad_l1_sum) == (0, 0, 0)

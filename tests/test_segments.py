@@ -86,3 +86,62 @@ class TestSegmentIntersections:
         df = spark.createDataFrame([(0, 0, 0)], "id long, x long, y long")
         row = segments.synth_segments(df).first()
         assert (row.x1, row.y1) != (row.x2, row.y2)
+
+
+def _snap_twin(points, segs, cell_shift=16):
+    """IEEE-identical brute-force snap: distance to EVERY segment, keep
+    pairs within one cell width, min (d2, seg) per point."""
+    r2 = float((1 << cell_shift) ** 2)
+    best = {}
+    for pid, px, py in points:
+        for sid, x1, y1, x2, y2 in segs:
+            dxs, dys = x2 - x1, y2 - y1
+            rx, ry = px - x1, py - y1
+            num = dxs * rx + dys * ry
+            den = dxs * dxs + dys * dys
+            t = min(max(float(num) / float(den), 0.0), 1.0)
+            ddx = float(rx) - t * float(dxs)
+            ddy = float(ry) - t * float(dys)
+            d2 = ddx * ddx + ddy * ddy
+            if d2 <= r2:
+                k = (d2, sid)
+                if pid not in best or k < best[pid]:
+                    best[pid] = k
+    return {pid: (sid, d2) for pid, (d2, sid) in best.items()}
+
+
+class TestSnapPoints:
+    def test_matches_bruteforce(self, spark):
+        raw = _synth_segs()
+        # segments from even ids; query points = the odd ids' origins
+        seg_rows = [(i, x1, y1, x2, y2) for i, x1, y1, x2, y2 in raw if i % 2 == 0]
+        pt_rows = [(i, x1, y1) for i, x1, y1, _, _ in raw if i % 2 == 1]
+        segs = spark.createDataFrame(seg_rows, "seg long, x1 long, y1 long, x2 long, y2 long")
+        pts = spark.createDataFrame(pt_rows, "id long, x long, y long")
+        got = {r.id: (r.seg, r.d2) for r in segments.snap_points(pts, segs).collect()}
+        want = _snap_twin(pt_rows, seg_rows)
+        assert got == want
+        assert len(want) > 50  # non-vacuous
+        assert any(d2 > 0 for _, d2 in want.values())
+
+    def test_out_of_range_point_dropped(self, spark):
+        segs = spark.createDataFrame(
+            [(1, 0, 0, 100, 0)], "seg long, x1 long, y1 long, x2 long, y2 long"
+        )
+        pts = spark.createDataFrame(
+            [(1, 50, 30), (2, 50, (1 << 18))], "id long, x long, y long"
+        )
+        out = {r.id: (r.seg, r.d2) for r in segments.snap_points(pts, segs).collect()}
+        assert out == {1: (1, 900.0)}  # point 2 is beyond one cell width
+
+    def test_endpoint_clamp_and_tiebreak(self, spark):
+        # point beyond the segment end -> distance to endpoint (clamped t);
+        # two segments at the same distance -> smaller id wins
+        segs = spark.createDataFrame(
+            [(7, 0, 10, 100, 10), (3, 0, -10, 100, -10)],
+            "seg long, x1 long, y1 long, x2 long, y2 long",
+        )
+        pts = spark.createDataFrame([(1, 50, 0), (2, 140, 10)], "id long, x long, y long")
+        out = {r.id: (r.seg, r.d2) for r in segments.snap_points(pts, segs).collect()}
+        assert out[1] == (3, 100.0)  # tie at d2=100 -> min seg id
+        assert out[2] == (7, 1600.0)  # 40 beyond the (100,10) endpoint

@@ -195,3 +195,48 @@ class TestPacking:
             by_bucket[r.bucket].add(r.bin_idx)
         for bins in by_bucket.values():
             assert bins == set(range(max(bins) + 1))
+
+
+class TestOdMatrix:
+    def test_matches_python_twin(self, spark):
+        ev = _events(spark)
+        shift = 29
+        got = {
+            (r.from_cx, r.from_cy, r.to_cx, r.to_cy): (r.n_trips, r.n_entities)
+            for r in trajectory.od_matrix(ev, cell_shift=shift).collect()
+        }
+        raw = ev.collect()
+        by_user: dict[int, list] = {}
+        for r in raw:
+            ws = int((r.ts - EPOCH).total_seconds())
+            cell = ((r.x + (1 << 31)) >> shift, (r.y + (1 << 31)) >> shift)
+            by_user.setdefault(r.user_id, []).append((ws, r.event_id, cell))
+        trips: dict[tuple, set] = {}
+        counts: dict[tuple, int] = {}
+        for u, fixes in by_user.items():
+            fixes.sort()
+            visits = []
+            for _, _, cell in fixes:
+                if not visits or visits[-1] != cell:
+                    visits.append(cell)
+            for a, b in zip(visits, visits[1:]):
+                k = (a[0], a[1], b[0], b[1])
+                counts[k] = counts.get(k, 0) + 1
+                trips.setdefault(k, set()).add(u)
+        want = {k: (counts[k], len(trips[k])) for k in counts}
+        assert got == want
+        assert len(want) > 0
+        # visits are maximal runs: no self-loop rows ever
+        assert all(not (fx == tx and fy == ty) for fx, fy, tx, ty in got)
+
+    def test_ping_heavy_stay_is_one_visit(self, spark):
+        import datetime as dt
+
+        # 5 pings in cell A, 1 in B, 3 in A again -> A->B and B->A, once each
+        rows = []
+        for i, cx in enumerate([0] * 5 + [1] + [0] * 3):
+            rows.append((1, i, dt.datetime.utcfromtimestamp(1_700_000_000 + i * 100),
+                         cx * (1 << 30) + 5, 7))
+        ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
+        out = trajectory.od_matrix(ev, cell_shift=29).collect()
+        assert sorted((r.n_trips, r.n_entities) for r in out) == [(1, 1), (1, 1)]
