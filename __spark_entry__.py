@@ -821,6 +821,24 @@ def q_snap_segments(spark, sf_dir):
     return segments.snap_points(pts.filter(F.col("id") % 4 >= 2), segs)
 
 
+def q_morans_i(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # shift 26 = a 64x64 occupied lattice at every SF (uniform background
+    # fills it), so the rook adjacency is dense and the statistic
+    # non-vacuous; outputs are exact integers rendered as strings
+    return geostats.morans_i(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
+
+
+def q_image_blur(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Variance-of-Laplacian blur metric — exact int64 sums per image
+    (harmonic/texture invariants pytest-proven in tests/test_geocode.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.blur_stats(fixtures.images(spark, 200))
+
+
 def q_image_gradient(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Sobel gradient stats over the image fixture — exact int64
     luminance/convolution sums per image (invariants pytest-proven in
@@ -1332,8 +1350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
         "q1_pricing": q_q1_pricing,
-        "q3_top_orders": q_q3_top_orders,
-        "q5_region_revenue": q_q5_region_revenue,
         "late_ship_semi": q_late_ship_semi,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1351,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gridhash_density": q_gridhash_density,  # base32 Morton prefix rollup
         "snap_segments": q_snap_segments,  # map matching (nearest segment)
         "image_gradient": q_image_gradient,  # rows-only Sobel stats lane
+        "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
+        "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
         "bbox_query": q_bbox_query,
@@ -1412,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_freq": q_string_freq,
         "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
+        "q3_top_orders": q_q3_top_orders,
+        "q5_region_revenue": q_q5_region_revenue,
         "window_top3_events": q_window_top3_events,
         "sessionize": q_sessionize,
         "tally_priority": q_tally_priority,
@@ -2483,6 +2503,25 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT id, MIN(d2) AS d2 FROM f GROUP BY id) "
             "SELECT f.id, MIN(f.seg) AS seg, f.d2 FROM f JOIN m ON f.id = m.id AND f.d2 = m.d2 "
             "GROUP BY f.id, f.d2"
+        ),
+        "morans_i": _with_points(
+            # Moran's I twin: N-scaled integer deviations in HUGEINT ==
+            # Spark's DECIMAL(38,0) lane; exact accumulators rendered as
+            # strings on both sides
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(c) AS t FROM cells), "
+            "z AS (SELECT cx, cy, n_cells, CAST(n_cells AS HUGEINT) * CAST(c AS HUGEINT) "
+            "- CAST(t AS HUGEINT) AS zs FROM cells, tot), "
+            "pr AS (SELECT zs AS zs_i, cx + d.dx AS cx, cy + d.dy AS cy FROM z, "
+            "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy)), "
+            "pairs AS (SELECT p.zs_i, q.zs AS zs_j FROM pr p JOIN z q ON p.cx = q.cx AND p.cy = q.cy), "
+            "nw AS (SELECT COALESCE(SUM(zs_i * zs_j), 0) AS num, "
+            "CAST(COUNT(*) AS BIGINT) AS w_pairs FROM pairs), "
+            "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
+            "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
+            "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
         "way_centroid": _with_points(
             # shoelace centroid twin: ordered coord lists + list_reduce

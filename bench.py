@@ -266,6 +266,10 @@ def main():
     from gol_tool_spark.operators import geocode as _gc
 
     timed("gridhash_rollup", lambda: force(_gc.gridhash_rollup(_pxy, prefix_len=4)))
+    # global Moran's I: cell counts + 4-neighbor equi-join, exact decimals
+    from gol_tool_spark.operators import geostats as _gs
+
+    timed("morans_i", lambda: force(_gs.morans_i(_pxy, cell_shift=26)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
@@ -273,6 +277,8 @@ def main():
     timed("image_roundtrip", lambda: force(multimodal.verify_roundtrip(imgs)), repeats=2)
     # Sobel gradient stats: exact-int64 stacked convolution per shape group
     timed("image_gradient", lambda: force(multimodal.gradient_stats(imgs)))
+    # variance-of-Laplacian blur metric (same stacked-int64 discipline)
+    timed("image_blur", lambda: force(multimodal.blur_stats(imgs)))
     # real ITU T.81 bitstream lane (pure-numpy Huffman codec — the interop
     # path, NOT the hot path): re-encode 2k fixtures as JFIF + verify
     from gol_tool_spark.kernels import image as img_kernel

@@ -1,0 +1,110 @@
+"""Exploratory spatial data analysis: global Moran's I over grid cells.
+
+The reference's statistics stop at counts/densities per tile
+(StatisticsReport / the D2-D4 rollups here); the standard next question
+a spatial analyst asks is whether those densities are CLUSTERED —
+global spatial autocorrelation.  Moran's I is the canonical statistic
+(public knowledge, Moran 1950):
+
+    I = (N / W) * sum_ij w_ij z_i z_j / sum_i z_i^2
+
+with z_i the density deviations from the mean and w_ij a binary rook
+adjacency between occupied grid cells (the sparse-data convention: the
+lattice is the set of occupied cells, documented, matching the tile
+catalog's view of the world).
+
+EXACT-ARITHMETIC shape: means are rationals, so instead of doubles we
+scale the deviation by N — zs_i = N*c_i - T (T = total count) = N*(c_i
+- mean), an exact integer.  The N^2 factor cancels in the numerator /
+denominator ratio, so returning
+
+    (n_cells, w_pairs, num = sum w_ij zs_i zs_j, den = sum zs_i^2)
+
+as exact integers (DECIMAL(38,0) accumulators; products are bounded by
+(N*max_count)^2 and sums by W times that) lets the caller form
+I = n_cells / w_pairs * num / den at whatever precision they like,
+while the engine's answer is bit-exact and fully SQL-oracle-checkable.
+
+Plan: one map-combined groupBy for the cell counts, a broadcast 1-row
+totals join, a 4-direction neighbor explode + ONE equi-join on the cell
+key (never all-pairs), and a global agg.  Skewed hot cells are a
+non-issue — the join key is the cell id itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HALF = 1 << 31
+
+
+def morans_i(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Global Moran's I components over occupied 2^cell_shift-wide grid
+    cells with rook (4-neighbor) binary weights.
+
+    Returns ONE row: (n_cells, w_pairs, num, den) — all exact.
+    w_pairs counts DIRECTED adjacent pairs (the standard W for a
+    symmetric binary matrix); num sums zs_i*zs_j over those directed
+    pairs; den sums zs_i^2 with zs_i = n_cells*count_i - total.
+    I = (n_cells / w_pairs) * (num / den); den = 0 iff every occupied
+    cell has the same count (I undefined — caller's call).
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("c").alias("t")
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    z = cells.join(F.broadcast(totals)).select(
+        "cx", "cy", "n_cells",
+        (d(F.col("n_cells")) * d(F.col("c")) - d(F.col("t"))).alias("zs"),
+    )
+    # 4-direction neighbor probe: each cell emits its east/west/north/
+    # south neighbor key; ONE equi-join against the cell set finds the
+    # occupied ones.  Directed pairs fall out naturally (each unordered
+    # adjacency matches twice, once from each side).
+    probe = z.select(
+        F.col("zs").alias("zs_i"),
+        F.explode(
+            F.array(
+                F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+            )
+        ).alias("_nb"),
+    ).select("zs_i", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    pairs = probe.join(z.select("cx", "cy", F.col("zs").alias("zs_j")), ["cx", "cy"])
+    num_w = pairs.agg(
+        # SUM over zero pairs is NULL in SQL; the statistic's empty sum is 0
+        F.coalesce(
+            F.sum(F.col("zs_i") * F.col("zs_j")).cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+        ).alias("_num"),
+        F.count(F.lit(1)).alias("w_pairs"),
+    )
+    den_n = z.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.sum(F.col("zs") * F.col("zs")).cast("decimal(38,0)").alias("_den"),
+    )
+    # the exact accumulators exceed int64 at scale; ship them as decimal
+    # strings (engine-neutral exact representation — a DECIMAL column
+    # would hash differently from the oracle's HUGEINT)
+    return (
+        den_n.join(F.broadcast(num_w))
+        .select(
+            "n_cells", "w_pairs",
+            F.col("_num").cast("string").alias("num"),
+            F.col("_den").cast("string").alias("den"),
+        )
+    )

@@ -277,3 +277,54 @@ def gradient_stats(images: DataFrame, edge_thr: int = 4080) -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, GRADIENT_SCHEMA)
+
+
+BLUR_SCHEMA = (
+    "image_id string, n_interior long, lap_sum long, lap_sq_sum long"
+)
+
+
+def blur_stats(images: DataFrame) -> DataFrame:
+    """Variance-of-Laplacian blur metric per image (the classic focus /
+    blur detector) — exact int64 end to end.
+
+    Laplacian = 4*L[r,c] - up - down - left - right over the BT.601
+    x1000 integer luminance; the per-image outputs are the exact sums
+    (n_interior, sum(lap), sum(lap^2)), so the caller forms the variance
+    n*sum(lap^2) - sum(lap)^2 (scaled by n^2) losslessly.  lap is
+    bounded by 8*255000 so lap^2 sums stay far inside int64 for any
+    sane image size.
+
+    Invariant (pytest-proven): an affine-in-(r,c) luminance field is
+    harmonic — its Laplacian is identically zero — so linear gradients
+    report lap_sum = lap_sq_sum = 0 while constant-vs-textured images
+    separate on lap_sq_sum.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                p = px.astype(np.int64)
+                lum = p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114
+                if h >= 3 and w >= 3:
+                    lap = (
+                        4 * lum[:, 1:-1, 1:-1]
+                        - lum[:, :-2, 1:-1] - lum[:, 2:, 1:-1]
+                        - lum[:, 1:-1, :-2] - lum[:, 1:-1, 2:]
+                    )
+                    n_interior = (h - 2) * (w - 2)
+                    lap_sum = lap.sum(axis=(1, 2))
+                    lap_sq = (lap * lap).sum(axis=(1, 2))
+                else:
+                    z = np.zeros(len(sub), np.int64)
+                    n_interior, lap_sum, lap_sq = 0, z, z
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "n_interior": n_interior,
+                    "lap_sum": lap_sum, "lap_sq_sum": lap_sq,
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return images.mapInPandas(run, BLUR_SCHEMA)

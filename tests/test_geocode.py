@@ -161,3 +161,109 @@ class TestGradientStats:
         a = np.full((2, 2, 3), 9, np.uint8)
         r = multimodal.gradient_stats(_img_df(spark, [a])).first()
         assert (r.n_interior, r.n_edge, r.grad_l1_sum) == (0, 0, 0)
+
+
+class TestBlurStats:
+    def test_matches_loop_twin(self, spark):
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, (9, 11, 3), np.uint8)
+        r = multimodal.blur_stats(_img_df(spark, [a])).first()
+        lum = [[int(a[i, j, 0]) * 299 + int(a[i, j, 1]) * 587 + int(a[i, j, 2]) * 114
+                for j in range(11)] for i in range(9)]
+        ls = lq = 0
+        for i in range(1, 8):
+            for j in range(1, 10):
+                lap = 4 * lum[i][j] - lum[i - 1][j] - lum[i + 1][j] - lum[i][j - 1] - lum[i][j + 1]
+                ls += lap
+                lq += lap * lap
+        assert (r.n_interior, r.lap_sum, r.lap_sq_sum) == (7 * 9, ls, lq)
+
+    def test_linear_gradient_is_harmonic(self, spark):
+        # affine luminance field -> Laplacian identically zero
+        a = np.zeros((8, 8, 3), np.uint8)
+        for i in range(8):
+            for j in range(8):
+                a[i, j, :] = 3 * i + 5 * j
+        r = multimodal.blur_stats(_img_df(spark, [a])).first()
+        assert (r.lap_sum, r.lap_sq_sum) == (0, 0)
+        assert r.n_interior == 36
+
+    def test_texture_beats_flat(self, spark):
+        flat = np.full((8, 8, 3), 100, np.uint8)
+        rng = np.random.default_rng(5)
+        tex = rng.integers(0, 256, (8, 8, 3), np.uint8)
+        out = {r.image_id: r for r in multimodal.blur_stats(_img_df(spark, [flat, tex])).collect()}
+        assert out["t0"].lap_sq_sum == 0
+        assert out["t1"].lap_sq_sum > 0
+
+
+def _morans_twin(points, shift):
+    cells: dict[tuple, int] = {}
+    for x, y in points:
+        k = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        cells[k] = cells.get(k, 0) + 1
+    n = len(cells)
+    t = sum(cells.values())
+    zs = {k: n * c - t for k, c in cells.items()}
+    num = w = 0
+    for (cx, cy), zi in zs.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (cx + dx, cy + dy)
+            if nb in zs:
+                num += zi * zs[nb]
+                w += 1
+    den = sum(v * v for v in zs.values())
+    return n, w, num, den
+
+
+class TestMoransI:
+    def _pts(self):
+        pts = []
+        for i in range(500):
+            # two dense clusters + uniform background
+            if i % 3 == 0:
+                x = 1000 + (i * 7919) % 50_000
+                y = 2000 + (i * 104729) % 50_000
+            elif i % 3 == 1:
+                x = (1 << 28) + (i * 7919) % 50_000
+                y = -(1 << 28) + (i * 104729) % 50_000
+            else:
+                x = (i * 2654435761) % (1 << 32) - (1 << 31)
+                y = (i * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)
+            pts.append((x, y))
+        return pts
+
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = self._pts()
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = geostats.morans_i(df, cell_shift=14).first()
+        n, w, num, den = _morans_twin(pts, 14)
+        assert (r.n_cells, r.w_pairs, int(r.num), int(r.den)) == (n, w, num, den)
+        assert w > 0 and den > 0  # non-vacuous
+
+    def test_clustered_is_positive(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # a tight blob in one corner of a coarse grid: neighboring
+        # occupied cells share high counts -> positive autocorrelation
+        pts = [(i * 31 % 4000, i * 17 % 4000) for i in range(300)]
+        pts += [((1 << 30) + (i * 131071) % (1 << 30), (i * 524287) % (1 << 30)) for i in range(50)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = geostats.morans_i(df, cell_shift=28).first()
+        n, w, num, den = _morans_twin(pts, 28)
+        assert (r.n_cells, r.w_pairs, int(r.num), int(r.den)) == (n, w, num, den)
+        if w and den:
+            assert n * num / (w * den) > 0
+
+    def test_isolated_cells_have_no_pairs(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # cells far apart -> W = 0, num NULL (no adjacent pairs)
+        df = spark.createDataFrame(
+            [(0, 0), (1 << 30, 1 << 30), (-(1 << 30), -(1 << 30))], "x long, y long"
+        )
+        r = geostats.morans_i(df, cell_shift=26).first()
+        assert r.w_pairs == 0 and int(r.num) == 0
+        assert int(r.den) == 0  # equal counts -> zero deviations
