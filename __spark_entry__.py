@@ -821,6 +821,21 @@ def q_snap_segments(spark, sf_dir):
     return segments.snap_points(pts.filter(F.col("id") % 4 >= 2), segs)
 
 
+def q_colocation(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+    from gol_tool_spark.operators.temporal import _wall_secs
+
+    # positions keyed on the 5-minute epoch bucket (synth.EVENTS_XY_T_CTE
+    # twin) — the event_id-keyed fixture scatters same-cell events across
+    # days and the contact join over it is vacuous at any sane max_dt
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _wall_secs("ts").alias("_ws")
+    )
+    x, y = synth.point_xy(F.expr("_ws DIV 300"))
+    exy = ev.select("user_id", "event_id", "ts", x.alias("x"), y.alias("y"))
+    return trajectory.colocation(exy, max_dt_s=3600, max_d=1 << 16)
+
+
 def q_morans_i(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1350,7 +1365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
         "q1_pricing": q_q1_pricing,
-        "late_ship_semi": q_late_ship_semi,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gridhash_density": q_gridhash_density,  # base32 Morton prefix rollup
         "snap_segments": q_snap_segments,  # map matching (nearest segment)
         "image_gradient": q_image_gradient,  # rows-only Sobel stats lane
+        "colocation": q_colocation,  # spatio-temporal contact join
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
@@ -1430,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_freq": q_string_freq,
         "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
+        "late_ship_semi": q_late_ship_semi,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
         "window_top3_events": q_window_top3_events,
@@ -2503,6 +2519,23 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT id, MIN(d2) AS d2 FROM f GROUP BY id) "
             "SELECT f.id, MIN(f.seg) AS seg, f.d2 FROM f JOIN m ON f.id = m.id AND f.d2 = m.d2 "
             "GROUP BY f.id, f.d2"
+        ),
+        "colocation": (
+            # contact-join twin: same 27-offset probe blocking, exact
+            # integer d2, double-division floor for the time bucket
+            f"WITH exy AS ({synth.EVENTS_XY_T_CTE}), "
+            "b AS (SELECT user_id AS u, event_id AS e, CAST(floor(epoch(ts)) AS BIGINT) AS ws, x, y FROM exy), "
+            "k AS (SELECT u, e, ws, x, y, CAST(floor(ws / 3600) AS BIGINT) AS tb, "
+            "(x + 2147483648) // 65536 AS cx, (y + 2147483648) // 65536 AS cy FROM b), "
+            "p AS (SELECT u AS ua, ws AS wsa, x AS xa, y AS ya, "
+            "tb + o1.d AS tb, cx + o2.d AS cx, cy + o3.d AS cy FROM k, "
+            "UNNEST([-1, 0, 1]) AS o1(d), UNNEST([-1, 0, 1]) AS o2(d), UNNEST([-1, 0, 1]) AS o3(d)), "
+            "j AS (SELECT p.ua, q.u AS ub, "
+            "(p.xa - q.x) * (p.xa - q.x) + (p.ya - q.y) * (p.ya - q.y) AS d2 "
+            "FROM p JOIN k q ON p.tb = q.tb AND p.cx = q.cx AND p.cy = q.cy "
+            "WHERE p.ua < q.u AND ABS(p.wsa - q.ws) <= 3600) "
+            "SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_contacts, "
+            "MIN(d2) AS min_d2 FROM j WHERE d2 <= 4294967296 GROUP BY 1, 2"
         ),
         "morans_i": _with_points(
             # Moran's I twin: N-scaled integer deviations in HUGEINT ==

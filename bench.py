@@ -159,6 +159,10 @@ def main():
     timed("grid_dwell_2m", lambda: force(
         trajectory.grid_dwell(fixes, cell_shift=24, min_dwell_s=600)))
     timed("od_matrix_2m", lambda: force(trajectory.od_matrix(fixes, cell_shift=24)))
+    # contact join: 27-offset probe over 2M fixes (the blocking shuffle is
+    # the cost; match volume is sparse on the uniform fixture)
+    timed("colocation_2m", lambda: force(
+        trajectory.colocation(fixes, max_dt_s=60, max_d=1 << 16)))
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries

@@ -213,6 +213,24 @@ SELECT user_id, event_id, ts,
 FROM events
 """
 
+# point_xy keyed on the 5-minute epoch bucket — the colocation fixture:
+# events in the same bucket share a position, so contacts are temporally
+# coherent (the event_id-keyed EVENTS_XY_CTE scatters same-cell events
+# across days and a contact join over it is vacuous)
+EVENTS_XY_T_CTE = f"""
+SELECT user_id, event_id, ts,
+       CASE WHEN tk % 10 < 2
+            THEN (tk % 5) * 700000000 - 1500000000
+                 + ((tk * {A_X}) % {MOD32}) % {HOT_SPREAD}
+            ELSE (tk * {A_X}) % {MOD32} - {HALF} END AS x,
+       CASE WHEN tk % 10 < 2
+            THEN ((tk % 5) * 1111111111) % 3000000000 - 1500000000
+                 + ((tk * {A_Y} + {C_Y}) % {MOD32}) % {HOT_SPREAD}
+            ELSE (tk * {A_Y} + {C_Y}) % {MOD32} - {HALF} END AS y
+FROM (SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) // 300 AS tk FROM events)
+"""
+
 MEMBERSHIP_CTE = """
 SELECT l_orderkey AS way_id, l_linenumber AS seq,
        CASE WHEN (l_orderkey * 8 + l_linenumber) % 20 = 3

