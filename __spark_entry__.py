@@ -821,6 +821,12 @@ def q_snap_segments(spark, sf_dir):
     return segments.snap_points(pts.filter(F.col("id") % 4 >= 2), segs)
 
 
+def q_track_resample(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    return trajectory.resample_track(_events_xy(spark, sf_dir), step_s=3600)
+
+
 def q_colocation(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
     from gol_tool_spark.operators.temporal import _wall_secs
@@ -1364,7 +1370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- green + local re-verification only); they take the head so
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
-        "q1_pricing": q_q1_pricing,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -1382,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_segments": q_snap_segments,  # map matching (nearest segment)
         "image_gradient": q_image_gradient,  # rows-only Sobel stats lane
         "colocation": q_colocation,  # spatio-temporal contact join
+        "track_resample": q_track_resample,  # grid-time linear interpolation
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
@@ -1445,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_freq": q_string_freq,
         "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
+        "q1_pricing": q_q1_pricing,
         "late_ship_semi": q_late_ship_semi,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
@@ -2519,6 +2526,35 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT id, MIN(d2) AS d2 FROM f GROUP BY id) "
             "SELECT f.id, MIN(f.seg) AS seg, f.d2 FROM f JOIN m ON f.id = m.id AND f.d2 = m.d2 "
             "GROUP BY f.id, f.d2"
+        ),
+        "track_resample": (
+            # grid-interpolation twin: same union + two IGNORE NULLS
+            # window scans, biased non-negative numerators so // == DIV
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "f AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "x + 2147483648 AS xb, y + 2147483648 AS yb FROM exy), "
+            "sp AS (SELECT user_id, CAST(ceil(MIN(ws) / 3600) AS BIGINT) AS klo, "
+            "CAST(floor(MAX(ws) / 3600) AS BIGINT) AS khi FROM f GROUP BY user_id), "
+            "g AS (SELECT user_id, k * 3600 AS ws FROM sp, "
+            "UNNEST(generate_series(klo, khi)) AS u(k) WHERE klo <= khi), "
+            "b AS (SELECT user_id, ws, 1 AS kind, event_id AS id, xb, yb FROM f "
+            "UNION ALL SELECT user_id, ws, 0, NULL, NULL, NULL FROM g), "
+            "s AS (SELECT user_id, ws, kind, "
+            "FIRST_VALUE(CASE WHEN kind = 1 THEN ws END IGNORE NULLS) OVER wf AS nws, "
+            "FIRST_VALUE(xb IGNORE NULLS) OVER wf AS nx, "
+            "FIRST_VALUE(yb IGNORE NULLS) OVER wf AS ny, "
+            "LAST_VALUE(CASE WHEN kind = 1 THEN ws END IGNORE NULLS) OVER wb AS pws, "
+            "LAST_VALUE(xb IGNORE NULLS) OVER wb AS px, "
+            "LAST_VALUE(yb IGNORE NULLS) OVER wb AS py FROM b WINDOW "
+            "wf AS (PARTITION BY user_id ORDER BY ws, kind, id "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), "
+            "wb AS (PARTITION BY user_id ORDER BY ws, kind, id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, ws AS grid_s, "
+            "CASE WHEN nws = ws THEN nx ELSE (px * (nws - ws) + nx * (ws - pws)) // (nws - pws) END "
+            "- 2147483648 AS x, "
+            "CASE WHEN nws = ws THEN ny ELSE (py * (nws - ws) + ny * (ws - pws)) // (nws - pws) END "
+            "- 2147483648 AS y FROM s WHERE kind = 0"
         ),
         "colocation": (
             # contact-join twin: same 27-offset probe blocking, exact

@@ -163,6 +163,9 @@ def main():
     # the cost; match volume is sparse on the uniform fixture)
     timed("colocation_2m", lambda: force(
         trajectory.colocation(fixes, max_dt_s=60, max_d=1 << 16)))
+    # grid-time linear interpolation over the same 2M fixes
+    timed("track_resample_2m", lambda: force(
+        trajectory.resample_track(fixes, step_s=300)))
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries

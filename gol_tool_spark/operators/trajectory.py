@@ -258,3 +258,102 @@ def colocation(
             F.min(d2).alias("min_d2"),
         )
     )
+
+
+def resample_track(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Resample each entity's track onto the fixed step_s time grid by
+    linear interpolation between the bracketing fixes — the
+    normalization step before any cross-track analytics (alignment,
+    similarity, co-location at matched timestamps).
+
+    Grid times are the multiples of step_s inside [first fix, last fix]
+    per entity.  For each grid time t: `next` = the first fix (by (ws,
+    id)) with ws >= t, `prev` = the last fix with ws < t; an exact hit
+    (next.ws == t) returns that fix's position, otherwise position =
+    floor((x0*(t1-t) + x1*(t-t0)) / (t1-t0)) evaluated on +2^31-biased
+    coordinates so every term is a non-negative exact int64 and integer
+    division IS floor division in every engine (numerator <= 2^32 *
+    track-span-seconds; keep spans under ~2^30 s, i.e. 34 years).
+
+    Plan: one entity-key shuffle shared by the min/max agg, the
+    grid explode, and the two IGNORE NULLS window scans over the
+    union of fix and grid rows.  Pure codegen, no Python.
+    """
+    step = int(step_s)
+    ws = _wall_secs(ts)
+    fixes = df.select(
+        F.col(by), ws.alias("_ws"), F.col(id_col).alias("_id"),
+        (F.col(x).cast("bigint") + F.lit(HALF)).alias("_xb"),
+        (F.col(y).cast("bigint") + F.lit(HALF)).alias("_yb"),
+    )
+    span = fixes.groupBy(by).agg(F.min("_ws").alias("_lo"), F.max("_ws").alias("_hi"))
+    # an entity whose span straddles no grid multiple emits nothing
+    # (sequence() would otherwise run BACKWARDS when start > stop)
+    span = span.filter(
+        F.ceil(F.col("_lo") / F.lit(step)) <= F.floor(F.col("_hi") / F.lit(step))
+    )
+    grid = span.select(
+        F.col(by),
+        F.explode(
+            # epoch seconds are ~2^31 so the double divisions are exact
+            # enough for ceil/floor (mirrored verbatim in the SQL twin)
+            F.sequence(
+                F.ceil(F.col("_lo") / F.lit(step)).cast("bigint"),
+                F.floor(F.col("_hi") / F.lit(step)).cast("bigint"),
+            )
+        ).alias("_k"),
+    ).select(F.col(by), (F.col("_k") * F.lit(step)).alias("_ws"))
+    # union fixes + grid; grid rows sort BEFORE same-second fixes so the
+    # forward scan's first fix with ws >= t includes the exact hit and
+    # the backward scan's last fix has ws strictly < t
+    f_rows = fixes.select(by, "_ws", F.lit(1).alias("_kind"), "_id", "_xb", "_yb")
+    g_rows = grid.select(
+        by, "_ws", F.lit(0).alias("_kind"),
+        F.lit(None).cast("long").alias("_id"),
+        F.lit(None).cast("long").alias("_xb"), F.lit(None).cast("long").alias("_yb"),
+    )
+    both = f_rows.unionByName(g_rows)
+    w_fwd = (
+        Window.partitionBy(by)
+        .orderBy("_ws", "_kind", "_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_bwd = (
+        Window.partitionBy(by)
+        .orderBy("_ws", "_kind", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = (
+        both.withColumn("_nws", F.first(F.when(F.col("_kind") == 1, F.col("_ws")), True).over(w_fwd))
+        .withColumn("_nx", F.first("_xb", True).over(w_fwd))
+        .withColumn("_ny", F.first("_yb", True).over(w_fwd))
+        .withColumn("_pws", F.last(F.when(F.col("_kind") == 1, F.col("_ws")), True).over(w_bwd))
+        .withColumn("_px", F.last("_xb", True).over(w_bwd))
+        .withColumn("_py", F.last("_yb", True).over(w_bwd))
+        .filter(F.col("_kind") == 0)
+    )
+    t, t0, t1 = F.col("_ws"), F.col("_pws"), F.col("_nws")
+    exact = F.col("_nws") == t
+    # exact integer floor division (numerators can pass 2^53, so double
+    # division + floor would be wrong): name the terms, use SQL DIV
+    staged = scanned.select(
+        F.col(by), F.col("_ws").alias("grid_s"), exact.alias("_hit"),
+        F.col("_nx"), F.col("_ny"),
+        (F.col("_px") * (t1 - t) + F.col("_nx") * (t - t0)).alias("_numx"),
+        (F.col("_py") * (t1 - t) + F.col("_ny") * (t - t0)).alias("_numy"),
+        (t1 - t0).alias("_den"),
+    )
+    x_out = F.when(F.col("_hit"), F.col("_nx")).otherwise(F.expr("_numx DIV _den"))
+    y_out = F.when(F.col("_hit"), F.col("_ny")).otherwise(F.expr("_numy DIV _den"))
+    return staged.select(
+        F.col(by), F.col("grid_s"),
+        (x_out - F.lit(HALF)).alias("x"), (y_out - F.lit(HALF)).alias("y"),
+    )

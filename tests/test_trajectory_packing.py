@@ -312,3 +312,74 @@ class TestColocation:
                                       min(want.get((ua, ub), (0, 10**18))[1], d2))
         assert got == want
         assert all(a != b for a, b in got)
+
+
+class TestResampleTrack:
+    def test_matches_python_twin(self, spark):
+        ev = _events(spark)
+        step = 900
+        got = {
+            (r.user_id, r.grid_s): (r.x, r.y)
+            for r in trajectory.resample_track(ev, step_s=step).collect()
+        }
+        raw = ev.collect()
+        by_user: dict[int, list] = {}
+        for r in raw:
+            ws = int((r.ts - EPOCH).total_seconds())
+            by_user.setdefault(r.user_id, []).append((ws, r.event_id, r.x, r.y))
+        H = 1 << 31
+        want = {}
+        for u, fixes in by_user.items():
+            fixes.sort()
+            lo, hi = fixes[0][0], fixes[-1][0]
+            k = -(-lo // step)
+            while k * step <= hi:
+                t = k * step
+                nxt = next(f for f in fixes if f[0] >= t)
+                if nxt[0] == t:
+                    want[(u, t)] = (nxt[2], nxt[3])
+                else:
+                    prv = [f for f in fixes if f[0] < t][-1]
+                    t0, _, x0, y0 = prv
+                    t1, _, x1, y1 = nxt
+                    xq = ((x0 + H) * (t1 - t) + (x1 + H) * (t - t0)) // (t1 - t0) - H
+                    yq = ((y0 + H) * (t1 - t) + (y1 + H) * (t - t0)) // (t1 - t0) - H
+                    want[(u, t)] = (xq, yq)
+                k += 1
+        assert got == want
+        assert len(want) > 20
+
+    def test_exact_hit_and_midpoint(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, 0, dt.datetime.utcfromtimestamp(3600), -100, 200),
+            (1, 1, dt.datetime.utcfromtimestamp(10800), 300, -600),
+        ]
+        ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
+        got = {r.grid_s: (r.x, r.y) for r in trajectory.resample_track(ev, step_s=3600).collect()}
+        assert got[3600] == (-100, 200)  # exact hit on the first fix
+        assert got[10800] == (300, -600)  # exact hit on the last fix
+        assert got[7200] == (100, -200)  # midpoint, exact integers
+
+    def test_same_second_fixes_pick_min_id(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, 5, dt.datetime.utcfromtimestamp(3600), 10, 10),
+            (1, 2, dt.datetime.utcfromtimestamp(3600), 99, 99),  # min id wins the hit
+            (1, 9, dt.datetime.utcfromtimestamp(7200), 0, 0),
+        ]
+        ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
+        got = {r.grid_s: (r.x, r.y) for r in trajectory.resample_track(ev, step_s=3600).collect()}
+        assert got[3600] == (99, 99)
+
+    def test_no_grid_point_in_span(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, 0, dt.datetime.utcfromtimestamp(3601), 1, 1),
+            (1, 1, dt.datetime.utcfromtimestamp(7199), 2, 2),
+        ]
+        ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
+        assert trajectory.resample_track(ev, step_s=3600).count() == 0
