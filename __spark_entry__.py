@@ -821,6 +821,16 @@ def q_snap_segments(spark, sf_dir):
     return segments.snap_points(pts.filter(F.col("id") % 4 >= 2), segs)
 
 
+def q_way_hull(spark, sf_dir):  # no oracle: hull recursion isn't SQL
+    """Convex hull per way — exact big-int monotone chain (gift-wrapping
+    twin + containment invariants in tests/test_classify_measures.py)."""
+    from gol_tool_spark.operators import measures
+
+    mem = synth.membership_df(spark, sf_dir)
+    pts = synth.points_df(spark, sf_dir)
+    return measures.convex_hulls(mem, pts).select("way_id", "n_in", "n_hull")
+
+
 def q_track_resample(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1370,7 +1380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- green + local re-verification only); they take the head so
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
-        "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
@@ -1388,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gradient": q_image_gradient,  # rows-only Sobel stats lane
         "colocation": q_colocation,  # spatio-temporal contact join
         "track_resample": q_track_resample,  # grid-time linear interpolation
+        "way_hull": q_way_hull,  # rows-only convex hull (big-int chain)
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
@@ -1451,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_freq": q_string_freq,
         "duplicate_coarse": q_duplicate_coarse,
         "tally_roles": q_tally_roles,
+        "token_stats": q_token_stats,
         "q1_pricing": q_q1_pricing,
         "late_ship_semi": q_late_ship_semi,
         "q3_top_orders": q_q3_top_orders,

@@ -257,6 +257,8 @@ def main():
 
     timed("idw_grid", lambda: force(_ip.idw_grid(
         points.select("id", "x", "y", "qty"), value_col="qty", zoom=7)))
+    # per-way convex hulls (Arrow-batched big-int chain, JVM slicing)
+    timed("way_hull", lambda: force(measures.convex_hulls(mem, pts_tiled)))
     # exact proper-crossing join over the LCG segment set (grid-blocked,
     # DECIMAL(38,0) orientation predicate in codegen)
     from gol_tool_spark.operators import segments as _sg

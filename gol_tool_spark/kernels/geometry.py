@@ -272,3 +272,40 @@ def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
             stack.append((a, m))
             stack.append((m, b))
     return keep
+
+
+def hull_positions(xs, ys) -> list[int]:
+    """Convex hull of a point list — 1-based input positions of the hull
+    vertices in counter-clockwise order, starting from the lexicographic
+    minimum.  Andrew monotone chain over EXACT Python integers (cross
+    products of full-plane int32 coords exceed int64 — arbitrary
+    precision keeps every turn test exact); strict turns only, so
+    collinear interior points and duplicates are excluded.
+
+    Degenerate inputs: 1 point -> [that point]; all-collinear -> the two
+    extreme points (a 2-vertex "hull").
+    """
+    pts = sorted(set((int(x), int(y)) for x, y in zip(xs, ys)))
+    first_pos: dict[tuple, int] = {}
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        first_pos.setdefault((int(x), int(y)), i + 1)
+    if len(pts) <= 2:
+        return [first_pos[p] for p in pts]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[tuple] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 2:  # all points collinear -> both chains collapsed
+        return [first_pos[p] for p in (pts[0], pts[-1])]
+    return [first_pos[p] for p in hull]

@@ -294,3 +294,42 @@ def simplify_ways(
             lambda c: c.dropFields("pos"),
         ).alias("coords_simplified"),
     )
+
+
+def convex_hulls(membership: DataFrame, points: DataFrame) -> DataFrame:
+    """Convex hull per way — the footprint-summary stage (coverage
+    envelopes, label placement, collision prebounds).
+
+    Same plan shape as simplify_ways: the assemble groupBy is the only
+    shuffle; the hull pass is an Arrow-batched pandas UDF returning
+    1-based input positions in CCW hull order (exact big-int turn tests
+    — full-plane int32 cross products exceed int64, so the kernel stays
+    in Python integers; ways are bounded-size so the per-way loop is the
+    same boundary class as rings.py stitching); the slicing back to
+    coord structs stays JVM-side.  Not SQL-expressible — ships with
+    gift-wrapping twin + invariant pytests instead of a DuckDB oracle.
+    Kernel: kernels/geometry.hull_positions.
+    """
+    import pandas as pd
+
+    from ..kernels import geometry as G
+
+    def _hull_fn(coords):
+        out = []
+        for ring in coords:
+            xs = [c["x"] for c in ring]
+            ys = [c["y"] for c in ring]
+            out.append(G.hull_positions(xs, ys))
+        return pd.Series(out)
+
+    _hull_fn.__annotations__ = {c: pd.Series for c in ("coords", "return")}
+    _hull = F.pandas_udf(_hull_fn, "array<int>")
+
+    coords = assemble_coords(membership, points)
+    kept = coords.withColumn("hull_idx", _hull("coords"))
+    return kept.select(
+        "way_id",
+        F.size("coords").alias("n_in"),
+        F.size("hull_idx").alias("n_hull"),
+        F.transform("hull_idx", lambda i: F.element_at("coords", i)).alias("hull"),
+    )

@@ -422,3 +422,102 @@ class TestSimplifyWays:
         # top-level chord absorbs a few near-chord spikes — twin agrees)
         want2 = [ways[2][i] for i in self._twin(ways[2], 50.0)]
         assert got[2] == want2 and len(got[2]) > 10
+
+
+class TestConvexHulls:
+    def _run(self, spark, ways):
+        mem, pts, nid = [], [], 0
+        for wid, line in ways.items():
+            for seq, (x, y) in enumerate(line):
+                mem.append((wid, seq, nid))
+                pts.append((nid, x, y))
+                nid += 1
+        mdf = spark.createDataFrame(mem, "way_id long, seq int, node_ref long")
+        pdf = spark.createDataFrame(pts, "id long, x long, y long")
+        out = measures.convex_hulls(mdf, pdf)
+        return {
+            r.way_id: (r.n_in, r.n_hull, [(c.x, c.y) for c in r.hull])
+            for r in out.collect()
+        }
+
+    @staticmethod
+    def _jarvis(points):
+        """Gift-wrapping twin (independent algorithm, exact ints)."""
+        pts = sorted(set(points))
+        if len(pts) <= 2:
+            return pts
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        hull = []
+        start = min(pts)
+        p = start
+        while True:
+            hull.append(p)
+            q = pts[0] if pts[0] != p else pts[1]
+            for r in pts:
+                if r == p or r == q:
+                    continue
+                c = cross(p, q, r)
+                if c < 0 or (
+                    c == 0
+                    and (r[0] - p[0]) ** 2 + (r[1] - p[1]) ** 2
+                    > (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                ):
+                    q = r
+            p = q
+            if p == start:
+                break
+        # gift wrapping walks CLOCKWISE with this orientation convention;
+        # normalize both to a canonical rotation-invariant CCW cycle
+        return hull
+
+    @staticmethod
+    def _canon_cycle(h):
+        if len(h) <= 2:
+            return tuple(sorted(h))
+        i = h.index(min(h))
+        fwd = tuple(h[i:] + h[:i])
+        rev_list = list(reversed(h))
+        j = rev_list.index(min(rev_list))
+        rev = tuple(rev_list[j:] + rev_list[:j])
+        return min(fwd, rev)
+
+    def test_matches_gift_wrapping_twin(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        ways = {}
+        for wid in range(10):
+            n = int(rng.integers(1, 40))
+            xs = rng.integers(-(1 << 31), 1 << 31, n)  # full-plane coords
+            ys = rng.integers(-(1 << 31), 1 << 31, n)
+            ways[wid] = list(zip(xs.tolist(), ys.tolist()))
+        ways[10] = [(0, 0), (10, 0), (5, 1), (5, 5), (0, 0)]  # near-collinear
+        ways[11] = [(i, 2 * i) for i in range(9)]  # collinear
+        ways[12] = [(3, 3)] * 4  # all-duplicate
+        got = self._run(spark, ways)
+        for wid, line in ways.items():
+            n_in, n_hull, hull = got[wid]
+            assert n_in == len(line)
+            want = self._jarvis(line)
+            assert self._canon_cycle(hull) == self._canon_cycle(want), wid
+            assert n_hull == len(hull)
+            # every input point is inside or on the hull (CCW: cross >= 0)
+            if n_hull >= 3:
+                for p in line:
+                    for a, b in zip(hull, hull[1:] + hull[:1]):
+                        c = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                        assert c >= 0, (wid, p)
+
+    def test_ccw_and_strict_vertices(self, spark):
+        ways = {1: [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (2, 0)]}
+        got = self._run(spark, ways)
+        n_in, n_hull, hull = got[1]
+        assert n_hull == 4 and set(hull) == {(0, 0), (4, 0), (4, 4), (0, 4)}
+        # CCW: signed shoelace area positive
+        area2 = sum(
+            a[0] * b[1] - b[0] * a[1] for a, b in zip(hull, hull[1:] + hull[:1])
+        )
+        assert area2 > 0
