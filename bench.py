@@ -407,15 +407,21 @@ def main():
         shutil.rmtree(merge_dir, ignore_errors=True)
 
     # -- full resumable build pipeline (analyze..compile) end to end
-
+    # This lane swings 20-57 s on bit-identical code (end-of-session GC /
+    # JIT state; a session-restart variant made it WORSE: cold-JIT first
+    # build on a fresh JVM measured 82 s vs 24 s on the second).  Keep the
+    # warm session and take best-of-2 like the headline stages.
     from gol_tool_spark.plans import build_pipeline as BP
 
-    build_dir = tempfile.mkdtemp(prefix="golbench_")
-    try:
-        cfg = BP.BuildConfig(out_dir=build_dir, sf_dir=SF_DIR, max_tiles=256, min_density=50)
-        timed("build_pipeline", lambda: BP.run_build(spark, cfg))
-    finally:
-        shutil.rmtree(build_dir, ignore_errors=True)
+    def _one_build():
+        build_dir = tempfile.mkdtemp(prefix="golbench_")
+        try:
+            cfg = BP.BuildConfig(out_dir=build_dir, sf_dir=SF_DIR, max_tiles=256, min_density=50)
+            BP.run_build(spark, cfg)
+        finally:
+            shutil.rmtree(build_dir, ignore_errors=True)
+
+    timed("build_pipeline", _one_build, repeats=2)
 
     tiling_sec = times["tile_assign"] + times["pile_assignment"]
     join_sec = times["way_assembly"]
