@@ -861,6 +861,21 @@ def q_morans_i(spark, sf_dir):
     return geostats.morans_i(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_getis_ord(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # same 64x64 lattice as morans_i; per-cell EXACT hotspot numerators
+    # (queen-incl-self Gi* components), z-score sqrt left to the caller
+    return geostats.getis_ord(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
+
+
+def q_radius_gyration(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # per-entity mobility spread: g2 = n^2 * rog^2 exact (one groupBy)
+    return trajectory.radius_gyration(_events_xy(spark, sf_dir))
+
+
 def q_image_blur(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Variance-of-Laplacian blur metric — exact int64 sums per image
     (harmonic/texture invariants pytest-proven in tests/test_geocode.py)."""
@@ -1380,8 +1395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- green + local re-verification only); they take the head so
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
-        "quality": q_quality,
-        "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
         "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
@@ -1399,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_resample": q_track_resample,  # grid-time linear interpolation
         "way_hull": q_way_hull,  # rows-only convex hull (big-int chain)
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
+        "getis_ord": q_getis_ord,  # local hotspot Gi* components (exact)
+        "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
@@ -1456,6 +1471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- (code shared with the in-head image_tile_rollup +
         # ----- tile_raster lanes) rotated out for od_matrix/
         # ----- gridhash_density/snap_segments/image_gradient)
+        # ----- quality + langid (r3 driver green, code untouched, locally
+        # ----- verified every round) rotated out for getis_ord +
+        # ----- radius_gyration (never snapshotted)
+        "quality": q_quality,
+        "langid": q_langid,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "string_freq": q_string_freq,
@@ -2584,6 +2604,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_contacts, "
             "MIN(d2) AS min_d2 FROM j WHERE d2 <= 4294967296 GROUP BY 1, 2"
         ),
+        "radius_gyration": (
+            # rog twin: one grouped scan; g2 = n*ss - sx^2 - sy^2 in
+            # HUGEINT == Spark's DECIMAL(38,0) lane rendered as strings
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_fix, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y) "
+            "- CAST(SUM(x) AS HUGEINT) * SUM(x) - CAST(SUM(y) AS HUGEINT) * SUM(y) "
+            "AS VARCHAR) AS g2 FROM exy GROUP BY user_id"
+        ),
         "morans_i": _with_points(
             # Moran's I twin: N-scaled integer deviations in HUGEINT ==
             # Spark's DECIMAL(38,0) lane; exact accumulators rendered as
@@ -2602,6 +2632,23 @@ def oracle_sql() -> dict[str, str]:
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "getis_ord": _with_points(
+            # Gi* twin: queen-incl-self 9-offset probe, HUGEINT numerator
+            # == Spark's DECIMAL(38,0) lane rendered as strings
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(c) AS t FROM cells), "
+            "pr AS (SELECT c AS c_j, cx + o1.d AS cx, cy + o2.d AS cy FROM cells, "
+            "UNNEST([-1, 0, 1]) AS o1(d), UNNEST([-1, 0, 1]) AS o2(d)), "
+            "loc AS (SELECT p.cx, p.cy, CAST(COUNT(*) AS BIGINT) AS w_i, "
+            "SUM(p.c_j) AS lsum FROM pr p JOIN cells q ON p.cx = q.cx AND p.cy = q.cy "
+            "GROUP BY 1, 2) "
+            "SELECT l.cx, l.cy, c.c, l.w_i, l.lsum, "
+            "CAST(CAST(t.n_cells AS HUGEINT) * CAST(l.lsum AS HUGEINT) "
+            "- CAST(l.w_i AS HUGEINT) * CAST(t.t AS HUGEINT) AS VARCHAR) AS num "
+            "FROM loc l JOIN cells c ON l.cx = c.cx AND l.cy = c.cy, tot t"
         ),
         "way_centroid": _with_points(
             # shoelace centroid twin: ordered coord lists + list_reduce

@@ -108,3 +108,69 @@ def morans_i(
             F.col("_den").cast("string").alias("den"),
         )
     )
+
+
+def getis_ord(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Local hotspot components (Getis-Ord Gi*, Getis & Ord 1992/1995)
+    over occupied 2^cell_shift-wide grid cells with binary queen weights
+    INCLUDING self (the Gi* convention).
+
+    Per occupied cell: (cx, cy, c, w_i, lsum, num) where w_i counts the
+    occupied cells in the 3x3 neighborhood (self included), lsum sums
+    their counts, and num = n_cells*lsum - w_i*total is the EXACT
+    integer z-score numerator (the mean-scaled local excess; positive =
+    hot, negative = cold).  The denominator S*sqrt((n*w_i - w_i^2)/(n-1))
+    needs a square root, so the float z-score is the caller's one final
+    step — the engine output stays bit-exact and SQL-oracle-checkable
+    (same exact-arithmetic shape as morans_i above).
+
+    Plan: one map-combined groupBy for cell counts, a 9-offset probe
+    explode + ONE equi-join on the cell key (never all-pairs; the probe
+    side carries only (key, c)), a map-combined groupBy on the target
+    cell, and a broadcast 1-row totals join.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("c").alias("t")
+    )
+    offsets = F.array(*[
+        F.struct(
+            (F.col("cx") + F.lit(dx)).alias("cx"),
+            (F.col("cy") + F.lit(dy)).alias("cy"),
+        )
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = cells.select(
+        F.col("c").alias("c_j"), F.explode(offsets).alias("_nb")
+    ).select("c_j", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    local = (
+        probe.join(cells.select("cx", "cy"), ["cx", "cy"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("w_i"),
+            F.sum("c_j").alias("lsum"),
+        )
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    return (
+        local.join(cells, ["cx", "cy"])
+        .join(F.broadcast(totals))
+        .select(
+            "cx", "cy", "c", "w_i", "lsum",
+            (d(F.col("n_cells")) * d(F.col("lsum")) - d(F.col("w_i")) * d(F.col("t")))
+            .cast("string")
+            .alias("num"),
+        )
+    )

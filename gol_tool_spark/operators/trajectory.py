@@ -357,3 +357,39 @@ def resample_track(
         F.col(by), F.col("grid_s"),
         (x_out - F.lit(HALF)).alias("x"), (y_out - F.lit(HALF)).alias("y"),
     )
+
+
+def radius_gyration(
+    df: DataFrame,
+    by: str = "user_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-entity radius of gyration components (Gonzalez et al. 2008's
+    mobility statistic), in EXACT integer arithmetic.
+
+    rog^2 = (1/n) * sum_i ((x_i - mx)^2 + (y_i - my)^2) with (mx, my)
+    the centroid — a rational.  Scaling by n^2 clears it exactly:
+
+        g2 = n * (sum x^2 + sum y^2) - (sum x)^2 - (sum y)^2
+           = n^2 * rog^2
+
+    so the engine returns (n_fix, sx, sy, g2) bit-exact (g2 as a
+    DECIMAL(38,0) string — squares of 2^31-scale coords summed over the
+    track exceed int64) and the caller's only float step is
+    sqrt(g2)/n.  ONE map-combined groupBy on the entity key; no joins,
+    no windows — the cheapest statistic in the trajectory suite.
+    """
+    d = lambda c: c.cast("decimal(38,0)")
+    xx, yy = F.col(x).cast("bigint"), F.col(y).cast("bigint")
+    agg = df.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).alias("n_fix"),
+        F.sum(xx).alias("sx"),
+        F.sum(yy).alias("sy"),
+        F.sum(d(xx * xx) + d(yy * yy)).alias("_ss"),
+    )
+    return agg.select(
+        by, "n_fix", "sx", "sy",
+        (d(F.col("n_fix")) * F.col("_ss") - d(F.col("sx")) * d(F.col("sx"))
+         - d(F.col("sy")) * d(F.col("sy"))).cast("string").alias("g2"),
+    )

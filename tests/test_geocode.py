@@ -267,3 +267,63 @@ class TestMoransI:
         r = geostats.morans_i(df, cell_shift=26).first()
         assert r.w_pairs == 0 and int(r.num) == 0
         assert int(r.den) == 0  # equal counts -> zero deviations
+
+
+def _gi_twin(points, shift):
+    cells: dict[tuple, int] = {}
+    for x, y in points:
+        k = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        cells[k] = cells.get(k, 0) + 1
+    n = len(cells)
+    t = sum(cells.values())
+    out = {}
+    for (cx, cy) in cells:
+        w_i = lsum = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in cells:
+                    w_i += 1
+                    lsum += cells[nb]
+        out[(cx, cy)] = (cells[(cx, cy)], w_i, lsum, n * lsum - w_i * t)
+    return out
+
+
+class TestGetisOrd:
+    def _pts(self):
+        pts = [(i * 31 % 4000, i * 17 % 4000) for i in range(300)]
+        pts += [((1 << 30) + (i * 131071) % (1 << 28), (i * 524287) % (1 << 28)) for i in range(60)]
+        pts += [((i * 2654435761) % (1 << 32) - (1 << 31),
+                 (i * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)) for i in range(100)]
+        return pts
+
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = self._pts()
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.cx, r.cy): (r.c, r.w_i, r.lsum, int(r.num))
+               for r in geostats.getis_ord(df, cell_shift=27).collect()}
+        assert got == _gi_twin(pts, 27)
+        assert any(v[1] > 1 for v in got.values())  # some cell has neighbors
+
+    def test_hot_cell_positive_cold_negative(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # one dense 3x3 block + sparse singles far away: the blob's center
+        # numerator must be positive, a far single cell's negative
+        pts = [(dx * 100, dy * 100) for dx in range(3) for dy in range(3) for _ in range(20)]
+        pts += [((1 << 29) + i * (1 << 27), -(1 << 29) - i * (1 << 27)) for i in range(4)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = {(r.cx, r.cy): int(r.num) for r in geostats.getis_ord(df, cell_shift=26).collect()}
+        twin = _gi_twin(pts, 26)
+        assert rows == {k: v[3] for k, v in twin.items()}
+        assert max(rows.values()) > 0 and min(rows.values()) < 0
+
+    def test_isolated_cell_w1(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = [(0, 0), ((1 << 30), (1 << 30))]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = {(r.cx, r.cy): (r.w_i, r.lsum) for r in geostats.getis_ord(df, cell_shift=26).collect()}
+        assert all(v == (1, 1) for v in rows.values())

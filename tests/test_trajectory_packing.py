@@ -383,3 +383,53 @@ class TestResampleTrack:
         ]
         ev = spark.createDataFrame(rows, "user_id int, event_id bigint, ts timestamp, x long, y long")
         assert trajectory.resample_track(ev, step_s=3600).count() == 0
+
+
+def _rog_twin(fixes):
+    by_u: dict = {}
+    for u, x, y in fixes:
+        by_u.setdefault(u, []).append((x, y))
+    out = {}
+    for u, pts in by_u.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        ss = sum(p[0] * p[0] + p[1] * p[1] for p in pts)
+        out[u] = (n, sx, sy, n * ss - sx * sx - sy * sy)
+    return out
+
+
+class TestRadiusGyration:
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        fixes = []
+        for i in range(400):
+            u = i % 7
+            # full-plane magnitudes: squares stress the decimal lane
+            x = (i * 2654435761 + u) % (1 << 32) - (1 << 31)
+            y = (i * 2246822519 + 3 * u) % (1 << 32) - (1 << 31)
+            fixes.append((u, x, y))
+        df = spark.createDataFrame(fixes, "user_id int, x long, y long")
+        got = {r.user_id: (r.n_fix, r.sx, r.sy, int(r.g2))
+               for r in trajectory.radius_gyration(df).collect()}
+        assert got == _rog_twin(fixes)
+        # g2 = n^2 * rog^2 >= 0 always; > 0 whenever fixes differ
+        assert all(v[3] > 0 for v in got.values())
+
+    def test_stationary_entity_is_zero(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        df = spark.createDataFrame(
+            [(1, 5000, -7000)] * 10 + [(2, 100, 200), (2, 300, 400)],
+            "user_id int, x long, y long",
+        )
+        got = {r.user_id: int(r.g2) for r in trajectory.radius_gyration(df).collect()}
+        assert got[1] == 0 and got[2] > 0
+
+    def test_single_fix(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        df = spark.createDataFrame([(9, 123, -456)], "user_id int, x long, y long")
+        r = trajectory.radius_gyration(df).first()
+        assert (r.n_fix, r.sx, r.sy, int(r.g2)) == (1, 123, -456, 0)
