@@ -869,6 +869,13 @@ def q_getis_ord(spark, sf_dir):
     return geostats.getis_ord(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_gearys_c(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # contiguity twin of morans_i: count contrasts across rook edges
+    return geostats.gearys_c(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
+
+
 def q_radius_gyration(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1395,7 +1402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- green + local re-verification only); they take the head so
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
-        "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
         "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
         # -- new this session: trajectory / packing / crossing-join wave --
@@ -1413,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_hull": q_way_hull,  # rows-only convex hull (big-int chain)
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
         "getis_ord": q_getis_ord,  # local hotspot Gi* components (exact)
+        "gearys_c": q_gearys_c,  # contiguity contrast statistic (exact)
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
@@ -1471,11 +1478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- (code shared with the in-head image_tile_rollup +
         # ----- tile_raster lanes) rotated out for od_matrix/
         # ----- gridhash_density/snap_segments/image_gradient)
-        # ----- quality + langid (r3 driver green, code untouched, locally
-        # ----- verified every round) rotated out for getis_ord +
-        # ----- radius_gyration (never snapshotted)
+        # ----- quality + langid + fingerprints (r3 driver green, code
+        # ----- untouched, locally verified every round) rotated out for
+        # ----- getis_ord + radius_gyration + gearys_c (never snapshotted)
         "quality": q_quality,
         "langid": q_langid,
+        "fingerprints": q_fingerprints,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "string_freq": q_string_freq,
@@ -2630,6 +2638,24 @@ def oracle_sql() -> dict[str, str]:
             "nw AS (SELECT COALESCE(SUM(zs_i * zs_j), 0) AS num, "
             "CAST(COUNT(*) AS BIGINT) AS w_pairs FROM pairs), "
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
+            "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
+            "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "gearys_c": _with_points(
+            # Geary's C twin: raw count contrasts squared in HUGEINT +
+            # the morans_i N-scaled denominator, rendered as strings
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(c) AS t FROM cells), "
+            "pr AS (SELECT c AS c_i, cx + d.dx AS cx, cy + d.dy AS cy FROM cells, "
+            "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy)), "
+            "pairs AS (SELECT p.c_i, q.c AS c_j FROM pr p JOIN cells q ON p.cx = q.cx AND p.cy = q.cy), "
+            "nw AS (SELECT COALESCE(SUM(CAST(c_i - c_j AS HUGEINT) * CAST(c_i - c_j AS HUGEINT)), 0) AS num, "
+            "CAST(COUNT(*) AS BIGINT) AS w_pairs FROM pairs), "
+            "dn AS (SELECT MAX(n_cells) AS n_cells, "
+            "SUM((CAST(n_cells AS HUGEINT) * c - t) * (CAST(n_cells AS HUGEINT) * c - t)) AS den "
+            "FROM cells, tot) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),

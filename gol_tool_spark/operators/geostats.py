@@ -174,3 +174,81 @@ def getis_ord(
             .alias("num"),
         )
     )
+
+def gearys_c(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Global Geary's C components (Geary 1954) over occupied
+    2^cell_shift-wide grid cells with rook binary weights — the
+    contiguity twin of morans_i above (C weights local CONTRASTS where
+    I weights local covariance; the pair is the standard ESDA toolkit).
+
+        C = (N-1)/(2W) * sum_ij w_ij (c_i - c_j)^2 / sum_i (c_i - cbar)^2
+
+    EXACT shape: the numerator needs no mean at all — (c_i - c_j)^2 is
+    already an exact integer; the denominator reuses morans_i's N-scaled
+    deviation zs_i = N*c_i - T, so den = sum zs_i^2 = N^2 * sum (c_i -
+    cbar)^2.  Returns ONE row (n_cells, w_pairs, num, den) with
+
+        C = (n_cells - 1) / (2 * w_pairs) * (n_cells^2 * num) / den
+
+    the caller's one float step; num/den ship as DECIMAL(38,0) strings
+    (they exceed int64 at scale).  w_pairs counts DIRECTED adjacent
+    pairs, so sum w_ij (c_i-c_j)^2 over them double-counts each
+    unordered edge exactly like the 2W in the denominator convention —
+    num/w_pairs is the mean squared contrast either way.
+
+    Plan: identical to morans_i — one map-combined groupBy, 4-direction
+    probe explode, ONE equi-join on the cell key, global agg.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("c").alias("t")
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    probe = cells.select(
+        F.col("c").alias("c_i"),
+        F.explode(
+            F.array(
+                F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+            )
+        ).alias("_nb"),
+    ).select("c_i", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    pairs = probe.join(cells.select("cx", "cy", F.col("c").alias("c_j")), ["cx", "cy"])
+    num_w = pairs.agg(
+        # cast the DIFFERENCE (fits int64) before squaring — the square
+        # of a planet-scale count contrast does not
+        F.coalesce(
+            F.sum(d(F.col("c_i") - F.col("c_j")) * d(F.col("c_i") - F.col("c_j"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_num"),
+        F.count(F.lit(1)).alias("w_pairs"),
+    )
+    den_n = (
+        cells.join(F.broadcast(totals))
+        .select(
+            "n_cells",
+            (d(F.col("n_cells")) * d(F.col("c")) - d(F.col("t"))).alias("zs"),
+        )
+        .agg(
+            F.max("n_cells").alias("n_cells"),
+            F.sum(F.col("zs") * F.col("zs")).cast("decimal(38,0)").alias("_den"),
+        )
+    )
+    return den_n.join(F.broadcast(num_w)).select(
+        "n_cells", "w_pairs",
+        F.col("_num").cast("string").alias("num"),
+        F.col("_den").cast("string").alias("den"),
+    )

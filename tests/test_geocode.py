@@ -327,3 +327,75 @@ class TestGetisOrd:
         df = spark.createDataFrame(pts, "x long, y long")
         rows = {(r.cx, r.cy): (r.w_i, r.lsum) for r in geostats.getis_ord(df, cell_shift=26).collect()}
         assert all(v == (1, 1) for v in rows.values())
+
+
+def _geary_twin(points, shift):
+    cells: dict[tuple, int] = {}
+    for x, y in points:
+        k = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        cells[k] = cells.get(k, 0) + 1
+    n = len(cells)
+    t = sum(cells.values())
+    num = w = 0
+    for (cx, cy), c in cells.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (cx + dx, cy + dy)
+            if nb in cells:
+                w += 1
+                num += (c - cells[nb]) ** 2
+    den = sum((n * c - t) ** 2 for c in cells.values())
+    return n, w, num, den
+
+
+class TestGearysC:
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = [(i * 31 % 4000, i * 17 % 4000) for i in range(300)]
+        pts += [((1 << 30) + (i * 131071) % (1 << 28), (i * 524287) % (1 << 28)) for i in range(60)]
+        pts += [((i * 2654435761) % (1 << 32) - (1 << 31),
+                 (i * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)) for i in range(100)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = geostats.gearys_c(df, cell_shift=27).first()
+        n, w, num, den = _geary_twin(pts, 27)
+        assert (r.n_cells, r.w_pairs, int(r.num), int(r.den)) == (n, w, num, den)
+        assert w > 0 and den > 0
+
+    def test_smooth_gradient_low_contrast(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # equal counts on every occupied cell: all pair contrasts are 0
+        # (C numerator 0 = perfect positive autocorrelation) and the
+        # denominator is 0 too (no deviations) — both exact
+        pts = [(cx * 100 + i, cy * 100 + i) for cx in range(4) for cy in range(4) for i in range(5)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = geostats.gearys_c(df, cell_shift=26).first()
+        n, w, num, den = _geary_twin(pts, 26)
+        assert (r.n_cells, r.w_pairs, int(r.num), int(r.den)) == (n, w, num, den)
+        assert int(r.num) == 0 and int(r.den) == 0
+
+    def test_checkerboard_contrast_positive(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # true checkerboard (alternating in BOTH axes): every adjacency
+        # is a dense/sparse contrast -> C > 1 (negative autocorrelation)
+        pts = []
+        for cx in range(6):
+            for cy in range(6):
+                reps = 12 if (cx + cy) % 2 == 0 else 2
+                pts += [(cx * 64 + j % 8, cy * 64 + j // 8) for j in range(reps)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = geostats.gearys_c(df, cell_shift=6).first()
+        n, w, num, den = _geary_twin(pts, 6)
+        assert (r.n_cells, r.w_pairs, int(r.num), int(r.den)) == (n, w, num, den)
+        # C = (n-1)/(2w) * n^2*num/den > 1 flags negative autocorrelation
+        assert (n - 1) * n * n * num / (2 * w * den) > 1
+
+    def test_isolated_cells_zero_pairs(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        df = spark.createDataFrame(
+            [(0, 0), (1 << 30, 1 << 30), (-(1 << 30), -(1 << 30))], "x long, y long"
+        )
+        r = geostats.gearys_c(df, cell_shift=26).first()
+        assert r.w_pairs == 0 and int(r.num) == 0 and int(r.den) == 0
