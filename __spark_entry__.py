@@ -869,6 +869,14 @@ def q_getis_ord(spark, sf_dir):
     return geostats.getis_ord(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_ripley_k(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # pair-count curve at three radii; blocking cell = 2^15 >= max r,
+    # so candidates come from the 3x3 ring only (never all-pairs)
+    return geostats.ripley_k(synth.points_df(spark, sf_dir), [8192, 16384, 32768])
+
+
 def q_gearys_c(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1402,7 +1410,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- green + local re-verification only); they take the head so
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
-        "exact_dups": q_exact_dups,
         "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
@@ -1420,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
         "getis_ord": q_getis_ord,  # local hotspot Gi* components (exact)
         "gearys_c": q_gearys_c,  # contiguity contrast statistic (exact)
+        "ripley_k": q_ripley_k,  # pair-count curve (exact, cell-blocked)
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
@@ -1478,12 +1486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- (code shared with the in-head image_tile_rollup +
         # ----- tile_raster lanes) rotated out for od_matrix/
         # ----- gridhash_density/snap_segments/image_gradient)
-        # ----- quality + langid + fingerprints (r3 driver green, code
-        # ----- untouched, locally verified every round) rotated out for
-        # ----- getis_ord + radius_gyration + gearys_c (never snapshotted)
+        # ----- quality + langid + fingerprints + exact_dups (r3 driver
+        # ----- green, code untouched, locally verified every round)
+        # ----- rotated out for getis_ord + radius_gyration + gearys_c +
+        # ----- ripley_k (never snapshotted)
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "exact_dups": q_exact_dups,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "string_freq": q_string_freq,
@@ -2640,6 +2650,23 @@ def oracle_sql() -> dict[str, str]:
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "ripley_k": _with_points(
+            # pair-count curve twin: same 2^15 blocking, 9-offset probe,
+            # inclusive <= on exact integer d2, one conditional-sum pass
+            ", b AS (SELECT id, x, y, (x + 2147483648) // 32768 AS cx, "
+            "(y + 2147483648) // 32768 AS cy FROM pts), "
+            "p AS (SELECT id AS ia, x AS xa, y AS ya, cx + o1.d AS cx, cy + o2.d AS cy "
+            "FROM b, UNNEST([-1, 0, 1]) AS o1(d), UNNEST([-1, 0, 1]) AS o2(d)), "
+            "j AS (SELECT (p.xa - q.x) * (p.xa - q.x) + (p.ya - q.y) * (p.ya - q.y) AS d2 "
+            "FROM p JOIN b q ON p.cx = q.cx AND p.cy = q.cy WHERE p.ia != q.id), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM pts), "
+            "a AS (SELECT COALESCE(SUM(CASE WHEN d2 <= 67108864 THEN 1 ELSE 0 END), 0) AS p0, "
+            "COALESCE(SUM(CASE WHEN d2 <= 268435456 THEN 1 ELSE 0 END), 0) AS p1, "
+            "COALESCE(SUM(CASE WHEN d2 <= 1073741824 THEN 1 ELSE 0 END), 0) AS p2 FROM j) "
+            "SELECT CAST(u.r AS BIGINT) AS r, n.n_pts, "
+            "CAST(CASE u.r WHEN 8192 THEN a.p0 WHEN 16384 THEN a.p1 ELSE a.p2 END AS BIGINT) AS pairs "
+            "FROM a, n, UNNEST([8192, 16384, 32768]) AS u(r)"
         ),
         "gearys_c": _with_points(
             # Geary's C twin: raw count contrasts squared in HUGEINT +

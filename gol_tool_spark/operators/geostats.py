@@ -252,3 +252,83 @@ def gearys_c(
         F.col("_num").cast("string").alias("num"),
         F.col("_den").cast("string").alias("den"),
     )
+
+def ripley_k(
+    df: DataFrame,
+    radii: list[int],
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Ripley's K pair-count curve (Ripley 1976): for each radius r the
+    EXACT number of ORDERED point pairs (i != j) with squared distance
+    <= r^2.  The caller forms K(r) = area * pairs_r / (n * (n-1)) — the
+    one float step; everything the engine touches is integer.
+
+    Plan: grid-block at cell = 2^shift >= max(radii) so every
+    within-range pair meets in the 3x3 neighbor ring; 9-offset probe
+    explode + ONE equi-join on the cell key (the colocation shape,
+    trajectory.colocation, minus time); each ordered pair meets on
+    exactly one probe row so no dedup shuffle exists.  All radii are
+    answered by ONE pass over the candidate pairs (conditional sums),
+    then unpivoted driver-free from the 1-row aggregate.  Candidates
+    scale with local density times r^2, never all-pairs.
+
+    Exactness bound: blocking keeps |dx|,|dy| < 2*2^shift, so d2 fits
+    int64 for shift <= 30 (guarded).
+    """
+    if not radii:
+        raise ValueError("radii must be non-empty")
+    rmax = max(radii)
+    shift = max(1, int(rmax - 1).bit_length())
+    if shift > 30:
+        raise ValueError("max radius too large for exact int64 d2")
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), shift)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(x).cast("bigint").alias("_x"),
+        F.col(y).cast("bigint").alias("_y"),
+        cx.alias("cx"), cy.alias("cy"),
+    )
+    offsets = F.array(*[
+        F.struct(
+            (F.col("cx") + F.lit(dx)).alias("cx"),
+            (F.col("cy") + F.lit(dy)).alias("cy"),
+        )
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = base.select(
+        F.col("_id").alias("ia"), F.col("_x").alias("xa"), F.col("_y").alias("ya"),
+        F.explode(offsets).alias("_nb"),
+    ).select("ia", "xa", "ya", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    d2 = (
+        (F.col("xa") - F.col("_x")) * (F.col("xa") - F.col("_x"))
+        + (F.col("ya") - F.col("_y")) * (F.col("ya") - F.col("_y"))
+    )
+    cand = (
+        probe.join(base.select("_id", "_x", "_y", "cx", "cy"), ["cx", "cy"])
+        .filter(F.col("ia") != F.col("_id"))
+        .select(d2.alias("d2"))
+    )
+    n_row = df.agg(F.count(F.lit(1)).alias("n_pts"))
+    agg = cand.agg(*[
+        F.coalesce(
+            F.sum(F.when(F.col("d2") <= F.lit(int(r) * int(r)), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).cast("bigint").alias(f"_p{i}")
+        for i, r in enumerate(radii)
+    ])
+    curve = F.array(*[
+        F.struct(
+            F.lit(int(r)).cast("bigint").alias("r"),
+            F.col(f"_p{i}").alias("pairs"),
+        )
+        for i, r in enumerate(radii)
+    ])
+    return (
+        agg.join(F.broadcast(n_row))
+        .select("n_pts", F.explode(curve).alias("_e"))
+        .select(F.col("_e.r").alias("r"), "n_pts", F.col("_e.pairs").alias("pairs"))
+    )

@@ -399,3 +399,71 @@ class TestGearysC:
         )
         r = geostats.gearys_c(df, cell_shift=26).first()
         assert r.w_pairs == 0 and int(r.num) == 0 and int(r.den) == 0
+
+
+def _ripley_twin(points, radii):
+    # brute-force ordered pair counts (points small enough to square)
+    n = len(points)
+    out = []
+    for r in radii:
+        r2 = r * r
+        pairs = sum(
+            1
+            for i, (xi, yi) in enumerate(points)
+            for j, (xj, yj) in enumerate(points)
+            if i != j and (xi - xj) ** 2 + (yi - yj) ** 2 <= r2
+        )
+        out.append((r, n, pairs))
+    return out
+
+
+class TestRipleyK:
+    def test_matches_bruteforce(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = [(i, (i * 7919) % 400_000, (i * 104729) % 400_000) for i in range(250)]
+        pts += [(1000 + i, (1 << 28) + i * 3, -(1 << 28) + i * 5) for i in range(40)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        radii = [1_000, 30_000, 200_000]
+        got = sorted(
+            (r.r, r.n_pts, r.pairs)
+            for r in geostats.ripley_k(df, radii).collect()
+        )
+        assert got == sorted(_ripley_twin([(x, y) for _, x, y in pts], radii))
+        # curve is monotone in r and non-vacuous at the largest radius
+        by_r = dict((g[0], g[2]) for g in got)
+        assert by_r[1_000] <= by_r[30_000] <= by_r[200_000] and by_r[200_000] > 0
+
+    def test_coincident_points_count(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # duplicates at one coordinate: all ordered pairs qualify at r=0
+        df = spark.createDataFrame(
+            [(1, 5, 5), (2, 5, 5), (3, 5, 5), (4, 1 << 29, 1 << 29)],
+            "id long, x long, y long",
+        )
+        got = {r.r: r.pairs for r in geostats.ripley_k(df, [0, 1]).collect()}
+        assert got == {0: 6, 1: 6}
+
+    def test_boundary_pairs_meet_across_cells(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # two points straddling a cell boundary at exactly distance r:
+        # <= is inclusive and the 3x3 ring must find the pair
+        r = 4096
+        df = spark.createDataFrame(
+            [(1, -1, 0), (2, r - 1, 0), (3, 10 * r, 10 * r)],
+            "id long, x long, y long",
+        )
+        got = {row.r: row.pairs for row in geostats.ripley_k(df, [r]).collect()}
+        assert got == {r: 2}
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+        from gol_tool_spark.operators import geostats
+
+        df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+        with _pytest.raises(ValueError):
+            geostats.ripley_k(df, [])
+        with _pytest.raises(ValueError):
+            geostats.ripley_k(df, [1 << 31])
