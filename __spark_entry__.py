@@ -869,6 +869,13 @@ def q_getis_ord(spark, sf_dir):
     return geostats.getis_ord(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_location_diversity(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # per-entity Simpson visit-concentration components (exact)
+    return trajectory.location_diversity(_events_xy(spark, sf_dir), cell_shift=26)
+
+
 def q_ripley_k(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1429,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,  # contiguity contrast statistic (exact)
         "ripley_k": q_ripley_k,  # pair-count curve (exact, cell-blocked)
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
+        "location_diversity": q_location_diversity,  # Simpson visit concentration
         "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
@@ -1462,7 +1470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
         "idw_grid": q_idw_grid,  # new in r5: modified-IDW grid interpolation
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
-        "hex_assign": q_hex_assign,  # new in r5: H3-style hex cell index
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
@@ -1490,10 +1497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- green, code untouched, locally verified every round)
         # ----- rotated out for getis_ord + radius_gyration + gearys_c +
         # ----- ripley_k (never snapshotted)
+        # ----- hex_assign rotated out for location_diversity: its hex
+        # ----- cell math runs inside the in-head hex_rollup composition
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
+        "hex_assign": q_hex_assign,
         "knn_batch": q_knn_batch,
         "pip_diamond": q_pip_diamond,
         "string_freq": q_string_freq,
@@ -2621,6 +2631,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.ua < q.u AND ABS(p.wsa - q.ws) <= 3600) "
             "SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_contacts, "
             "MIN(d2) AS min_d2 FROM j WHERE d2 <= 4294967296 GROUP BY 1, 2"
+        ),
+        "location_diversity": (
+            # Simpson twin: two grouped scans, pure int64 (per-entity
+            # counts never overflow)
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "pc AS (SELECT user_id, (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM exy GROUP BY 1, 2, 3) "
+            "SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_fix, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cells, MAX(c) AS top_c, "
+            "CAST(SUM(c * c) AS BIGINT) AS sum_sq FROM pc GROUP BY user_id"
         ),
         "radius_gyration": (
             # rog twin: one grouped scan; g2 = n*ss - sx^2 - sy^2 in

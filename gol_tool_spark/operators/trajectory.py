@@ -393,3 +393,42 @@ def radius_gyration(
         (d(F.col("n_fix")) * F.col("_ss") - d(F.col("sx")) * d(F.col("sx"))
          - d(F.col("sy")) * d(F.col("sy"))).cast("string").alias("g2"),
     )
+
+def location_diversity(
+    df: DataFrame,
+    by: str = "user_id",
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Per-entity visit-concentration components (Simpson 1949's
+    diversity index over visited grid cells — the standard mobility
+    "how predictable is this entity" statistic next to radius_gyration
+    above; entropy needs logs, Simpson stays rational so the engine
+    answer is EXACT).
+
+    Per entity: (n_fix, n_cells, top_c, sum_sq) with n_i the fix count
+    in each visited 2^cell_shift-wide cell, top_c = max n_i and
+    sum_sq = sum n_i^2.  Simpson D = 1 - sum_sq / n_fix^2 is the
+    caller's one float step (0 = always in one cell, ->1 = spread);
+    top_c/n_fix is the top-location predictability.  sum_sq <= n_fix^2
+    stays inside int64 for n_fix < 2^31 PER ENTITY — a 2-billion-fix
+    single track is beyond any real workload, so no decimal lane here
+    (unlike the corpus-wide accumulators in geostats).
+
+    Plan: two map-combined groupBys on (entity, cell) then (entity) —
+    no joins, no windows; the entity exchange is shared by both aggs.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    per_cell = (
+        df.select(F.col(by), cx.alias("cx"), cy.alias("cy"))
+        .groupBy(by, "cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_cell.groupBy(by).agg(
+        F.sum("c").alias("n_fix"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )

@@ -433,3 +433,59 @@ class TestRadiusGyration:
         df = spark.createDataFrame([(9, 123, -456)], "user_id int, x long, y long")
         r = trajectory.radius_gyration(df).first()
         assert (r.n_fix, r.sx, r.sy, int(r.g2)) == (1, 123, -456, 0)
+
+
+def _diversity_twin(fixes, shift):
+    per: dict = {}
+    for u, x, y in fixes:
+        k = (u, (x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        per[k] = per.get(k, 0) + 1
+    out: dict = {}
+    for (u, _, _), c in per.items():
+        n, nc, top, ss = out.get(u, (0, 0, 0, 0))
+        out[u] = (n + c, nc + 1, max(top, c), ss + c * c)
+    return out
+
+
+class TestLocationDiversity:
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        fixes = []
+        for i in range(500):
+            u = i % 9
+            if i % 4 == 0:  # a "home" cell per entity
+                x, y = u * (1 << 27), -u * (1 << 27)
+            else:
+                x = (i * 2654435761) % (1 << 32) - (1 << 31)
+                y = (i * 2246822519 + 7) % (1 << 32) - (1 << 31)
+            fixes.append((u, x, y))
+        df = spark.createDataFrame(fixes, "user_id int, x long, y long")
+        got = {r.user_id: (r.n_fix, r.n_cells, r.top_c, r.sum_sq)
+               for r in trajectory.location_diversity(df, cell_shift=26).collect()}
+        assert got == _diversity_twin(fixes, 26)
+
+    def test_homebody_vs_wanderer(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        fixes = [(1, 100, 100)] * 20  # one cell only
+        fixes += [(2, i * (1 << 28), -(i * (1 << 28))) for i in range(-4, 4)]
+        df = spark.createDataFrame(fixes, "user_id int, x long, y long")
+        got = {r.user_id: r for r in trajectory.location_diversity(df).collect()}
+        h, w = got[1], got[2]
+        # Simpson D = 1 - sum_sq/n^2: 0 for the homebody, max for the wanderer
+        assert h.n_cells == 1 and h.sum_sq == h.n_fix * h.n_fix
+        assert w.n_cells == w.n_fix and w.sum_sq == w.n_fix
+        assert 1 - h.sum_sq / h.n_fix**2 == 0
+        assert 1 - w.sum_sq / w.n_fix**2 == 1 - 1 / w.n_fix
+
+    def test_cell_boundary_exact(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        # adjacent coords straddling a cell edge land in different cells
+        edge = (1 << 26) - (1 << 31)  # first boundary in biased space
+        df = spark.createDataFrame(
+            [(5, edge - 1, 0), (5, edge, 0)], "user_id int, x long, y long"
+        )
+        r = trajectory.location_diversity(df, cell_shift=26).first()
+        assert (r.n_fix, r.n_cells, r.top_c, r.sum_sq) == (2, 2, 1, 2)
