@@ -907,6 +907,15 @@ def q_image_blur(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     return multimodal.blur_stats(fixtures.images(spark, 200))
 
 
+def q_image_histogram(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Exact 16-bin luminance histograms per image (loop-twin +
+    single-bin/split invariants pytest-proven in tests/test_geocode.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.luminance_histogram(fixtures.images(spark, 200))
+
+
 def q_image_gradient(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Sobel gradient stats over the image fixture — exact int64
     luminance/convolution sums per image (invariants pytest-proven in
@@ -1563,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "minhash_lsh": q_minhash_lsh,
         "tally_tags": q_tally_tags,
+        "image_histogram": q_image_histogram,  # rows-only (pixels aren't SQL)
     }
 
 

@@ -467,3 +467,44 @@ class TestRipleyK:
             geostats.ripley_k(df, [])
         with _pytest.raises(ValueError):
             geostats.ripley_k(df, [1 << 31])
+
+
+class TestLuminanceHistogram:
+    def test_matches_loop_twin(self, spark):
+        rng = np.random.default_rng(13)
+        arrays = [rng.integers(0, 256, (9, 7, 3), np.uint8) for _ in range(3)]
+        out = {r.image_id: r
+               for r in multimodal.luminance_histogram(_img_df(spark, arrays)).collect()}
+        for i, a in enumerate(arrays):
+            want = [0] * 16
+            lmin, lmax = 256, -1
+            for rr in range(9):
+                for cc in range(7):
+                    lum = (int(a[rr, cc, 0]) * 299 + int(a[rr, cc, 1]) * 587
+                           + int(a[rr, cc, 2]) * 114) // 1000
+                    want[lum * 16 // 256] += 1
+                    lmin, lmax = min(lmin, lum), max(lmax, lum)
+            r = out[f"t{i}"]
+            assert (list(r.hist), r.n_px, r.lum_min, r.lum_max) == (want, 63, lmin, lmax)
+            assert sum(r.hist) == r.n_px
+
+    def test_constant_image_single_bin(self, spark):
+        a = np.full((8, 8, 3), 200, np.uint8)
+        r = multimodal.luminance_histogram(_img_df(spark, [a])).first()
+        assert sum(1 for v in r.hist if v) == 1
+        assert r.hist[200 * 16 // 256] == 64
+        assert r.lum_min == r.lum_max == 200
+
+    def test_black_white_split(self, spark):
+        a = np.zeros((4, 8, 3), np.uint8)
+        a[:, 4:, :] = 255
+        r = multimodal.luminance_histogram(_img_df(spark, [a])).first()
+        assert r.hist[0] == 16 and r.hist[15] == 16
+        assert (r.lum_min, r.lum_max) == (0, 255)
+
+    def test_bins_guard(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            multimodal.luminance_histogram(
+                _img_df(spark, [np.zeros((2, 2, 3), np.uint8)]), bins=0)
