@@ -869,6 +869,68 @@ def q_getis_ord(spark, sf_dir):
     return geostats.getis_ord(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+_ZONE_R = 1 << 21
+# CCW diamonds on the OCCUPIED hot clusters (hot ids satisfy id%10 < 2,
+# so only anchors k=0,1 ever hold points) + one 2^28-half-width square at
+# the origin that catches ~0.016 of the uniform background — every zone
+# is non-vacuous at any SF
+_ZONES = [
+    (
+        k,
+        [
+            (k * 700000000 - 1500000000 + 524288 + _ZONE_R,
+             (k * 1111111111) % 3000000000 - 1500000000 + 524288),
+            (k * 700000000 - 1500000000 + 524288,
+             (k * 1111111111) % 3000000000 - 1500000000 + 524288 + _ZONE_R),
+            (k * 700000000 - 1500000000 + 524288 - _ZONE_R,
+             (k * 1111111111) % 3000000000 - 1500000000 + 524288),
+            (k * 700000000 - 1500000000 + 524288,
+             (k * 1111111111) % 3000000000 - 1500000000 + 524288 - _ZONE_R),
+        ],
+    )
+    for k in range(2)
+] + [
+    (9, [(1 << 28, -(1 << 28)), (1 << 28, 1 << 28),
+         (-(1 << 28), 1 << 28), (-(1 << 28), -(1 << 28))]),
+]
+
+
+def q_zonal_stats(spark, sf_dir):
+    from gol_tool_spark.operators import spatial_query
+
+    zones = spark.createDataFrame(
+        _ZONES, "zone_id long, ring array<struct<x: long, y: long>>"
+    )
+    return spatial_query.zonal_stats(
+        _points(spark, sf_dir), zones, value_col="qty"
+    )
+
+
+def _zonal_oracle() -> str:
+    # the SAME _ZONES literals rendered as half-plane conjunctions —
+    # one source of truth for both engines
+    parts = []
+    for zid, ring in _ZONES:
+        conds = []
+        n = len(ring)
+        for i in range(n):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % n]
+            conds.append(
+                f"CAST({bx - ax} AS HUGEINT) * (y - ({ay})) "
+                f"- CAST({by - ay} AS HUGEINT) * (x - ({ax})) >= 0"
+            )
+        parts.append(
+            f"SELECT {zid} AS zone_id, qty FROM pts WHERE " + " AND ".join(conds)
+        )
+    u = " UNION ALL ".join(parts)
+    return _with_points(
+        f", m AS ({u}) SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_pts, "
+        "SUM(qty) AS v_sum, MIN(qty) AS v_min, MAX(qty) AS v_max "
+        "FROM m GROUP BY zone_id"
+    )
+
+
 def q_location_diversity(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1444,9 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_ord": q_getis_ord,  # local hotspot Gi* components (exact)
         "gearys_c": q_gearys_c,  # contiguity contrast statistic (exact)
         "ripley_k": q_ripley_k,  # pair-count curve (exact, cell-blocked)
+        "zonal_stats": q_zonal_stats,  # convex-zone point aggregation
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "location_diversity": q_location_diversity,  # Simpson visit concentration
-        "image_blur": q_image_blur,  # rows-only variance-of-Laplacian
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
         "bbox_query": q_bbox_query,
@@ -1507,8 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- rotated out for getis_ord + radius_gyration + gearys_c +
         # ----- ripley_k (never snapshotted)
         # ----- hex_assign rotated out for location_diversity: its hex
-        # ----- cell math runs inside the in-head hex_rollup composition
+        # ----- cell math runs inside the in-head hex_rollup composition;
+        # ----- image_blur (rows-only — weak driver evidence; exact
+        # ----- invariants live in pytest) rotated out for the
+        # ----- full-oracle zonal_stats
         "quality": q_quality,
+        "image_blur": q_image_blur,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
@@ -2682,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
+        "zonal_stats": _zonal_oracle(),
         "ripley_k": _with_points(
             # pair-count curve twin: same 2^15 blocking, 9-offset probe,
             # inclusive <= on exact integer d2, one conditional-sum pass

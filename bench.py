@@ -279,6 +279,31 @@ def main():
     from gol_tool_spark.operators import geostats as _gs
 
     timed("morans_i", lambda: force(_gs.morans_i(_pxy, cell_shift=26)))
+    # zonal stats: 512 synthetic convex zones, broadcast cover join +
+    # forall half-plane test in codegen over the full point set
+    from gol_tool_spark.operators.spatial_query import zonal_stats as _zs
+
+    _zr = 1 << 22
+    _zones = spark.range(512).select(
+        F.col("id").alias("zone_id"),
+        F.array(*[
+            F.struct(
+                (((F.col("id") * 2654435761) % (1 << 32) - (1 << 31)) + dx).alias("x"),
+                (((F.col("id") * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)) + dy).alias("y"),
+            )
+            for dx, dy in ((_zr, 0), (0, _zr), (-_zr, 0), (0, -_zr))
+        ]).alias("ring"),
+    )
+    timed("zonal_stats", lambda: force(_zs(points, _zones, value_col="qty")))
+    # Gi* hotspots: 9-offset probe join + per-cell agg, exact decimals
+    timed("getis_ord", lambda: force(_gs.getis_ord(_pxy, cell_shift=26)))
+    # Ripley pair-count curve: 2^15-blocked candidate join, one cond-sum pass
+    timed("ripley_k", lambda: force(_gs.ripley_k(_pxy, [8192, 16384, 32768])))
+    # per-entity mobility stats over the 2M-fix track set: map-combined
+    # groupBys only, no joins
+    timed("radius_gyration_2m", lambda: force(trajectory.radius_gyration(fixes)))
+    timed("location_diversity_2m", lambda: force(
+        trajectory.location_diversity(fixes, cell_shift=26)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()

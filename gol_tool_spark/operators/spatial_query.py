@@ -478,3 +478,92 @@ def radius_query_m(
     if goql:
         out = out.withColumn("ftype", F.lit("n")).filter(compile_goql(goql)).drop("ftype")
     return out.withColumn("dist_m", F.round("dist_m", 3))
+
+def zonal_stats(
+    points: DataFrame,
+    zones: DataFrame,
+    value_col: str | None = None,
+    cell_shift: int = 26,
+    max_cells_per_zone: int = 4096,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """Zonal statistics: aggregate points per CONVEX polygon zone — the
+    many-polygon generalization of points_in_polygon above (that one
+    carries a single ring in a closure; a zone TABLE needs a join).
+
+    zones: (zone_id, ring array<struct<x: long, y: long>>), each ring
+    convex and CCW-ordered (asserted per candidate by the sign test
+    itself: a CW ring simply matches nothing — documented contract).
+    Inside test = cross((b-a), (p-a)) >= 0 for EVERY directed edge
+    (boundary-inclusive), evaluated as a single F.forall over the
+    pre-zipped edge array — pure codegen, exact in DECIMAL(38,0)
+    (int64 coordinate differences cross-multiplied at full plane
+    scale exceed int64).
+
+    Plan: zones explode to covered 2^cell_shift-grid cells (bbox
+    cover, guarded by max_cells_per_zone); points carry their single
+    cell; ONE equi-join on the cell key — each (point, zone) pair
+    meets exactly once (a point has one cell), so no dedup shuffle.
+    Zone rings ride the join rows; at planet scale the cover table is
+    |zones| * cells-per-zone rows, shuffled once, never all-pairs.
+    The final groupBy is map-combined per zone.
+
+    broadcast_zones=True (default) pins the COVER side as the build
+    side — without the hint a stats-blind optimizer can pick the
+    points side (observed at tiny SF), which would broadcast the fact
+    table at scale.  Set False for very large zone tables: the join
+    then shuffles both sides on the cell key (co-located equi-join).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")
+    ring = F.col("ring")
+    rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    xs = F.transform(ring, lambda p: p.x)
+    ys = F.transform(ring, lambda p: p.y)
+    cell = lambda c: F.shiftright(c.cast("bigint") + F.lit(1 << 31), cell_shift)
+    zc = zones.select(
+        "zone_id",
+        F.arrays_zip(ring.alias("a"), rot.alias("b")).alias("edges"),
+        cell(F.array_min(xs)).alias("cx0"), cell(F.array_max(xs)).alias("cx1"),
+        cell(F.array_min(ys)).alias("cy0"), cell(F.array_max(ys)).alias("cy1"),
+    )
+    n_cells = (F.col("cx1") - F.col("cx0") + 1) * (F.col("cy1") - F.col("cy0") + 1)
+    over = zc.filter(n_cells > max_cells_per_zone).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"zone {over[0]['zone_id']} covers > {max_cells_per_zone} cells "
+            f"at cell_shift={cell_shift}; raise cell_shift or the cap"
+        )
+    cover = zc.select(
+        "zone_id", "edges",
+        F.explode(F.sequence("cx0", "cx1")).alias("cx"), F.col("cy0"), F.col("cy1"),
+    ).select(
+        "zone_id", "edges", "cx",
+        F.explode(F.sequence("cy0", "cy1")).alias("cy"),
+    )
+    val = F.col(value_col) if value_col else F.lit(1)
+    pts = points.select(
+        F.col("x").cast("bigint").alias("px"),
+        F.col("y").cast("bigint").alias("py"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+        val.alias("_v"),
+    )
+    inside = F.forall(
+        F.col("edges"),
+        lambda e: (
+            d19(e["b"]["x"] - e["a"]["x"]) * d19(F.col("py") - e["a"]["y"])
+            - d19(e["b"]["y"] - e["a"]["y"]) * d19(F.col("px") - e["a"]["x"])
+        ) >= 0,
+    )
+    if broadcast_zones:
+        cover = F.broadcast(cover)
+    return (
+        pts.join(cover, ["cx", "cy"])
+        .filter(inside)
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("_v").alias("v_sum"),
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+        )
+    )
