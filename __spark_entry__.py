@@ -931,6 +931,13 @@ def _zonal_oracle() -> str:
     )
 
 
+def q_track_ohlc(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # hourly positional OHLC per entity: one map-combined groupBy
+    return trajectory.track_ohlc(_events_xy(spark, sf_dir), step_s=3600)
+
+
 def q_location_diversity(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1498,7 +1505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,  # origin-destination cell flows
         "gridhash_density": q_gridhash_density,  # base32 Morton prefix rollup
         "snap_segments": q_snap_segments,  # map matching (nearest segment)
-        "image_gradient": q_image_gradient,  # rows-only Sobel stats lane
         "colocation": q_colocation,  # spatio-temporal contact join
         "track_resample": q_track_resample,  # grid-time linear interpolation
         "way_hull": q_way_hull,  # rows-only convex hull (big-int chain)
@@ -1509,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,  # convex-zone point aggregation
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "location_diversity": q_location_diversity,  # Simpson visit concentration
+        "track_ohlc": q_track_ohlc,  # per-window positional downsample
         # -- code paths touched in round 5 (bbox prune gating, versioned
         # -- store default, DCT lossy codec) — must re-earn a driver row --
         "bbox_query": q_bbox_query,
@@ -1570,11 +1577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- ripley_k (never snapshotted)
         # ----- hex_assign rotated out for location_diversity: its hex
         # ----- cell math runs inside the in-head hex_rollup composition;
-        # ----- image_blur (rows-only — weak driver evidence; exact
-        # ----- invariants live in pytest) rotated out for the
-        # ----- full-oracle zonal_stats
+        # ----- image_blur + image_gradient (rows-only — weak driver
+        # ----- evidence; exact invariants live in pytest) rotated out for
+        # ----- the full-oracle zonal_stats + track_ohlc
         "quality": q_quality,
         "image_blur": q_image_blur,
+        "image_gradient": q_image_gradient,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
@@ -2707,6 +2715,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.ua < q.u AND ABS(p.wsa - q.ws) <= 3600) "
             "SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_contacts, "
             "MIN(d2) AS min_d2 FROM j WHERE d2 <= 4294967296 GROUP BY 1, 2"
+        ),
+        "track_ohlc": (
+            # struct-MIN twin: DuckDB MIN/MAX over ROW(s, i, x, y) is the
+            # same lexicographic order as Spark's struct min/max
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "f AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "event_id AS i, x, y FROM exy), "
+            "g AS (SELECT user_id, s - ((s % 3600 + 3600) % 3600) AS win_s, "
+            "{'s': s, 'i': i, 'x': x, 'y': y} AS fx, x, y FROM f) "
+            "SELECT user_id, win_s, CAST(COUNT(*) AS BIGINT) AS n_fix, "
+            "MIN(fx).x AS o_x, MIN(fx).y AS o_y, "
+            "MAX(fx).x AS c_x, MAX(fx).y AS c_y, "
+            "MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max "
+            "FROM g GROUP BY user_id, win_s"
         ),
         "location_diversity": (
             # Simpson twin: two grouped scans, pure int64 (per-entity

@@ -432,3 +432,42 @@ def location_diversity(
         F.max("c").alias("top_c"),
         F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
     )
+
+def track_ohlc(
+    df: DataFrame,
+    step_s: int = 3600,
+    by: str = "user_id",
+    id_col: str = "event_id",
+    ts: str = "ts",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-entity per-time-window track downsample — the positional
+    OHLC (open/close position + per-axis extent) every telemetry
+    pipeline uses to turn raw fixes into a bounded-size summary before
+    long-horizon analytics.
+
+    Window = floor(epoch_seconds / step_s); first/last fix in the
+    window is chosen by (seconds, id) — the struct-MIN/MAX trick keeps
+    the whole operator ONE map-combined groupBy (no window functions,
+    no second shuffle; ties broken deterministically by the id).
+    Outputs are exact integers end to end.
+    """
+    ws = _wall_secs(ts)
+    sel = df.select(
+        F.col(by),
+        (ws - (((ws % step_s) + step_s) % step_s)).alias("win_s"),
+        F.struct(ws.alias("s"), F.col(id_col).alias("i"),
+                 F.col(x).alias("x"), F.col(y).alias("y")).alias("_fix"),
+        F.col(x).cast("bigint").alias("_x"),
+        F.col(y).cast("bigint").alias("_y"),
+    )
+    o = F.min("_fix")
+    c = F.max("_fix")
+    return sel.groupBy(by, "win_s").agg(
+        F.count(F.lit(1)).alias("n_fix"),
+        o.getField("x").alias("o_x"), o.getField("y").alias("o_y"),
+        c.getField("x").alias("c_x"), c.getField("y").alias("c_y"),
+        F.min("_x").alias("x_min"), F.max("_x").alias("x_max"),
+        F.min("_y").alias("y_min"), F.max("_y").alias("y_max"),
+    )

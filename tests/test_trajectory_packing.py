@@ -489,3 +489,65 @@ class TestLocationDiversity:
         )
         r = trajectory.location_diversity(df, cell_shift=26).first()
         assert (r.n_fix, r.n_cells, r.top_c, r.sum_sq) == (2, 2, 1, 2)
+
+
+def _ohlc_twin(rows, step):
+    # rows: (user, event_id, epoch_s, x, y)
+    grp: dict = {}
+    for u, i, s, x, y in rows:
+        grp.setdefault((u, s - s % step), []).append((s, i, x, y))
+    out = {}
+    for k, fx in grp.items():
+        fx.sort()
+        xs = [f[2] for f in fx]
+        ys = [f[3] for f in fx]
+        out[k] = (len(fx), fx[0][2], fx[0][3], fx[-1][2], fx[-1][3],
+                  min(xs), max(xs), min(ys), max(ys))
+    return out
+
+
+class TestTrackOhlc:
+    def test_matches_python_twin(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import trajectory
+
+        rows = []
+        for i in range(300):
+            u = i % 5
+            s = 1_700_000_000 + (i * 977) % 20_000
+            x = (i * 2654435761) % (1 << 32) - (1 << 31)
+            y = (i * 2246822519 + 3) % (1 << 32) - (1 << 31)
+            rows.append((u, i, s, x, y))
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), x, y)
+             for u, i, s, x, y in rows],
+            "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+        got = {(r.user_id, r.win_s): (r.n_fix, r.o_x, r.o_y, r.c_x, r.c_y,
+                                      r.x_min, r.x_max, r.y_min, r.y_max)
+               for r in trajectory.track_ohlc(df, step_s=3600).collect()}
+        assert got == _ohlc_twin(rows, 3600)
+
+    def test_same_second_tiebreak_by_id(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import trajectory
+
+        t = dt.datetime(2024, 1, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [(1, 20, t, 100, 1), (1, 10, t, 200, 2), (1, 30, t, 300, 3)],
+            "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+        r = trajectory.track_ohlc(df, step_s=60).first()
+        # open = lowest id at the tied second, close = highest id
+        assert (r.o_x, r.c_x, r.n_fix) == (200, 300, 3)
+        assert (r.x_min, r.x_max) == (100, 300)
+
+    def test_window_boundary(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import trajectory
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        df = spark.createDataFrame(
+            [(1, 1, base + dt.timedelta(seconds=3599), 1, 1),
+             (1, 2, base + dt.timedelta(seconds=3600), 2, 2)],
+            "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+        out = trajectory.track_ohlc(df, step_s=3600).collect()
+        assert len(out) == 2 and all(r.n_fix == 1 for r in out)
