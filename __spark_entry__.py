@@ -434,6 +434,14 @@ def q_langid(spark, sf_dir):
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_group_sample(spark, sf_dir):
+    # deterministic hash-rank sample: 5 docs per source (slim projection
+    # so the gate hashes ranks, not megabytes of text)
+    return text.group_sample(
+        _read(spark, sf_dir, "documents"), by="source", k=5
+    ).select("doc_id", "source", "sample_rank")
+
+
 def q_repetition(spark, sf_dir):
     return text.repetition_stats(_read(spark, sf_dir, "documents"))
 
@@ -951,6 +959,15 @@ def q_ripley_k(spark, sf_dir):
     # pair-count curve at three radii; blocking cell = 2^15 >= max r,
     # so candidates come from the 3x3 ring only (never all-pairs)
     return geostats.ripley_k(synth.points_df(spark, sf_dir), [8192, 16384, 32768])
+
+
+def q_kde_raster(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # integer triangular-kernel heatmap at z8-ish cells, r=2
+    return geostats.kde_raster(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=24, radius=2
+    )
 
 
 def q_gearys_c(spark, sf_dir):
@@ -1507,12 +1524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_segments": q_snap_segments,  # map matching (nearest segment)
         "colocation": q_colocation,  # spatio-temporal contact join
         "track_resample": q_track_resample,  # grid-time linear interpolation
-        "way_hull": q_way_hull,  # rows-only convex hull (big-int chain)
         "morans_i": q_morans_i,  # global spatial autocorrelation (exact)
         "getis_ord": q_getis_ord,  # local hotspot Gi* components (exact)
         "gearys_c": q_gearys_c,  # contiguity contrast statistic (exact)
         "ripley_k": q_ripley_k,  # pair-count curve (exact, cell-blocked)
         "zonal_stats": q_zonal_stats,  # convex-zone point aggregation
+        "kde_raster": q_kde_raster,  # integer-kernel heatmap raster
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "location_diversity": q_location_diversity,  # Simpson visit concentration
         "track_ohlc": q_track_ohlc,  # per-window positional downsample
@@ -1523,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_time_travel": q_store_time_travel,  # new in r5: snapshot pinning
         "store_cdc": q_store_cdc,  # new in r5: snapshot-diff CDC read
         "image_roundtrip": q_image_roundtrip,
-        "image_tile_rollup": q_image_tile_rollup,
+        "group_sample": q_group_sample,  # deterministic per-group sample
         # -- r4-green, load-bearing --
         "asof_join": q_asof_join,  # new in r5: as-of temporal join
         "interval_join": q_interval_join,  # new in r5: bucketed range join
@@ -1580,9 +1597,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- image_blur + image_gradient (rows-only — weak driver
         # ----- evidence; exact invariants live in pytest) rotated out for
         # ----- the full-oracle zonal_stats + track_ohlc
+        # ----- way_hull (rows-only; its count duplicates the
+        # ----- oracle-checked per-way cardinality in way_assembly /
+        # ----- way_centroid) rotated out for the full-oracle kde_raster;
+        # ----- image_tile_rollup (rows-only, code shared with the
+        # ----- in-head full-oracle tile_raster) rotated out for the
+        # ----- full-oracle group_sample
         "quality": q_quality,
+        "image_tile_rollup": q_image_tile_rollup,
         "image_blur": q_image_blur,
         "image_gradient": q_image_gradient,
+        "way_hull": q_way_hull,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "exact_dups": q_exact_dups,
@@ -2771,6 +2796,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
         "zonal_stats": _zonal_oracle(),
+        "group_sample": (
+            # hash-rank twin: identical md5 hex + id tiebreak, QUALIFY <= k
+            "SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank "
+            "FROM (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+            ") AS sample_rank FROM documents) WHERE sample_rank <= 5"
+        ),
+        "kde_raster": _with_points(
+            # triangular-kernel twin: occupied-cell counts then a 25-offset
+            # spread; weights are literal integers on both sides
+            ", cells AS (SELECT (x + 2147483648) // 16777216 AS cx, "
+            "(y + 2147483648) // 16777216 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2) "
+            "SELECT cx + o1.d AS cx, cy + o2.d AS cy, "
+            "CAST(SUM(c * (3 - ABS(o1.d)) * (3 - ABS(o2.d))) AS BIGINT) AS w_sum "
+            "FROM cells, UNNEST([-2, -1, 0, 1, 2]) AS o1(d), "
+            "UNNEST([-2, -1, 0, 1, 2]) AS o2(d) GROUP BY 1, 2"
+        ),
         "ripley_k": _with_points(
             # pair-count curve twin: same 2^15 blocking, 9-offset probe,
             # inclusive <= on exact integer d2, one conditional-sum pass

@@ -297,6 +297,8 @@ def main():
     timed("zonal_stats", lambda: force(_zs(points, _zones, value_col="qty")))
     # Gi* hotspots: 9-offset probe join + per-cell agg, exact decimals
     timed("getis_ord", lambda: force(_gs.getis_ord(_pxy, cell_shift=26)))
+    # integer-kernel heatmap: two map-combined groupBys, 25-offset spread
+    timed("kde_raster", lambda: force(_gs.kde_raster(_pxy, cell_shift=22, radius=2)))
     # Ripley pair-count curve: 2^15-blocked candidate join, one cond-sum pass
     timed("ripley_k", lambda: force(_gs.ripley_k(_pxy, [8192, 16384, 32768])))
     # per-entity mobility stats over the 2M-fix track set: map-combined

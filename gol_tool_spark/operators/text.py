@@ -9,7 +9,7 @@ column functions — JVM-side, no Python on the hot path — so these sustain
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword sets; deterministic and oracle-expressible
@@ -416,4 +416,32 @@ def mix_sample(
         .withColumn("thr", thr)
         .filter(F.col("h8") < F.col("thr"))
         .drop("thr")
+    )
+
+def group_sample(
+    df: DataFrame,
+    by: str = "source",
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group sample: the k rows of each group with the
+    smallest md5(id || salt) — the "show me a few docs per source"
+    primitive every corpus-debugging loop needs at scale.  Hash-rank
+    makes it a true uniform-without-replacement sample that is
+    REPRODUCIBLE across runs, partitionings, and engines (md5 hex is
+    identical in the JVM, DuckDB, and Python; change salt to redraw).
+
+    ONE shuffle on the group key (window row_number over the hash
+    order, id tiebreak for hash collisions); rows keep all columns.
+    At planet scale prefer a selective projection first — the window
+    carries whole rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(by).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
     )

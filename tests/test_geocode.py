@@ -508,3 +508,64 @@ class TestLuminanceHistogram:
         with _pytest.raises(ValueError):
             multimodal.luminance_histogram(
                 _img_df(spark, [np.zeros((2, 2, 3), np.uint8)]), bins=0)
+
+
+def _kde_twin(points, shift, r):
+    cells: dict = {}
+    for x, y in points:
+        k = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        cells[k] = cells.get(k, 0) + 1
+    out: dict = {}
+    for (cx, cy), c in cells.items():
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                w = c * (r + 1 - abs(dx)) * (r + 1 - abs(dy))
+                k = (cx + dx, cy + dy)
+                out[k] = out.get(k, 0) + w
+    return out
+
+
+class TestKdeRaster:
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = [(i * 31 % 4000, i * 17 % 4000) for i in range(200)]
+        pts += [((i * 2654435761) % (1 << 32) - (1 << 31),
+                 (i * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)) for i in range(80)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r_.cx, r_.cy): r_.w_sum
+               for r_ in geostats.kde_raster(df, cell_shift=27, radius=2).collect()}
+        assert got == _kde_twin(pts, 27, 2)
+
+    def test_single_point_pyramid(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # one point, r=1: center 4, edge-neighbors 2, corners 1 (sum 16)
+        df = spark.createDataFrame([(100, 100)], "x long, y long")
+        got = {(r_.cx, r_.cy): r_.w_sum
+               for r_ in geostats.kde_raster(df, cell_shift=26, radius=1).collect()}
+        c = (100 + (1 << 31)) >> 26
+        assert got[(c, c)] == 4
+        assert got[(c + 1, c)] == got[(c, c - 1)] == 2
+        assert got[(c + 1, c + 1)] == 1
+        assert sum(got.values()) == 16 and len(got) == 9
+
+    def test_mass_conservation(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # total spread weight = n_points * (sum of kernel) for any layout
+        pts = [((i * 7919) % 100000, (i * 104729) % 100000) for i in range(150)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = 2
+        kernel_mass = sum((r + 1 - abs(dx)) * (r + 1 - abs(dy))
+                          for dx in range(-r, r + 1) for dy in range(-r, r + 1))
+        tot = sum(r_.w_sum for r_ in geostats.kde_raster(df, cell_shift=24, radius=r).collect())
+        assert tot == 150 * kernel_mass
+
+    def test_radius_guard(self, spark):
+        import pytest as _pytest
+        from gol_tool_spark.operators import geostats
+
+        df = spark.createDataFrame([(0, 0)], "x long, y long")
+        with _pytest.raises(ValueError):
+            geostats.kde_raster(df, radius=0)

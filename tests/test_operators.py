@@ -1134,3 +1134,46 @@ class TestKernelOperatorCatalogAgreement:
         kernel_tiles = set(kcat.tiles.tolist())
         spark_tiles = {r.tile for r in scat.collect()}
         assert kernel_tiles == spark_tiles
+
+
+class TestGroupSample:
+    def _df(self, spark):
+        rows = [(i, f"src{i % 4}", f"text {i}") for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_matches_hash_rank_twin(self, spark):
+        import hashlib
+        from gol_tool_spark.operators import text as T
+
+        df = self._df(spark)
+        got = {(r.source, r.doc_id): r.sample_rank
+               for r in T.group_sample(df, by="source", k=3).collect()}
+        # twin: per source, sort by (md5(str(id)), id), take 3
+        grp: dict = {}
+        for i in range(200):
+            grp.setdefault(f"src{i % 4}", []).append(
+                (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want = {}
+        for s, lst in grp.items():
+            for rk, (_, i) in enumerate(sorted(lst)[:3], start=1):
+                want[(s, i)] = rk
+        assert got == want
+
+    def test_deterministic_and_salted(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        df = self._df(spark).repartition(7)
+        a = sorted((r.source, r.doc_id) for r in T.group_sample(df, k=2).collect())
+        b = sorted((r.source, r.doc_id) for r in T.group_sample(df, k=2).collect())
+        assert a == b  # partitioning-independent
+        c = sorted((r.source, r.doc_id) for r in T.group_sample(df, k=2, salt="v2").collect())
+        assert a != c  # a redraw actually redraws
+
+    def test_small_group_returns_all(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [(1, "a", "t"), (2, "a", "t"), (3, "b", "t")],
+            "doc_id long, source string, text string")
+        out = T.group_sample(df, k=10).groupBy("source").count().collect()
+        assert {r.source: r["count"] for r in out} == {"a": 2, "b": 1}
