@@ -946,6 +946,54 @@ def q_track_ohlc(spark, sf_dir):
     return trajectory.track_ohlc(_events_xy(spark, sf_dir), step_s=3600)
 
 
+def q_geofence(spark, sf_dir):
+    from gol_tool_spark.operators import spatial_query
+    from gol_tool_spark.operators.temporal import _wall_secs
+
+    # positions keyed on the 5-minute bucket (EVENTS_XY_T_CTE twin, same
+    # as colocation) so consecutive fixes actually dwell inside zones
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _wall_secs("ts").alias("_ws")
+    )
+    x, y = synth.point_xy(F.expr("_ws DIV 300"))
+    exy = ev.select("user_id", "event_id", "ts", x.alias("x"), y.alias("y"))
+    zones = spark.createDataFrame(
+        _ZONES, "zone_id long, ring array<struct<x: long, y: long>>"
+    )
+    return spatial_query.geofence_events(exy, zones)
+
+
+def _geofence_oracle() -> str:
+    parts = []
+    for zid, ring in _ZONES:
+        conds = []
+        n = len(ring)
+        for i in range(n):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % n]
+            conds.append(
+                f"CAST({bx - ax} AS HUGEINT) * (y - ({ay})) "
+                f"- CAST({by - ay} AS HUGEINT) * (x - ({ax})) >= 0"
+            )
+        parts.append(
+            f"SELECT user_id, ws, rn, {zid} AS zone_id FROM t WHERE "
+            + " AND ".join(conds)
+        )
+    u = " UNION ALL ".join(parts)
+    return (
+        f"WITH exy AS ({synth.EVENTS_XY_T_CTE}), "
+        "b AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+        "x, y FROM exy), "
+        "t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ws, event_id) AS rn FROM b), "
+        f"m AS ({u}), "
+        "r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, zone_id "
+        "ORDER BY rn) AS isl FROM m) "
+        "SELECT user_id, zone_id, MIN(ws) AS enter_s, MAX(ws) AS exit_s, "
+        "CAST(COUNT(*) AS BIGINT) AS n_fix FROM r GROUP BY user_id, zone_id, isl"
+    )
+
+
 def q_location_diversity(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1530,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,  # pair-count curve (exact, cell-blocked)
         "zonal_stats": q_zonal_stats,  # convex-zone point aggregation
         "kde_raster": q_kde_raster,  # integer-kernel heatmap raster
+        "geofence": q_geofence,  # zone enter/exit visit stream
         "radius_gyration": q_radius_gyration,  # per-entity mobility spread (exact)
         "location_diversity": q_location_diversity,  # Simpson visit concentration
         "track_ohlc": q_track_ohlc,  # per-window positional downsample
@@ -1550,7 +1599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,  # new in r5: WIDTH_BUCKET histogram
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
-        "image_jfif": q_image_jfif,  # rows-only T.81 bitstream lane; first driver row
         "contamination": q_contamination,  # new in r5: benchmark decontamination
         "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
         "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
@@ -1603,8 +1651,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ----- image_tile_rollup (rows-only, code shared with the
         # ----- in-head full-oracle tile_raster) rotated out for the
         # ----- full-oracle group_sample
+        # ----- image_jfif (rows-only; T.81 codec invariants live in
+        # ----- pytest + its own bench lane) rotated out for the
+        # ----- full-oracle geofence
         "quality": q_quality,
         "image_tile_rollup": q_image_tile_rollup,
+        "image_jfif": q_image_jfif,
         "image_blur": q_image_blur,
         "image_gradient": q_image_gradient,
         "way_hull": q_way_hull,
@@ -2796,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
         "zonal_stats": _zonal_oracle(),
+        "geofence": _geofence_oracle(),
         "group_sample": (
             # hash-rank twin: identical md5 hex + id tiebreak, QUALIFY <= k
             "SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank "

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
@@ -479,6 +479,57 @@ def radius_query_m(
         out = out.withColumn("ftype", F.lit("n")).filter(compile_goql(goql)).drop("ftype")
     return out.withColumn("dist_m", F.round("dist_m", 3))
 
+def _zone_cover(
+    zones: DataFrame,
+    cell_shift: int,
+    max_cells_per_zone: int,
+) -> DataFrame:
+    """(zone_id, edges, cx, cy): one row per covered grid cell, with the
+    pre-zipped directed-edge array riding along.  Guarded against
+    zone-too-coarse-for-shift cover explosions.  Shared by zonal_stats
+    and geofence_events."""
+    ring = F.col("ring")
+    rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    xs = F.transform(ring, lambda p: p.x)
+    ys = F.transform(ring, lambda p: p.y)
+    cell = lambda c: F.shiftright(c.cast("bigint") + F.lit(1 << 31), cell_shift)
+    zc = zones.select(
+        "zone_id",
+        F.arrays_zip(ring.alias("a"), rot.alias("b")).alias("edges"),
+        cell(F.array_min(xs)).alias("cx0"), cell(F.array_max(xs)).alias("cx1"),
+        cell(F.array_min(ys)).alias("cy0"), cell(F.array_max(ys)).alias("cy1"),
+    )
+    n_cells = (F.col("cx1") - F.col("cx0") + 1) * (F.col("cy1") - F.col("cy0") + 1)
+    over = zc.filter(n_cells > max_cells_per_zone).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"zone {over[0]['zone_id']} covers > {max_cells_per_zone} cells "
+            f"at cell_shift={cell_shift}; raise cell_shift or the cap"
+        )
+    return zc.select(
+        "zone_id", "edges",
+        F.explode(F.sequence("cx0", "cx1")).alias("cx"), F.col("cy0"), F.col("cy1"),
+    ).select(
+        "zone_id", "edges", "cx",
+        F.explode(F.sequence("cy0", "cy1")).alias("cy"),
+    )
+
+
+def _inside_zone() -> F.Column:
+    """Convex CCW inside test over the riding edge array: cross((b-a),
+    (p-a)) >= 0 for every directed edge, boundary-inclusive, exact in
+    DECIMAL(38,0) (full-plane int64 differences cross-multiplied
+    overflow int64)."""
+    d19 = lambda c: c.cast("decimal(19,0)")
+    return F.forall(
+        F.col("edges"),
+        lambda e: (
+            d19(e["b"]["x"] - e["a"]["x"]) * d19(F.col("py") - e["a"]["y"])
+            - d19(e["b"]["y"] - e["a"]["y"]) * d19(F.col("px") - e["a"]["x"])
+        ) >= 0,
+    )
+
+
 def zonal_stats(
     points: DataFrame,
     zones: DataFrame,
@@ -514,32 +565,8 @@ def zonal_stats(
     table at scale.  Set False for very large zone tables: the join
     then shuffles both sides on the cell key (co-located equi-join).
     """
-    d19 = lambda c: c.cast("decimal(19,0)")
-    ring = F.col("ring")
-    rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
-    xs = F.transform(ring, lambda p: p.x)
-    ys = F.transform(ring, lambda p: p.y)
+    cover = _zone_cover(zones, cell_shift, max_cells_per_zone)
     cell = lambda c: F.shiftright(c.cast("bigint") + F.lit(1 << 31), cell_shift)
-    zc = zones.select(
-        "zone_id",
-        F.arrays_zip(ring.alias("a"), rot.alias("b")).alias("edges"),
-        cell(F.array_min(xs)).alias("cx0"), cell(F.array_max(xs)).alias("cx1"),
-        cell(F.array_min(ys)).alias("cy0"), cell(F.array_max(ys)).alias("cy1"),
-    )
-    n_cells = (F.col("cx1") - F.col("cx0") + 1) * (F.col("cy1") - F.col("cy0") + 1)
-    over = zc.filter(n_cells > max_cells_per_zone).limit(1).collect()
-    if over:
-        raise ValueError(
-            f"zone {over[0]['zone_id']} covers > {max_cells_per_zone} cells "
-            f"at cell_shift={cell_shift}; raise cell_shift or the cap"
-        )
-    cover = zc.select(
-        "zone_id", "edges",
-        F.explode(F.sequence("cx0", "cx1")).alias("cx"), F.col("cy0"), F.col("cy1"),
-    ).select(
-        "zone_id", "edges", "cx",
-        F.explode(F.sequence("cy0", "cy1")).alias("cy"),
-    )
     val = F.col(value_col) if value_col else F.lit(1)
     pts = points.select(
         F.col("x").cast("bigint").alias("px"),
@@ -547,13 +574,7 @@ def zonal_stats(
         cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
         val.alias("_v"),
     )
-    inside = F.forall(
-        F.col("edges"),
-        lambda e: (
-            d19(e["b"]["x"] - e["a"]["x"]) * d19(F.col("py") - e["a"]["y"])
-            - d19(e["b"]["y"] - e["a"]["y"]) * d19(F.col("px") - e["a"]["x"])
-        ) >= 0,
-    )
+    inside = _inside_zone()
     if broadcast_zones:
         cover = F.broadcast(cover)
     return (
@@ -566,4 +587,62 @@ def zonal_stats(
             F.min("_v").alias("v_min"),
             F.max("_v").alias("v_max"),
         )
+    )
+
+def geofence_events(
+    fixes: DataFrame,
+    zones: DataFrame,
+    by: str = "user_id",
+    id_col: str = "event_id",
+    ts: str = "ts",
+    cell_shift: int = 26,
+    max_cells_per_zone: int = 4096,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """Geofence visit detection: maximal runs of CONSECUTIVE fixes (per
+    entity, track order) inside each convex zone — the enter/exit event
+    stream under every geofencing product.  A fix outside the zone
+    breaks the run, so re-entries produce separate visits; overlapping
+    zones produce independent visit streams per zone.
+
+    Returns (by, zone_id, enter_s, exit_s, n_fix) — exact epoch seconds.
+
+    Plan: ONE entity-key window numbers the full track (rn), the
+    zonal_stats candidate join marks in-zone fixes (each (fix, zone)
+    meets once), and runs fall out of the rn-difference islands trick
+    partitioned by (entity, zone) — consecutive track positions in the
+    same zone share rn - row_number.  Shuffles: entity window, cell
+    join (broadcast by default), (entity, zone) window; final agg is
+    map-combined.
+    """
+    from gol_tool_spark.operators.temporal import _wall_secs
+
+    cover = _zone_cover(zones, cell_shift, max_cells_per_zone)
+    if broadcast_zones:
+        cover = F.broadcast(cover)
+    cell = lambda c: F.shiftright(c.cast("bigint") + F.lit(1 << 31), cell_shift)
+    w_all = Window.partitionBy(by).orderBy("_ws", id_col)
+    track = fixes.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"),
+        F.col("x").cast("bigint").alias("px"),
+        F.col("y").cast("bigint").alias("py"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    ).withColumn("_rn", F.row_number().over(w_all))
+    matched = (
+        track.join(cover, ["cx", "cy"])
+        .filter(_inside_zone())
+        .select(by, "zone_id", "_ws", id_col, "_rn")
+    )
+    w_zone = Window.partitionBy(by, "zone_id").orderBy("_rn")
+    runs = matched.withColumn(
+        "_island", F.col("_rn") - F.row_number().over(w_zone)
+    )
+    return (
+        runs.groupBy(by, "zone_id", "_island")
+        .agg(
+            F.min("_ws").alias("enter_s"),
+            F.max("_ws").alias("exit_s"),
+            F.count(F.lit(1)).alias("n_fix"),
+        )
+        .select(by, "zone_id", "enter_s", "exit_s", "n_fix")
     )

@@ -90,3 +90,75 @@ class TestZonalStats:
             [(1, [(-big, -big), (big, -big), (big, big), (-big, big)])], ZONES_SCHEMA)
         with pytest.raises(ValueError):
             SQ.zonal_stats(pts, zdf, cell_shift=20)
+
+
+class TestGeofenceEvents:
+    def _df(self, spark, rows):
+        import datetime as dt
+
+        data = [
+            (u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), x, y)
+            for u, i, s, x, y in rows
+        ]
+        return spark.createDataFrame(
+            data, "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+
+    SQUARE = [(1, [(-50, -50), (50, -50), (50, 50), (-50, 50)])]
+
+    def test_reentry_splits_visits(self, spark):
+        from gol_tool_spark.operators import spatial_query as SQ
+
+        t0 = 1_700_000_000
+        rows = [
+            (1, 1, t0 + 0, 0, 0),       # in
+            (1, 2, t0 + 10, 10, 10),    # in
+            (1, 3, t0 + 20, 500, 500),  # OUT -> breaks the run
+            (1, 4, t0 + 30, -5, -5),    # in again (second visit)
+        ]
+        zdf = spark.createDataFrame(self.SQUARE, ZONES_SCHEMA)
+        got = sorted(
+            (r.user_id, r.zone_id, r.enter_s - t0, r.exit_s - t0, r.n_fix)
+            for r in SQ.geofence_events(self._df(spark, rows), zdf).collect())
+        assert got == [(1, 1, 0, 10, 2), (1, 1, 30, 30, 1)]
+
+    def test_overlapping_zones_independent(self, spark):
+        from gol_tool_spark.operators import spatial_query as SQ
+
+        zones = [
+            (1, [(-50, -50), (50, -50), (50, 50), (-50, 50)]),
+            (2, [(-10, -10), (10, -10), (10, 10), (-10, 10)]),  # nested
+        ]
+        t0 = 1_700_000_000
+        rows = [
+            (1, 1, t0 + 0, 0, 0),    # in both
+            (1, 2, t0 + 10, 30, 30), # in zone 1 only -> breaks zone-2 run
+            (1, 3, t0 + 20, 5, 5),   # in both again
+        ]
+        zdf = spark.createDataFrame(zones, ZONES_SCHEMA)
+        got = sorted(
+            (r.zone_id, r.enter_s - t0, r.exit_s - t0, r.n_fix)
+            for r in SQ.geofence_events(self._df(spark, rows), zdf).collect())
+        assert got == [(1, 0, 20, 3), (2, 0, 0, 1), (2, 20, 20, 1)]
+
+    def test_entities_independent(self, spark):
+        from gol_tool_spark.operators import spatial_query as SQ
+
+        t0 = 1_700_000_000
+        rows = [(1, 1, t0, 0, 0), (2, 2, t0 + 5, 1, 1)]
+        zdf = spark.createDataFrame(self.SQUARE, ZONES_SCHEMA)
+        got = sorted(
+            (r.user_id, r.n_fix)
+            for r in SQ.geofence_events(self._df(spark, rows), zdf).collect())
+        assert got == [(1, 1), (2, 1)]
+
+    def test_same_second_order_by_id(self, spark):
+        from gol_tool_spark.operators import spatial_query as SQ
+
+        # two same-second fixes, out-fix id BETWEEN the in-fix ids:
+        # track order is (id1 in, id2 out, id3 in) -> two visits
+        t0 = 1_700_000_000
+        rows = [(1, 1, t0, 0, 0), (1, 2, t0, 999, 999), (1, 3, t0, 5, 5)]
+        zdf = spark.createDataFrame(self.SQUARE, ZONES_SCHEMA)
+        got = [r.n_fix for r in SQ.geofence_events(self._df(spark, rows), zdf)
+               .orderBy("enter_s").collect()]
+        assert got == [1, 1]
