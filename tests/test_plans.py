@@ -180,3 +180,66 @@ class TestPlanShapes:
             )
         )
         assert "PushedFilters: [" in tplan and "keybits" in tplan.split("PartitionFilters")[1].split("]")[0]
+
+
+class TestAnalyticsPlanShapes:
+    """Plan pins for the round-5 ESDA / mobility / zonal operators."""
+
+    def test_zonal_stats_builds_on_cover_side(self, spark):
+        """The zone cover MUST be the broadcast build side — a
+        stats-blind optimizer picked the points side at tiny SF, which
+        would broadcast the fact table at 100 TB (PLANS.md 'Zonal
+        statistics')."""
+        from gol_tool_spark.operators.spatial_query import zonal_stats
+
+        pts = spark.range(100).select(
+            F.col("id"), (F.col("id") * 7).alias("x"), (F.col("id") * 3).alias("y"),
+            F.lit(1).alias("qty"))
+        zones = spark.createDataFrame(
+            [(1, [(-50, -50), (50, -50), (50, 50), (-50, 50)])],
+            "zone_id long, ring array<struct<x: long, y: long>>")
+        plan = plan_of(zonal_stats(pts, zones, value_col="qty"), mode="simple")
+        assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+        assert "CartesianProduct" not in plan
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+    def test_ripley_no_cartesian_no_python(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = spark.range(100).select(
+            F.col("id"), (F.col("id") * 7).alias("x"), (F.col("id") * 3).alias("y"))
+        plan = plan_of(geostats.ripley_k(pts, [64, 256]))
+        assert "CartesianProduct" not in plan
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+    def test_kde_raster_two_aggs_no_join(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = spark.range(100).select(
+            (F.col("id") * 7).alias("x"), (F.col("id") * 3).alias("y"))
+        plan = plan_of(geostats.kde_raster(pts, cell_shift=24), mode="simple")
+        assert "Join" not in plan  # pure agg -> explode -> agg
+        assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+    def test_radius_gyration_single_exchange(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        df = spark.range(100).select(
+            (F.col("id") % 5).alias("user_id"),
+            (F.col("id") * 7).alias("x"), (F.col("id") * 3).alias("y"))
+        plan = plan_of(trajectory.radius_gyration(df), mode="simple")
+        assert plan.count("Exchange") == 1  # one map-combined groupBy
+        assert "Window" not in plan and "Join" not in plan
+
+    def test_track_ohlc_no_window_functions(self, spark):
+        """The struct-MIN/MAX formulation must not regress to a window
+        (two sorts per entity-window) — one grouped agg only."""
+        import datetime as dt
+        from gol_tool_spark.operators import trajectory
+
+        df = spark.createDataFrame(
+            [(1, 1, dt.datetime(2024, 1, 1), 0, 0)],
+            "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+        plan = plan_of(trajectory.track_ohlc(df), mode="simple")
+        assert "Window" not in plan
+        assert plan.count("Exchange") == 1
