@@ -994,6 +994,13 @@ def _geofence_oracle() -> str:
     )
 
 
+def q_heading_rose(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # direction rose: exact 45-degree sectors by integer comparisons
+    return trajectory.heading_rose(_events_xy(spark, sf_dir))
+
+
 def q_location_diversity(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1724,6 +1731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "tally_tags": q_tally_tags,
         "image_histogram": q_image_histogram,  # rows-only (pixels aren't SQL)
+        # full oracle, tail by head-budget: the 50-entry head is saturated
+        # with this round's other full-oracle newcomers; local full-gate
+        # evidence recorded in ROUND_NOTES
+        "heading_rose": q_heading_rose,
     }
 
 
@@ -2806,6 +2817,28 @@ def oracle_sql() -> dict[str, str]:
             "MAX(fx).x AS c_x, MAX(fx).y AS c_y, "
             "MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max "
             "FROM g GROUP BY user_id, win_s"
+        ),
+        "heading_rose": (
+            # sector twin: identical sign/magnitude CASE (proven equal to
+            # floor(angle/45) exhaustively in pytest), LAG over (ws, id)
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "f AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "x, y FROM exy), "
+            "l AS (SELECT user_id, x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy "
+            "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ws, event_id)), "
+            "m AS (SELECT user_id, CASE "
+            "WHEN dx > 0 AND dy >= 0 AND ABS(dy) < ABS(dx) THEN 0 "
+            "WHEN dx > 0 AND dy > 0 AND ABS(dy) >= ABS(dx) THEN 1 "
+            "WHEN dx <= 0 AND dy > 0 AND ABS(dx) < ABS(dy) THEN 2 "
+            "WHEN dx < 0 AND dy > 0 AND ABS(dx) >= ABS(dy) THEN 3 "
+            "WHEN dx < 0 AND dy <= 0 AND ABS(dy) < ABS(dx) THEN 4 "
+            "WHEN dx < 0 AND dy < 0 AND ABS(dy) >= ABS(dx) THEN 5 "
+            "WHEN dx >= 0 AND dy < 0 AND ABS(dx) < ABS(dy) THEN 6 "
+            "WHEN dx > 0 AND dy < 0 AND ABS(dx) >= ABS(dy) THEN 7 END AS octant, "
+            "ABS(dx) + ABS(dy) AS l1 FROM l WHERE dx IS NOT NULL) "
+            "SELECT user_id, CAST(octant AS INT) AS octant, "
+            "CAST(COUNT(*) AS BIGINT) AS n_moves, CAST(SUM(l1) AS BIGINT) AS l1_sum "
+            "FROM m WHERE octant IS NOT NULL GROUP BY 1, 2"
         ),
         "location_diversity": (
             # Simpson twin: two grouped scans, pure int64 (per-entity

@@ -471,3 +471,54 @@ def track_ohlc(
         F.min("_x").alias("x_min"), F.max("_x").alias("x_max"),
         F.min("_y").alias("y_min"), F.max("_y").alias("y_max"),
     )
+
+def heading_rose(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-entity movement-direction distribution ("direction rose"):
+    each consecutive displacement is classified into one of eight
+    45-degree sectors by INTEGER sign/magnitude comparisons only — no
+    atan2, so the result is exact and engine-independent.  Sector k owns
+    angles [45k, 45k+45) CCW from +x (boundaries deterministic:
+    the axis/diagonal belongs to the sector it opens).  Zero
+    displacements (same coordinate twice) are skipped.
+
+    Returns (by, octant, n_moves, l1_sum) — l1_sum the exact total
+    L1 length moved in that direction.  Plan: one entity-key window
+    (lag) + one map-combined groupBy.
+    """
+    w = Window.partitionBy(by).orderBy("_ws", id_col)
+    cur = df.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"),
+        F.col(x).cast("bigint").alias("_x"), F.col(y).cast("bigint").alias("_y"),
+    )
+    lagged = (
+        cur.withColumn("_px", F.lag("_x").over(w))
+        .withColumn("_py", F.lag("_y").over(w))
+        .filter(F.col("_px").isNotNull())
+    )
+    dx = F.col("_x") - F.col("_px")
+    dy = F.col("_y") - F.col("_py")
+    adx, ady = F.abs(dx), F.abs(dy)
+    octant = (
+        F.when((dx > 0) & (dy >= 0) & (ady < adx), 0)
+        .when((dx > 0) & (dy > 0) & (ady >= adx), 1)
+        .when((dx <= 0) & (dy > 0) & (adx < ady), 2)
+        .when((dx < 0) & (dy > 0) & (adx >= ady), 3)
+        .when((dx < 0) & (dy <= 0) & (ady < adx), 4)
+        .when((dx < 0) & (dy < 0) & (ady >= adx), 5)
+        .when((dx >= 0) & (dy < 0) & (adx < ady), 6)
+        .when((dx > 0) & (dy < 0) & (adx >= ady), 7)
+    )
+    moves = lagged.select(
+        F.col(by), octant.alias("octant"), (adx + ady).alias("_l1")
+    ).filter(F.col("octant").isNotNull())  # zero displacement matches no arm
+    return moves.groupBy(by, "octant").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.sum("_l1").alias("l1_sum"),
+    )

@@ -551,3 +551,84 @@ class TestTrackOhlc:
             "user_id int, event_id long, ts timestamp_ntz, x long, y long")
         out = trajectory.track_ohlc(df, step_s=3600).collect()
         assert len(out) == 2 and all(r.n_fix == 1 for r in out)
+
+
+def _octant_py(dx, dy):
+    adx, ady = abs(dx), abs(dy)
+    if dx > 0 and dy >= 0 and ady < adx:
+        return 0
+    if dx > 0 and dy > 0 and ady >= adx:
+        return 1
+    if dx <= 0 and dy > 0 and adx < ady:
+        return 2
+    if dx < 0 and dy > 0 and adx >= ady:
+        return 3
+    if dx < 0 and dy <= 0 and ady < adx:
+        return 4
+    if dx < 0 and dy < 0 and ady >= adx:
+        return 5
+    if dx >= 0 and dy < 0 and adx < ady:
+        return 6
+    if dx > 0 and dy < 0 and adx >= ady:
+        return 7
+    return None  # zero displacement
+
+
+class TestHeadingRose:
+    def test_octant_rule_total_and_disjoint(self):
+        # every nonzero (dx, dy) lands in exactly one sector
+        import math
+
+        for dx in range(-4, 5):
+            for dy in range(-4, 5):
+                if dx == 0 and dy == 0:
+                    assert _octant_py(dx, dy) is None
+                    continue
+                o = _octant_py(dx, dy)
+                assert o is not None
+                # angle agreement: sector k owns [45k, 45k+45)
+                ang = math.degrees(math.atan2(dy, dx)) % 360.0
+                assert o == int(ang // 45), (dx, dy, ang, o)
+
+    def test_matches_python_twin(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import trajectory
+
+        rows = []
+        for i in range(300):
+            u = i % 4
+            s = 1_700_000_000 + i
+            x = (i * 2654435761) % (1 << 32) - (1 << 31)
+            y = (i * 2246822519 + 5) % (1 << 32) - (1 << 31)
+            rows.append((u, i, s, x, y))
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), x, y)
+             for u, i, s, x, y in rows],
+            "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+        got = {(r.user_id, r.octant): (r.n_moves, r.l1_sum)
+               for r in trajectory.heading_rose(df).collect()}
+        want: dict = {}
+        by_u: dict = {}
+        for u, i, s, x, y in rows:
+            by_u.setdefault(u, []).append((s, i, x, y))
+        for u, fx in by_u.items():
+            fx.sort()
+            for (s0, i0, x0, y0), (s1, i1, x1, y1) in zip(fx, fx[1:]):
+                o = _octant_py(x1 - x0, y1 - y0)
+                if o is None:
+                    continue
+                n, l1 = want.get((u, o), (0, 0))
+                want[(u, o)] = (n + 1, l1 + abs(x1 - x0) + abs(y1 - y0))
+        assert got == want
+
+    def test_zero_displacement_skipped(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import trajectory
+
+        t = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, t, 5, 5), (1, 2, t + dt.timedelta(seconds=1), 5, 5),
+             (1, 3, t + dt.timedelta(seconds=2), 6, 5)],
+            "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+        out = trajectory.heading_rose(df).collect()
+        assert len(out) == 1 and out[0].octant == 0 and out[0].n_moves == 1
