@@ -1001,6 +1001,15 @@ def q_heading_rose(spark, sf_dir):
     return trajectory.heading_rose(_events_xy(spark, sf_dir))
 
 
+def q_traj_similarity(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # entity pairs by shared-cell signature (stopword-capped, exact)
+    return trajectory.traj_similarity(
+        _events_xy(spark, sf_dir), cell_shift=26, max_users_per_cell=64, min_shared=2
+    )
+
+
 def q_location_diversity(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1735,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with this round's other full-oracle newcomers; local full-gate
         # evidence recorded in ROUND_NOTES
         "heading_rose": q_heading_rose,
+        "traj_similarity": q_traj_similarity,
     }
 
 
@@ -2839,6 +2849,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(octant AS INT) AS octant, "
             "CAST(COUNT(*) AS BIGINT) AS n_moves, CAST(SUM(l1) AS BIGINT) AS l1_sum "
             "FROM m WHERE octant IS NOT NULL GROUP BY 1, 2"
+        ),
+        "traj_similarity": (
+            # signature twin: identical stopword rule (nu <= 64), pair
+            # self-join on cell, sizes joined back
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "c AS (SELECT DISTINCT user_id, (x + 2147483648) >> 26 AS cx, "
+            "(y + 2147483648) >> 26 AS cy FROM exy), "
+            "k AS (SELECT cx, cy, COUNT(*) AS nu FROM c GROUP BY 1, 2), "
+            "f AS (SELECT c.user_id, c.cx, c.cy, k.nu FROM c "
+            "JOIN k USING (cx, cy) WHERE k.nu <= 64), "
+            "z AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_cells FROM f GROUP BY 1), "
+            "s AS (SELECT a.user_id AS user_a, b.user_id AS user_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM f a JOIN f b USING (cx, cy) WHERE a.user_id < b.user_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT s.user_a, s.user_b, s.n_shared, "
+            "za.n_cells AS n_a, zb.n_cells AS n_b "
+            "FROM s JOIN z za ON za.user_id = s.user_a "
+            "JOIN z zb ON zb.user_id = s.user_b"
         ),
         "location_diversity": (
             # Simpson twin: two grouped scans, pure int64 (per-entity

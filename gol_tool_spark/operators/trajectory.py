@@ -522,3 +522,58 @@ def heading_rose(
         F.count(F.lit(1)).alias("n_moves"),
         F.sum("_l1").alias("l1_sum"),
     )
+
+
+def traj_similarity(
+    df: DataFrame,
+    by: str = "user_id",
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+    max_users_per_cell: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Trajectory-similarity join: entity pairs whose visited-cell
+    signatures overlap.  An entity's signature is its set of DISTINCT
+    grid cells (shifted-floor, width 2^cell_shift — the same cell math
+    as grid_dwell/the tiling operators).  Cells visited by more than
+    ``max_users_per_cell`` entities carry no discriminative signal
+    (transit hubs) and are excluded from the signature ENTIRELY —
+    a deterministic stopword rule, not a recall cap, so results are
+    exactly reproducible and oracle-checkable.
+
+    Returns (user_a, user_b, n_shared, n_a, n_b) with user_a < user_b
+    and n_shared >= min_shared; Jaccard = n_shared/(n_a+n_b-n_shared)
+    is left to the caller as an exact-integer division.
+
+    Plan: distinct (2-key shuffle), popularity groupBy, one cell
+    equi-join for pairs (never all-pairs: fan-out per cell is capped by
+    the stopword rule at max_users_per_cell^2/2), one pair groupBy, two
+    size equi-joins.  At 100 TB the pair join is the cost center and
+    its worst case is #cells * cap^2 — tune cap/shift per workload.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = df.select(F.col(by), cx.alias("cx"), cy.alias("cy")).distinct()
+    pop = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("_nu"))
+    sig = cells.join(pop, ["cx", "cy"]).filter(F.col("_nu") <= max_users_per_cell)
+    sizes = sig.groupBy(by).agg(F.count(F.lit(1)).alias("n_cells"))
+    # single-user cells can't produce a pair — drop them before the
+    # self-join so the shuffle carries only pairable cells
+    pairable = sig.filter(F.col("_nu") >= 2).select(
+        F.col(by).alias("_u"), "cx", "cy"
+    )
+    a = pairable.alias("a")
+    b = pairable.alias("b")
+    shared = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("a._u") < F.col("b._u"))
+        .groupBy(F.col("a._u").alias("user_a"), F.col("b._u").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col(by).alias("user_a"), F.col("n_cells").alias("n_a")), "user_a")
+        .join(sizes.select(F.col(by).alias("user_b"), F.col("n_cells").alias("n_b")), "user_b")
+        .select("user_a", "user_b", "n_shared", "n_a", "n_b")
+    )

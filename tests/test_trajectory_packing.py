@@ -632,3 +632,72 @@ class TestHeadingRose:
             "user_id int, event_id long, ts timestamp_ntz, x long, y long")
         out = trajectory.heading_rose(df).collect()
         assert len(out) == 1 and out[0].octant == 0 and out[0].n_moves == 1
+
+
+class TestTrajSimilarity:
+    @staticmethod
+    def _twin(rows, shift, maxu, min_shared):
+        # rows: (user, x, y)
+        sigs: dict = {}
+        for u, x, y in rows:
+            sigs.setdefault(u, set()).add(((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift))
+        pop: dict = {}
+        for u, cs in sigs.items():
+            for c in cs:
+                pop[c] = pop.get(c, 0) + 1
+        fsig = {u: {c for c in cs if pop[c] <= maxu} for u, cs in sigs.items()}
+        out = {}
+        users = sorted(fsig)
+        for i, a in enumerate(users):
+            for b in users[i + 1:]:
+                ns = len(fsig[a] & fsig[b])
+                if ns >= min_shared:
+                    out[(a, b)] = (ns, len(fsig[a]), len(fsig[b]))
+        return out
+
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        rows = []
+        for i in range(400):
+            u = i % 8
+            x = ((i * 2654435761) % (1 << 32)) - (1 << 31)
+            y = ((i * 2246822519 + 7) % (1 << 32)) - (1 << 31)
+            # fold a quarter of the fixes into a small shared neighborhood
+            if i % 4 == 0:
+                x, y = (i % 40) << 20, (i % 16) << 20
+            rows.append((u, x, y))
+        df = spark.createDataFrame(rows, "user_id int, x long, y long")
+        got = {(r.user_a, r.user_b): (r.n_shared, r.n_a, r.n_b)
+               for r in trajectory.traj_similarity(
+                   df, cell_shift=24, max_users_per_cell=5, min_shared=1).collect()}
+        assert got == self._twin(rows, 24, 5, 1)
+        assert got  # non-vacuous
+
+    def test_stopword_cell_excluded_from_sizes(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        # 3 users all share one hub cell; users 1,2 also share a quiet cell
+        rows = [(1, 0, 0), (2, 0, 0), (3, 0, 0),
+                (1, 1 << 30, 1 << 30), (2, 1 << 30, 1 << 30)]
+        df = spark.createDataFrame(rows, "user_id int, x long, y long")
+        out = trajectory.traj_similarity(
+            df, cell_shift=26, max_users_per_cell=2, min_shared=1).collect()
+        # hub (3 users) is a stopword: only the quiet-cell pair remains,
+        # and the hub does NOT count toward n_a/n_b
+        assert len(out) == 1
+        r = out[0]
+        assert (r.user_a, r.user_b, r.n_shared, r.n_a, r.n_b) == (1, 2, 1, 1, 1)
+
+    def test_pair_ordering_and_threshold(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        rows = [(5, 0, 0), (4, 0, 0), (5, 1 << 30, 0), (4, 1 << 30, 0)]
+        df = spark.createDataFrame(rows, "user_id int, x long, y long")
+        out = trajectory.traj_similarity(
+            df, cell_shift=26, max_users_per_cell=8, min_shared=2).collect()
+        assert len(out) == 1 and out[0].user_a == 4 and out[0].user_b == 5
+        assert out[0].n_shared == 2
+        none = trajectory.traj_similarity(
+            df, cell_shift=26, max_users_per_cell=8, min_shared=3).collect()
+        assert none == []
