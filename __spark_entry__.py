@@ -1041,6 +1041,17 @@ def q_gearys_c(spark, sf_dir):
     return geostats.gearys_c(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_join_counts(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # categorical ESDA: BB/WW/BW rook edges; min_count=12 splits the
+    # 64x64 lattice ~evenly at every SF (uniform background ~= constant
+    # density per cell), keeping all three edge classes non-vacuous
+    return geostats.join_counts(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26, min_count=12
+    )
+
+
 def q_radius_gyration(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1745,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence recorded in ROUND_NOTES
         "heading_rose": q_heading_rose,
         "traj_similarity": q_traj_similarity,
+        "join_counts": q_join_counts,
     }
 
 
@@ -2963,6 +2975,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells, tot) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "join_counts": _with_points(
+            # join-count twin: identical marking rule + rook probe;
+            # everything int64
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, "
+            "CASE WHEN COUNT(*) >= 12 THEN 1 ELSE 0 END AS b "
+            "FROM pts GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+            "CAST(SUM(b) AS BIGINT) AS n_black FROM cells), "
+            "pr AS (SELECT b AS b_i, cx + d.dx AS cx, cy + d.dy AS cy FROM cells, "
+            "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy)), "
+            "pairs AS (SELECT p.b_i, q.b AS b_j FROM pr p JOIN cells q "
+            "ON p.cx = q.cx AND p.cy = q.cy), "
+            "e AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs, "
+            "CAST(COALESCE(SUM(b_i * b_j), 0) AS BIGINT) AS bb, "
+            "CAST(COALESCE(SUM((1 - b_i) * (1 - b_j)), 0) AS BIGINT) AS ww, "
+            "CAST(COALESCE(SUM((b_i - b_j) * (b_i - b_j)), 0) AS BIGINT) AS bw "
+            "FROM pairs) "
+            "SELECT n_cells, n_black, w_pairs, bb, ww, bw FROM tot, e"
         ),
         "getis_ord": _with_points(
             # Gi* twin: queen-incl-self 9-offset probe, HUGEINT numerator

@@ -378,3 +378,64 @@ def kde_raster(
         .groupBy("cx", "cy")
         .agg(F.sum("w").alias("w_sum"))
     )
+
+
+def join_counts(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+    min_count: int = 2,
+) -> DataFrame:
+    """Join-count statistics (Moran 1948) — the categorical member of
+    the ESDA toolkit next to morans_i/gearys_c: mark each occupied grid
+    cell Black when its point count >= min_count (else White) and count
+    rook-adjacent (Black,Black), (White,White) and mixed edges.  Marked
+    segregation shows as bw far below, clustering as bb far above, the
+    free-sampling expectation the caller forms from (n_cells, n_black,
+    w_pairs).
+
+    Returns ONE row of exact int64s: (n_cells, n_black, w_pairs, bb,
+    ww, bw) with bb + ww + bw = w_pairs; all counts are over DIRECTED
+    adjacent pairs (gearys_c's W convention — halve for unordered
+    edges; every statistic is a ratio so the factor cancels).
+
+    Plan: identical to gearys_c — one map-combined groupBy, 4-direction
+    probe explode, ONE equi-join on the cell key (never all-pairs),
+    one global agg.  Everything fits int64: edge counts are bounded by
+    4 * n_cells.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg((F.count(F.lit(1)) >= min_count).cast("int").alias("b"))
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("b").cast("bigint").alias("n_black"),
+    )
+    probe = cells.select(
+        F.col("b").alias("b_i"),
+        F.explode(
+            F.array(
+                F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+            )
+        ).alias("_nb"),
+    ).select("b_i", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    pairs = probe.join(cells.select("cx", "cy", F.col("b").alias("b_j")), ["cx", "cy"])
+    edge = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(F.sum((F.col("b_i") * F.col("b_j"))), F.lit(0)).cast("bigint").alias("bb"),
+        F.coalesce(F.sum((1 - F.col("b_i")) * (1 - F.col("b_j"))), F.lit(0)).cast("bigint").alias("ww"),
+        F.coalesce(
+            F.sum((F.col("b_i") - F.col("b_j")) * (F.col("b_i") - F.col("b_j"))), F.lit(0)
+        ).cast("bigint").alias("bw"),
+    )
+    return F.broadcast(totals).join(edge).select(
+        "n_cells", "n_black", "w_pairs", "bb", "ww", "bw"
+    )

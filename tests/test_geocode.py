@@ -569,3 +569,75 @@ class TestKdeRaster:
         df = spark.createDataFrame([(0, 0)], "x long, y long")
         with _pytest.raises(ValueError):
             geostats.kde_raster(df, radius=0)
+
+
+class TestJoinCounts:
+    @staticmethod
+    def _twin(pts, shift, min_count):
+        cells: dict = {}
+        for x, y in pts:
+            c = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+            cells[c] = cells.get(c, 0) + 1
+        mark = {c: int(n >= min_count) for c, n in cells.items()}
+        bb = ww = bw = w = 0
+        for (cx, cy), bi in mark.items():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                bj = mark.get((cx + dx, cy + dy))
+                if bj is None:
+                    continue
+                w += 1
+                if bi and bj:
+                    bb += 1
+                elif not bi and not bj:
+                    ww += 1
+                else:
+                    bw += 1
+        return (len(mark), sum(mark.values()), w, bb, ww, bw)
+
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = []
+        for i in range(500):
+            x = ((i * 2654435761) % (1 << 32)) - (1 << 31)
+            y = ((i * 2246822519 + 17) % (1 << 32)) - (1 << 31)
+            if i % 3 == 0:  # dense patch to create Black cells
+                x, y = (i % 10) << 26, (i % 7) << 26
+            pts.append((x, y))
+        df = spark.createDataFrame(pts, "x long, y long")
+        row = geostats.join_counts(df, cell_shift=27, min_count=3).collect()[0]
+        got = (row.n_cells, row.n_black, row.w_pairs, row.bb, row.ww, row.bw)
+        assert got == self._twin(pts, 27, 3)
+        assert row.bb + row.ww + row.bw == row.w_pairs
+        assert 0 < row.n_black < row.n_cells  # both colors present
+
+    def test_checkerboard_all_mixed(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # 4x4 lattice, 2 points on black squares, 1 on white: every rook
+        # edge crosses colors
+        pts = []
+        for cx in range(4):
+            for cy in range(4):
+                x, y = (cx << 26) - (1 << 31) + 5, (cy << 26) - (1 << 31) + 5
+                pts.append((x, y))
+                if (cx + cy) % 2 == 0:
+                    pts.append((x + 1, y))
+        df = spark.createDataFrame(pts, "x long, y long")
+        row = geostats.join_counts(df, cell_shift=26, min_count=2).collect()[0]
+        assert (row.n_cells, row.n_black) == (16, 8)
+        assert row.bb == 0 and row.ww == 0 and row.bw == row.w_pairs == 48
+
+    def test_solid_block_no_mixed(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = []
+        for cx in range(3):
+            for cy in range(3):
+                x, y = (cx << 26), (cy << 26)
+                pts.append((x, y))
+                pts.append((x + 1, y + 1))
+        df = spark.createDataFrame(pts, "x long, y long")
+        row = geostats.join_counts(df, cell_shift=26, min_count=2).collect()[0]
+        assert row.n_black == row.n_cells == 9
+        assert row.bw == 0 and row.ww == 0 and row.bb == row.w_pairs == 24
