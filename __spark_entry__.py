@@ -1077,6 +1077,15 @@ def q_image_histogram(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     return multimodal.luminance_histogram(fixtures.images(spark, 200))
 
 
+def q_image_otsu(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Exact per-image Otsu thresholds (brute-force python twin +
+    bimodal/constant invariants pytest-proven in tests/test_geocode.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.otsu_threshold(fixtures.images(spark, 200))
+
+
 def q_image_gradient(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Sobel gradient stats over the image fixture — exact int64
     luminance/convolution sums per image (invariants pytest-proven in
@@ -1757,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_rose": q_heading_rose,
         "traj_similarity": q_traj_similarity,
         "join_counts": q_join_counts,
+        "image_otsu": q_image_otsu,  # rows-only (pixels aren't SQL)
     }
 
 

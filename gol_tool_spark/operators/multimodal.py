@@ -374,3 +374,83 @@ def luminance_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, HIST_SCHEMA)
+
+
+OTSU_SCHEMA = (
+    "image_id string, n_px long, threshold int, n_bg long, n_fg long, "
+    "s_bg long, s_fg long"
+)
+
+
+def otsu_threshold(images: DataFrame) -> DataFrame:
+    """Per-image Otsu binarization threshold — the standard automatic
+    foreground/background split (Otsu 1979), the gating stage before
+    mask-based curation (blank-page detection, document/photo routing,
+    connected-component features).
+
+    EXACT end to end: the 256-bin BT.601 luminance histogram is one
+    vectorized bincount per equal-shape stack (the only O(pixels)
+    stage); threshold selection then maximizes the between-class
+    variance  sigma_B^2(t) = (s0*N - S*n0)^2 / (n0*(N-n0))  over the
+    256 bins with ARBITRARY-PRECISION integer cross-multiplication —
+    (s0*N - S*n0)^2 overflows int64 at real image sizes, so the O(256)
+    per-image argmax runs in Python ints (bounded work per image,
+    independent of pixel count; the pixel volume never touches Python).
+    Ties break to the SMALLEST threshold; a constant image (no valid
+    split) reports threshold = its single luminance level with the
+    whole mass in n_bg.
+
+    Returns exact ints (image_id, n_px, threshold, n_bg, n_fg, s_bg,
+    s_fg): counts and luminance sums of the two classes (bg = lum <=
+    threshold), so callers recompute class means/variance losslessly.
+    Rows-only gate (pixels are not SQL); a brute-force python twin and
+    bimodal/constant invariants live in pytest.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                p = px.astype(np.int64)
+                lum = (p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114) // 1000
+                n_img = len(sub)
+                idx = np.arange(n_img, dtype=np.int64)[:, None, None] * 256 + lum
+                hist = np.bincount(idx.ravel(), minlength=n_img * 256).reshape(n_img, 256)
+                out_t = np.empty(n_img, dtype=np.int32)
+                out = np.empty((n_img, 4), dtype=np.int64)
+                npx = h * w
+                for i in range(n_img):
+                    hi = hist[i]
+                    counts = [int(c) for c in hi]
+                    total_s = sum(k * c for k, c in enumerate(counts))
+                    best = None  # (num*denb > bnum*den exact compare)
+                    n0 = s0 = 0
+                    for t in range(255):
+                        n0 += counts[t]
+                        s0 += t * counts[t]
+                        if n0 == 0 or n0 == npx:
+                            continue
+                        d = s0 * npx - total_s * n0
+                        num = d * d
+                        den = n0 * (npx - n0)
+                        if best is None or num * best[2] > best[1] * den:
+                            best = (t, num, den, n0, s0)
+                    if best is None:  # constant image
+                        t = int(np.nonzero(hi)[0][0])
+                        out_t[i] = t
+                        out[i] = (npx, 0, total_s, 0)
+                    else:
+                        t, _, _, n0, s0 = best
+                        out_t[i] = t
+                        out[i] = (n0, npx - n0, s0, total_s - s0)
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "n_px": npx,
+                    "threshold": out_t,
+                    "n_bg": out[:, 0], "n_fg": out[:, 1],
+                    "s_bg": out[:, 2], "s_fg": out[:, 3],
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return images.mapInPandas(run, OTSU_SCHEMA)

@@ -641,3 +641,58 @@ class TestJoinCounts:
         row = geostats.join_counts(df, cell_shift=26, min_count=2).collect()[0]
         assert row.n_black == row.n_cells == 9
         assert row.bw == 0 and row.ww == 0 and row.bb == row.w_pairs == 24
+
+
+def _otsu_twin(a: np.ndarray):
+    """Brute-force exact Otsu over raw pixels (arbitrary-precision ints)."""
+    h, w = a.shape[:2]
+    lums = []
+    for rr in range(h):
+        for cc in range(w):
+            lums.append((int(a[rr, cc, 0]) * 299 + int(a[rr, cc, 1]) * 587
+                         + int(a[rr, cc, 2]) * 114) // 1000)
+    npx, total_s = len(lums), sum(lums)
+    best = None
+    for t in range(255):
+        n0 = sum(1 for v in lums if v <= t)
+        if n0 == 0 or n0 == npx:
+            continue
+        s0 = sum(v for v in lums if v <= t)
+        d = s0 * npx - total_s * n0
+        num, den = d * d, n0 * (npx - n0)
+        if best is None or num * best[2] > best[1] * den:
+            best = (t, num, den, n0, s0)
+    if best is None:
+        return (lums[0], npx, 0, total_s, 0)
+    t, _, _, n0, s0 = best
+    return (t, n0, npx - n0, s0, total_s - s0)
+
+
+class TestOtsuThreshold:
+    def test_matches_brute_twin(self, spark):
+        rng = np.random.default_rng(29)
+        arrays = [rng.integers(0, 256, (8, 6, 3), np.uint8) for _ in range(4)]
+        # make one clearly bimodal
+        arrays[0][:, :3, :] = 10
+        arrays[0][:, 3:, :] = 240
+        out = {r.image_id: r
+               for r in multimodal.otsu_threshold(_img_df(spark, arrays)).collect()}
+        for i, a in enumerate(arrays):
+            r = out[f"t{i}"]
+            got = (r.threshold, r.n_bg, r.n_fg, r.s_bg, r.s_fg)
+            assert got == _otsu_twin(a), i
+            assert r.n_bg + r.n_fg == r.n_px == 48
+
+    def test_bimodal_splits_between_modes(self, spark):
+        a = np.zeros((4, 8, 3), np.uint8)
+        a[:, 4:, :] = 200
+        r = multimodal.otsu_threshold(_img_df(spark, [a])).first()
+        assert 0 <= r.threshold < 200
+        assert r.n_bg == 16 and r.n_fg == 16
+        assert r.s_bg == 0 and r.s_fg == 16 * 200
+
+    def test_constant_image(self, spark):
+        a = np.full((5, 5, 3), 77, np.uint8)
+        r = multimodal.otsu_threshold(_img_df(spark, [a])).first()
+        assert (r.threshold, r.n_bg, r.n_fg) == (77, 25, 0)
+        assert r.s_bg == 25 * 77 and r.s_fg == 0
