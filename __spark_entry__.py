@@ -1041,6 +1041,17 @@ def q_gearys_c(spark, sf_dir):
     return geostats.gearys_c(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_grid_distance(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # hop distance from hotspot cells (count >= 20: the 5 hot anchors'
+    # neighborhoods at every SF) through occupied rook neighbors
+    return geostats.grid_distance(
+        synth.points_df(spark, sf_dir).select("x", "y"),
+        cell_shift=26, seed_min_count=20, max_hops=6,
+    )
+
+
 def q_join_counts(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1767,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_similarity": q_traj_similarity,
         "join_counts": q_join_counts,
         "image_otsu": q_image_otsu,  # rows-only (pixels aren't SQL)
+        "grid_distance": q_grid_distance,
     }
 
 
@@ -2985,6 +2997,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells, tot) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "grid_distance": (
+            # BFS twin: recursive CTE with UNION dedup (state bounded by
+            # cells x hops), MIN(d) = hop distance
+            f"WITH RECURSIVE pts AS ({_PTS}), "
+            "cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, COUNT(*) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "b(cx, cy, d) AS ("
+            "SELECT cx, cy, 0 FROM cells WHERE c >= 20 "
+            "UNION "
+            "SELECT o.cx, o.cy, b.d + 1 FROM b, "
+            "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS v(dx, dy) "
+            "JOIN cells o ON o.cx = b.cx + v.dx AND o.cy = b.cy + v.dy "
+            "WHERE b.d < 6) "
+            "SELECT cx, cy, CAST(MIN(d) AS INT) AS dist FROM b GROUP BY 1, 2"
         ),
         "join_counts": _with_points(
             # join-count twin: identical marking rule + rook probe;

@@ -439,3 +439,73 @@ def join_counts(
     return F.broadcast(totals).join(edge).select(
         "n_cells", "n_black", "w_pairs", "bb", "ww", "bw"
     )
+
+
+def grid_distance(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+    seed_min_count: int = 2,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS distance transform over the occupied-cell graph:
+    hop distance from the nearest SEED cell (count >= seed_min_count)
+    through rook-adjacent OCCUPIED cells — "how far is every populated
+    cell from the nearest hotspot, walking only through populated
+    cells".  The grid twin of a road-network isochrone.
+
+    Returns (cx, cy, dist) for every cell reached within max_hops
+    (dist 0 = the seeds themselves); unreachable/farther cells are
+    absent.  Exact by construction (pure set algebra, no floats).
+
+    Plan: iterative frontier expansion — per hop, ONE 4-direction probe
+    explode + equi-join against occupied cells + anti-join against the
+    visited set, localCheckpointed to cut lineage (relations.py's
+    fixed-point discipline).  Work per hop is O(frontier), total
+    O(cells * hops) worst case; the driver sees only per-hop emptiness
+    booleans, never rows.  max_hops bounds the stage count (BFS depth =
+    Spark stages, the standard trade of iterative graph algorithms on
+    DataFrames).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    occupied = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        occupied.filter(F.col("_c") >= seed_min_count).select("cx", "cy")
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.withColumn("dist", F.lit(0))
+    occ = occupied.select("cx", "cy")
+    for d in range(1, max_hops + 1):
+        nbrs = (
+            frontier.select(
+                F.explode(
+                    F.array(
+                        F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                        F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                        F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                        F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+                    )
+                ).alias("_nb")
+            )
+            .select(F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(occ, ["cx", "cy"])
+            .join(visited.select("cx", "cy"), ["cx", "cy"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        visited = visited.union(new.withColumn("dist", F.lit(d))).localCheckpoint(eager=True)
+        frontier = new
+    return visited

@@ -696,3 +696,66 @@ class TestOtsuThreshold:
         r = multimodal.otsu_threshold(_img_df(spark, [a])).first()
         assert (r.threshold, r.n_bg, r.n_fg) == (77, 25, 0)
         assert r.s_bg == 25 * 77 and r.s_fg == 0
+
+
+def _bfs_twin(pts, shift, seed_min, max_hops):
+    from collections import deque
+
+    cells: dict = {}
+    for x, y in pts:
+        c = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        cells[c] = cells.get(c, 0) + 1
+    dist = {c: 0 for c, n in cells.items() if n >= seed_min}
+    q = deque(dist)
+    while q:
+        c = q.popleft()
+        if dist[c] >= max_hops:
+            continue
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (c[0] + dx, c[1] + dy)
+            if nb in cells and nb not in dist:
+                dist[nb] = dist[c] + 1
+                q.append(nb)
+    return dist
+
+
+class TestGridDistance:
+    def test_matches_bfs_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = []
+        for i in range(300):
+            # snake of cells with a dense head, plus scattered noise
+            if i % 2 == 0:
+                k = i // 2
+                pts.append(((k % 12) << 26, ((k // 12) % 6) << 26))
+            else:
+                pts.append((((i * 2654435761) % (1 << 32)) - (1 << 31),
+                            ((i * 2246822519) % (1 << 32)) - (1 << 31)))
+        pts += [(0, 0)] * 5  # dense seed at origin cell
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.cx, r.cy): r.dist
+               for r in geostats.grid_distance(
+                   df, cell_shift=26, seed_min_count=5, max_hops=4).collect()}
+        assert got == _bfs_twin(pts, 26, 5, 4)
+        assert got and max(got.values()) > 0  # actually expanded
+
+    def test_zero_hops_returns_seeds_only(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = [(0, 0), (0, 0), (1 << 26, 0)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        out = geostats.grid_distance(df, cell_shift=26, seed_min_count=2,
+                                     max_hops=0).collect()
+        assert len(out) == 1 and out[0].dist == 0
+
+    def test_disconnected_island_unreached(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        # seed cell + neighbor, plus an occupied island 10 cells away
+        pts = [(0, 0), (0, 0), (1 << 26, 0), (10 << 26, 0)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.cx, r.cy): r.dist
+               for r in geostats.grid_distance(
+                   df, cell_shift=26, seed_min_count=2, max_hops=6).collect()}
+        assert len(got) == 2 and set(got.values()) == {0, 1}
