@@ -1041,6 +1041,15 @@ def q_gearys_c(spark, sf_dir):
     return geostats.gearys_c(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_image_components(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Connected-component stats over binary luminance masks (BFS twin +
+    U-shape/blank/checkerboard invariants in tests/test_geocode.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.mask_components(fixtures.images(spark, 200), thr=128)
+
+
 def q_grid_distance(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1779,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "image_otsu": q_image_otsu,  # rows-only (pixels aren't SQL)
         "grid_distance": q_grid_distance,
+        "image_components": q_image_components,  # rows-only (pixels aren't SQL)
     }
 
 

@@ -759,3 +759,73 @@ class TestGridDistance:
                for r in geostats.grid_distance(
                    df, cell_shift=26, seed_min_count=2, max_hops=6).collect()}
         assert len(got) == 2 and set(got.values()) == {0, 1}
+
+
+def _cc_twin(mask):
+    """BFS 4-connectivity components over a boolean 2-D mask."""
+    from collections import deque
+
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    sizes = []
+    for r in range(h):
+        for c in range(w):
+            if mask[r, c] and not seen[r, c]:
+                sz = 0
+                q = deque([(r, c)])
+                seen[r, c] = True
+                while q:
+                    rr, cc = q.popleft()
+                    sz += 1
+                    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        nr, nc = rr + dr, cc + dc
+                        if 0 <= nr < h and 0 <= nc < w and mask[nr, nc] and not seen[nr, nc]:
+                            seen[nr, nc] = True
+                            q.append((nr, nc))
+                sizes.append(sz)
+    return len(sizes), (max(sizes) if sizes else 0)
+
+
+class TestMaskComponents:
+    @staticmethod
+    def _lum_mask(a, thr):
+        p = a.astype(np.int64)
+        return (p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114) // 1000 >= thr
+
+    def test_matches_bfs_twin(self, spark):
+        rng = np.random.default_rng(41)
+        arrays = [(rng.integers(0, 2, (10, 9, 1), np.uint8) * 255
+                   ).repeat(3, axis=2) for _ in range(4)]
+        out = {r.image_id: r
+               for r in multimodal.mask_components(_img_df(spark, arrays), thr=128).collect()}
+        for i, a in enumerate(arrays):
+            m = self._lum_mask(a, 128)
+            ncc, lg = _cc_twin(m)
+            r = out[f"t{i}"]
+            assert (r.n_components, r.largest_px, r.n_fg) == (ncc, lg, int(m.sum())), i
+            assert r.n_px == 90
+
+    def test_u_shape_single_component(self, spark):
+        # a U connects across rows only through the bottom — exercises
+        # the union path between non-adjacent columns
+        a = np.zeros((5, 7, 3), np.uint8)
+        a[:, 1, :] = 255
+        a[:, 5, :] = 255
+        a[4, 1:6, :] = 255
+        r = multimodal.mask_components(_img_df(spark, [a]), thr=128).first()
+        assert r.n_components == 1 and r.largest_px == r.n_fg == 13
+
+    def test_blank_and_full(self, spark):
+        blank = np.zeros((6, 6, 3), np.uint8)
+        full = np.full((6, 6, 3), 255, np.uint8)
+        out = {r.image_id: r
+               for r in multimodal.mask_components(_img_df(spark, [blank, full])).collect()}
+        assert (out["t0"].n_components, out["t0"].n_fg) == (0, 0)
+        assert (out["t1"].n_components, out["t1"].largest_px) == (1, 36)
+
+    def test_checkerboard_worst_case(self, spark):
+        a = np.zeros((8, 8, 3), np.uint8)
+        a[::2, ::2, :] = 255
+        a[1::2, 1::2, :] = 255
+        r = multimodal.mask_components(_img_df(spark, [a]), thr=128).first()
+        assert r.n_components == 32 and r.largest_px == 1
