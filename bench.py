@@ -306,6 +306,16 @@ def main():
     timed("radius_gyration_2m", lambda: force(trajectory.radius_gyration(fixes)))
     timed("location_diversity_2m", lambda: force(
         trajectory.location_diversity(fixes, cell_shift=26)))
+    # categorical ESDA + BFS distance transform over the same lattice
+    timed("join_counts", lambda: force(_gs.join_counts(_pxy, cell_shift=26, min_count=12)))
+    timed("grid_distance", lambda: force(_gs.grid_distance(
+        _pxy, cell_shift=26, seed_min_count=20, max_hops=4)))
+    # direction rose + signature-pair join over the 2M-fix track set:
+    # the pair join (distinct + popularity cap + cell self-join) is the
+    # cost center, sized by max_users_per_cell
+    timed("heading_rose_2m", lambda: force(trajectory.heading_rose(fixes)))
+    timed("traj_similarity_2m", lambda: force(trajectory.traj_similarity(
+        fixes, cell_shift=22, max_users_per_cell=64, min_shared=2)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
