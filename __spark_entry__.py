@@ -1041,6 +1041,14 @@ def q_gearys_c(spark, sf_dir):
     return geostats.gearys_c(synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26)
 
 
+def q_cusum(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # per-entity exact CUSUM drift components over event values
+    ev = _read(spark, sf_dir, "events")
+    return temporal.cusum_stats(ev)
+
+
 def q_image_components(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Connected-component stats over binary luminance masks (BFS twin +
     U-shape/blank/checkerboard invariants in tests/test_geocode.py)."""
@@ -1789,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_otsu": q_image_otsu,  # rows-only (pixels aren't SQL)
         "grid_distance": q_grid_distance,
         "image_components": q_image_components,  # rows-only (pixels aren't SQL)
+        "cusum": q_cusum,
     }
 
 
@@ -3007,6 +3016,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells, tot) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "cusum": (
+            # CUSUM twin: identical quantization, one window pass,
+            # ROW() extremes with the same (s, -k)/(s, k) tie-breaks
+            "WITH b AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vq FROM events), "
+            "r AS (SELECT user_id, ROW_NUMBER() OVER w AS k, SUM(vq) OVER w AS p, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS n, "
+            "SUM(vq) OVER (PARTITION BY user_id) AS t FROM b "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ws, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "s AS (SELECT user_id, n, t, k, "
+            "CAST(n AS HUGEINT) * p - CAST(k AS HUGEINT) * t AS s FROM r) "
+            "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(t) AS BIGINT) AS t_q, "
+            "CAST(MAX({'s': s, 'nk': -k}).s AS VARCHAR) AS max_s, "
+            "CAST(MIN({'s': s, 'k': k}).s AS VARCHAR) AS min_s, "
+            "CAST(-MAX({'s': s, 'nk': -k}).nk AS INT) AS k_max, "
+            "CAST(MIN({'s': s, 'k': k}).k AS INT) AS k_min "
+            "FROM s GROUP BY 1"
         ),
         "grid_distance": (
             # BFS twin: recursive CTE with UNION dedup (state bounded by

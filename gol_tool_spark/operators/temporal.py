@@ -227,3 +227,65 @@ def resample_locf(
         *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in values],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def cusum_stats(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-entity CUSUM changepoint components (Page 1954) — "did this
+    series drift, and where": the classic single-changepoint estimate is
+    argmax_k |P_k - k*mean|, with P_k the prefix sum of the (time, id)-
+    ordered values.
+
+    EXACT shape: values are quantized ONCE to integer units (round(v *
+    quant) — the only float step, applied per element, never to a sum),
+    then the mean is removed by N-scaling: s_k = n*P_k - k*T is an exact
+    integer = n*(P_k - k*mean), so argmax/extremes are bit-reproducible.
+    Accumulators are DECIMAL(38,0) (n*P_k overflows int64 at planet
+    scale) and ship as strings.
+
+    Returns per entity: (by, n, t_q, max_s, min_s, k_max, k_min) — t_q
+    the quantized total, max_s/min_s the extreme N-scaled deviations
+    (max_s >= 0 >= min_s always, since s_0 = s_n = 0 and k ranges 1..n),
+    k_max/k_min their SMALLEST attaining prefix positions.  The caller's
+    drift score is max(max_s, -min_s) / (n * sqrt-ish normalizer of
+    choice).
+
+    Plan: ONE entity exchange — the ordered window (prefix sum + row
+    number) and the unbounded totals window share it — then one
+    map-combined groupBy.  No joins.
+    """
+    d = lambda c: c.cast("decimal(38,0)")
+    vq = F.round(F.col(value) * F.lit(float(quant))).cast("bigint")
+    base = df.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"), vq.alias("_vq")
+    )
+    w_ord = Window.partitionBy(by).orderBy("_ws", id_col)
+    w_all = Window.partitionBy(by)
+    rows = base.select(
+        F.col(by),
+        F.row_number().over(w_ord).alias("_k"),
+        F.sum("_vq").over(w_ord).alias("_p"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.sum("_vq").over(w_all).alias("_t"),
+    ).withColumn(
+        "_s", d(F.col("_n")) * d(F.col("_p")) - d(F.col("_k")) * d(F.col("_t"))
+    )
+    agg = rows.groupBy(by).agg(
+        F.max("_n").alias("n"),
+        F.max("_t").alias("t_q"),
+        F.max(F.struct(F.col("_s"), (-F.col("_k")).alias("_nk"))).alias("_mx"),
+        F.min(F.struct(F.col("_s"), F.col("_k"))).alias("_mn"),
+    )
+    return agg.select(
+        F.col(by), "n", "t_q",
+        F.col("_mx._s").cast("string").alias("max_s"),
+        F.col("_mn._s").cast("string").alias("min_s"),
+        (-F.col("_mx._nk")).cast("int").alias("k_max"),
+        F.col("_mn._k").cast("int").alias("k_min"),
+    )

@@ -115,3 +115,64 @@ def test_missing_on_column_raises(spark):
     rdf = spark.range(3)
     with pytest.raises(ValueError):
         temporal.asof_join(ldf, rdf, on="ts", by=[])
+
+
+class TestCusumStats:
+    @staticmethod
+    def _twin(rows, quant=1_000_000):
+        # rows: (user, event_id, epoch_s, value)
+        by_u: dict = {}
+        for u, i, s, v in rows:
+            by_u.setdefault(u, []).append((s, i, round(v * quant)))
+        out = {}
+        for u, fx in by_u.items():
+            fx.sort()
+            n = len(fx)
+            t = sum(v for _, _, v in fx)
+            p = 0
+            mx = mn = None
+            for k, (_, _, v) in enumerate(fx, start=1):
+                p += v
+                s = n * p - k * t
+                if mx is None or s > mx[0]:
+                    mx = (s, k)
+                if mn is None or s < mn[0]:
+                    mn = (s, k)
+            out[u] = (n, t, str(mx[0]), str(mn[0]), mx[1], mn[1])
+        return out
+
+    def test_matches_python_twin(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import temporal
+
+        rows = []
+        for i in range(240):
+            u = i % 3
+            s = 1_700_000_000 + i
+            # planted level shift for user 0 halfway through
+            v = (i % 17) * 0.25 + (50.0 if (u == 0 and i > 120) else 0.0)
+            rows.append((u, i, s, v))
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), v)
+             for u, i, s, v in rows],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+        got = {r.user_id: (r.n, r.t_q, r.max_s, r.min_s, r.k_max, r.k_min)
+               for r in temporal.cusum_stats(df).collect()}
+        assert got == self._twin(rows)
+        # the planted shift: user 0's |min_s| dominates and the argmin
+        # sits near the change (values jump UP, so prefixes lag the mean)
+        n0, _, mx0, mn0, _, kmin0 = got[0]
+        assert -int(mn0) > int(mx0) and abs(kmin0 - 40) <= 2  # 40 = #fixes before shift
+
+    def test_constant_series_all_zero(self, spark):
+        import datetime as dt
+        from gol_tool_spark.operators import temporal
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, i, t0 + dt.timedelta(seconds=i), 7.5) for i in range(5)],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+        r = temporal.cusum_stats(df).first()
+        # s_k = 0 for every k on a constant series; smallest-k tie-break
+        assert (r.max_s, r.min_s, r.k_max, r.k_min) == ("0", "0", 1, 1)
+        assert r.n == 5 and r.t_q == 5 * 7_500_000
