@@ -1010,6 +1010,15 @@ def q_traj_similarity(spark, sf_dir):
     )
 
 
+def q_traj_editdist(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # order-aware SAX edit distance for the signature-candidate pairs
+    return trajectory.traj_editdist(
+        _events_xy(spark, sf_dir), cell_shift=26, max_users_per_cell=64, min_shared=2
+    )
+
+
 def q_location_diversity(spark, sf_dir):
     from gol_tool_spark.operators import trajectory
 
@@ -1798,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_distance": q_grid_distance,
         "image_components": q_image_components,  # rows-only (pixels aren't SQL)
         "cusum": q_cusum,
+        "traj_editdist": q_traj_editdist,
     }
 
 
@@ -3016,6 +3026,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells, tot) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "traj_editdist": (
+            # symbolization + collapse twin (LAG filter + ordered
+            # string_agg), candidate pairs = the traj_similarity chain,
+            # DuckDB levenshtein == Spark F.levenshtein (standard DP)
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "s0 AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            "CAST((((x + 2147483648) >> 26) * 37 + ((y + 2147483648) >> 26) * 101) % 32 AS INT) + 1, 1) AS sym "
+            "FROM exy), "
+            "l AS (SELECT user_id, ws, event_id, sym, "
+            "LAG(sym) OVER (PARTITION BY user_id ORDER BY ws, event_id) AS pl FROM s0), "
+            "c0 AS (SELECT user_id, ws, event_id, sym, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ws, event_id) AS k "
+            "FROM l WHERE pl IS NULL OR pl != sym), "
+            "st AS (SELECT user_id, string_agg(sym, '' ORDER BY ws, event_id) AS str "
+            "FROM c0 WHERE k <= 512 GROUP BY 1), "
+            "c AS (SELECT DISTINCT user_id, (x + 2147483648) >> 26 AS cx, "
+            "(y + 2147483648) >> 26 AS cy FROM exy), "
+            "kp AS (SELECT cx, cy, COUNT(*) AS nu FROM c GROUP BY 1, 2), "
+            "f AS (SELECT c.user_id, c.cx, c.cy FROM c JOIN kp USING (cx, cy) WHERE kp.nu <= 64), "
+            "s AS (SELECT a.user_id AS user_a, b.user_id AS user_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM f a JOIN f b USING (cx, cy) WHERE a.user_id < b.user_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT s.user_a, s.user_b, s.n_shared, "
+            "CAST(levenshtein(sa.str, sb.str) AS INT) AS editdist, "
+            "CAST(length(sa.str) AS INT) AS len_a, CAST(length(sb.str) AS INT) AS len_b "
+            "FROM s JOIN st sa ON sa.user_id = s.user_a "
+            "JOIN st sb ON sb.user_id = s.user_b"
         ),
         "cusum": (
             # CUSUM twin: identical quantization, one window pass,

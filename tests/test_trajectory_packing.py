@@ -701,3 +701,73 @@ class TestTrajSimilarity:
         none = trajectory.traj_similarity(
             df, cell_shift=26, max_users_per_cell=8, min_shared=3).collect()
         assert none == []
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestTrajEditdist:
+    @staticmethod
+    def _sym(x, y, shift=26):
+        cx, cy = (x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift
+        return "0123456789bcdefghjkmnpqrstuvwxyz"[(cx * 37 + cy * 101) % 32]
+
+    def _mk(self, spark, tracks):
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        for u, pts in tracks.items():
+            for x, y in pts:
+                rows.append((u, eid,
+                             dt.datetime(2024, 1, 1) + dt.timedelta(seconds=eid),
+                             x, y))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "user_id int, event_id long, ts timestamp_ntz, x long, y long")
+
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        path = [(i << 26, 0) for i in range(6)]
+        tracks = {
+            1: path,                      # forward
+            2: list(reversed(path)),      # same cells, reversed order
+            3: path[:3] + [(0, 5 << 26)] + path[3:],  # detour
+        }
+        df = self._mk(spark, tracks)
+        out = {(r.user_a, r.user_b): (r.editdist, r.len_a, r.len_b)
+               for r in trajectory.traj_editdist(
+                   df, cell_shift=26, max_users_per_cell=8, min_shared=2).collect()}
+        strs = {u: "".join(self._sym(x, y) for x, y in pts) for u, pts in tracks.items()}
+        # no consecutive repeats in these tracks, so collapse is identity
+        for (a, b), (ed, la, lb) in out.items():
+            assert (ed, la, lb) == (_lev(strs[a], strs[b]), len(strs[a]), len(strs[b]))
+        # order-awareness: reversal is far in edit distance, near in Jaccard
+        assert out[(1, 2)][0] > 0
+        assert out[(1, 3)][0] == 1  # one insertion
+
+    def test_collapse_and_truncation(self, spark):
+        from gol_tool_spark.operators import trajectory
+
+        # user 1 pings 10x in each of 3 cells -> collapses to 3 symbols;
+        # user 2 walks the same 3 cells once each
+        cells = [(0, 0), (1 << 26, 0), (2 << 26, 0)]
+        tracks = {1: [c for c in cells for _ in range(10)], 2: cells}
+        df = self._mk(spark, tracks)
+        out = trajectory.traj_editdist(
+            df, cell_shift=26, max_users_per_cell=8, min_shared=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.editdist, r.len_a, r.len_b) == (0, 3, 3)
+        # truncation: max_syms=2 keeps the first two collapsed symbols
+        r2 = trajectory.traj_editdist(
+            df, cell_shift=26, max_users_per_cell=8, min_shared=2, max_syms=2).first()
+        assert (r2.editdist, r2.len_a, r2.len_b) == (0, 2, 2)
