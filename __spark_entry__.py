@@ -1058,6 +1058,15 @@ def q_cusum(spark, sf_dir):
     return temporal.cusum_stats(ev)
 
 
+def q_image_domcolor(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Per-image dominant quantized color (loop-twin + tie/center
+    invariants pytest-proven in tests/test_geocode.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.dominant_color(fixtures.images(spark, 200))
+
+
 def q_image_components(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Connected-component stats over binary luminance masks (BFS twin +
     U-shape/blank/checkerboard invariants in tests/test_geocode.py)."""
@@ -1808,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_components": q_image_components,  # rows-only (pixels aren't SQL)
         "cusum": q_cusum,
         "traj_editdist": q_traj_editdist,
+        "image_domcolor": q_image_domcolor,  # rows-only (pixels aren't SQL)
     }
 
 

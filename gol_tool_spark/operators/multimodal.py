@@ -539,3 +539,58 @@ def mask_components(images: DataFrame, thr: int = 128) -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, CC_SCHEMA)
+
+
+DOMCOLOR_SCHEMA = (
+    "image_id string, n_px long, dom_code int, dom_px long, n_codes int, "
+    "dom_r int, dom_g int, dom_b int"
+)
+
+
+def dominant_color(images: DataFrame, bits: int = 4) -> DataFrame:
+    """Per-image dominant color after uniform RGB quantization to
+    ``bits`` per channel — the thumbnail-palette / duplicate-poster
+    primitive (a 12-bit code at the default).  Ties break to the
+    SMALLEST code, so results are exact and host-independent.
+
+    One np.bincount over img_index * 2^(3*bits) + code per equal-shape
+    stack; the per-image argmax is vectorized (np.argmax returns the
+    first = smallest code on ties).  Returns the dominant code, its
+    pixel count, the distinct-code count, and the code's channel values
+    re-expanded to 0..255 bin centers (exact ints: (c*2+1)*256/2^(b+1)
+    floored).
+    """
+    if not (1 <= bits <= 8):
+        raise ValueError("bits must be in 1..8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ncodes = 1 << (3 * bits)
+        for pdf in batches:
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                q = (px.astype(np.int64) >> (8 - bits))
+                code = (q[..., 0] << (2 * bits)) | (q[..., 1] << bits) | q[..., 2]
+                n_img = len(sub)
+                idx = np.arange(n_img, dtype=np.int64)[:, None, None] * ncodes + code
+                hist = np.bincount(idx.ravel(), minlength=n_img * ncodes).reshape(n_img, ncodes)
+                dom = hist.argmax(axis=1)
+                dom_px = hist[np.arange(n_img), dom]
+                n_codes = (hist > 0).sum(axis=1)
+                r = (dom >> (2 * bits)) & ((1 << bits) - 1)
+                g = (dom >> bits) & ((1 << bits) - 1)
+                b = dom & ((1 << bits) - 1)
+                center = lambda c: ((c * 2 + 1) * 256) >> (bits + 1)
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "n_px": h * w,
+                    "dom_code": dom.astype(np.int32),
+                    "dom_px": dom_px.astype(np.int64),
+                    "n_codes": n_codes.astype(np.int32),
+                    "dom_r": center(r).astype(np.int32),
+                    "dom_g": center(g).astype(np.int32),
+                    "dom_b": center(b).astype(np.int32),
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return images.mapInPandas(run, DOMCOLOR_SCHEMA)

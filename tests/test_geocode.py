@@ -829,3 +829,36 @@ class TestMaskComponents:
         a[1::2, 1::2, :] = 255
         r = multimodal.mask_components(_img_df(spark, [a]), thr=128).first()
         assert r.n_components == 32 and r.largest_px == 1
+
+
+class TestDominantColor:
+    def test_matches_loop_twin(self, spark):
+        rng = np.random.default_rng(53)
+        arrays = [rng.integers(0, 256, (7, 5, 3), np.uint8) for _ in range(3)]
+        out = {r.image_id: r
+               for r in multimodal.dominant_color(_img_df(spark, arrays), bits=4).collect()}
+        for i, a in enumerate(arrays):
+            counts: dict = {}
+            for rr in range(7):
+                for cc in range(5):
+                    code = ((int(a[rr, cc, 0]) >> 4) << 8) | ((int(a[rr, cc, 1]) >> 4) << 4) | (int(a[rr, cc, 2]) >> 4)
+                    counts[code] = counts.get(code, 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            r = out[f"t{i}"]
+            assert (r.dom_code, r.dom_px, r.n_codes) == (best[0], best[1], len(counts)), i
+
+    def test_solid_color_and_centers(self, spark):
+        a = np.zeros((4, 4, 3), np.uint8)
+        a[..., 0] = 250  # bin 15 -> center floor(31*256/32) = 248
+        a[..., 1] = 3    # bin 0 -> center 8
+        a[..., 2] = 130  # bin 8 -> center 136
+        r = multimodal.dominant_color(_img_df(spark, [a]), bits=4).first()
+        assert (r.n_codes, r.dom_px) == (1, 16)
+        assert (r.dom_r, r.dom_g, r.dom_b) == (248, 8, 136)
+
+    def test_tie_breaks_to_smallest_code(self, spark):
+        a = np.zeros((2, 2, 3), np.uint8)
+        a[0, :, :] = 0     # code 0 x2
+        a[1, :, :] = 255   # code 4095 x2
+        r = multimodal.dominant_color(_img_df(spark, [a]), bits=4).first()
+        assert r.dom_code == 0 and r.dom_px == 2 and r.n_codes == 2
