@@ -1113,3 +1113,49 @@ class TestCompileBatches:
                 seen.extend(json.load(fh)["piles"])
             b += 1
         assert len(seen) == len(set(seen))
+
+
+class TestStreamingTrips:
+    def test_gap_split_and_timeout_flush(self, spark, tmp_path):
+        import json
+        import time
+
+        from gol_tool_spark.streaming import trips
+
+        src = tmp_path / "fixes"
+        ckpt = str(tmp_path / "tck")
+        out = str(tmp_path / "tout")
+        src.mkdir()
+        rows1 = [
+            dict(user_id=1, event_id=1, ws=1000, x=0, y=0),
+            dict(user_id=1, event_id=2, ws=1010, x=10, y=5),
+            dict(user_id=1, event_id=3, ws=3000, x=100, y=100),  # >900s gap
+            dict(user_id=2, event_id=4, ws=1000, x=0, y=0),
+        ]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+        q = trips.run_trips(spark, str(src), ckpt, out, gap_s=900, timeout_ms=1000)
+        q.awaitTermination(90)
+        got1 = [tuple(r) for r in spark.read.parquet(out).collect()]
+        # the gap-closed trip is exact (2 fixes, L1 odometer 15); open
+        # trips may or may not have timed out yet (timing-dependent)
+        assert (1, 1000, 1010, 2, 15, "gap") in got1
+        assert all(g[5] in ("gap", "timeout") for g in got1)
+
+        time.sleep(2.5)  # expire all processing-time deadlines
+        (src / "b2.json").write_text(
+            json.dumps(dict(user_id=3, event_id=5, ws=5000, x=0, y=0)))
+        q = trips.run_trips(spark, str(src), ckpt, out, gap_s=900, timeout_ms=1000)
+        q.awaitTermination(90)
+        got2 = [tuple(r) for r in spark.read.parquet(out).collect()]
+        timeouts = [g for g in got2 if g[5] == "timeout"]
+        # the silent entities' final trips flushed by timeout —
+        # exactly once each (state.remove() makes the flush idempotent)
+        assert sorted(t[0] for t in timeouts if t[0] in (1, 2)) == [1, 2]
+        assert (1, 3000, 3000, 1, 0, "timeout") in got2
+        assert (2, 1000, 1000, 1, 0, "timeout") in got2
+        per_user_timeout = {}
+        for g in timeouts:
+            per_user_timeout[g[0]] = per_user_timeout.get(g[0], 0) + 1
+        assert all(v == 1 for v in per_user_timeout.values())
+        # the gap trip did not re-emit on restart
+        assert sum(1 for g in got2 if g[5] == "gap") == 1
