@@ -1646,7 +1646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
-        "pack_chunks": q_pack_chunks,  # concat-and-chunk packing
         "pack_greedy": q_pack_greedy,  # greedy binning (recursive-CTE oracle)
         "seg_intersect": q_seg_intersect,  # exact proper-crossing join
         "od_matrix": q_od_matrix,  # origin-destination cell flows
@@ -1682,7 +1681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,  # new in r5: grid-blocked DBSCAN
         "tile_raster": q_tile_raster,  # new in r5: PNG-roundtrip density raster
         "contamination": q_contamination,  # new in r5: benchmark decontamination
-        "dup_clusters": q_dup_clusters,  # new in r5: CC over near-dup pairs
         "dedup_canonical": q_dedup_canonical,  # new in r5: survivor selection
         "repetition": q_repetition,  # new in r5: Gopher-style repetition gate
         "line_dedup": q_line_dedup,  # new in r5: C4 global line-level dedup
@@ -1692,10 +1690,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,  # new in r5: exact-substring dedup
         "mix_sample": q_mix_sample,  # new in r5: source-weighted mixing
         "way_centroid": q_way_centroid,  # new in r5: shoelace centroid
-        "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
         "idw_grid": q_idw_grid,  # new in r5: modified-IDW grid interpolation
         "pii_scrub": q_pii_scrub,  # new in r5: staged PII scrubbing
         "hex_rollup": q_hex_rollup,  # new in r5: hex center-containment rollup
+        # -- rotation for the continuation-session wave: way_simplify
+        # -- (rows-only; DP invariants pytest-proven), dup_clusters
+        # -- (transitively exercised by dedup_canonical's cluster-chain
+        # -- oracle) and pack_chunks (sibling pack_greedy keeps the
+        # -- stronger recursive oracle) to the tail; the three newest
+        # -- full-oracle ops take their driver slots.  traj_editdist's
+        # -- oracle embeds the traj_similarity candidate chain, so the
+        # -- tail-riding traj_similarity is transitively driver-checked.
+        "traj_editdist": q_traj_editdist,  # SAX edit distance (full oracle)
+        "cusum": q_cusum,  # exact CUSUM drift components (full oracle)
+        "join_counts": q_join_counts,  # BB/WW/BW rook edges (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -1811,13 +1819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence recorded in ROUND_NOTES
         "heading_rose": q_heading_rose,
         "traj_similarity": q_traj_similarity,
-        "join_counts": q_join_counts,
         "image_otsu": q_image_otsu,  # rows-only (pixels aren't SQL)
         "grid_distance": q_grid_distance,
         "image_components": q_image_components,  # rows-only (pixels aren't SQL)
-        "cusum": q_cusum,
-        "traj_editdist": q_traj_editdist,
         "image_domcolor": q_image_domcolor,  # rows-only (pixels aren't SQL)
+        # rotated out this session (see head-block comment)
+        "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
+        "dup_clusters": q_dup_clusters,  # CC over near-dup pairs
+        "pack_chunks": q_pack_chunks,  # concat-and-chunk packing
     }
 
 
