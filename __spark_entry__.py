@@ -1058,6 +1058,31 @@ def q_cusum(spark, sf_dir):
     return temporal.cusum_stats(ev)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    # exact frequent tokens via two-pass Misra-Gries: candidates from
+    # bounded per-partition sketches, then an exact broadcast recount —
+    # the result is EXACTLY the >= ceil(frac*N) set, verified against a
+    # plain GROUP BY ... HAVING oracle
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return stats.heavy_hitters(toks, "tok", frac=0.002)
+
+
+def q_funnel(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # first-completion view -> click -> purchase chain per user,
+    # (wall-second, id)-ordered; one groupBy + JVM fold
+    return temporal.funnel(_read(spark, sf_dir, "events"))
+
+
+def q_rolling_outliers(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # rolling median/MAD anomaly flags over event values (+-3-row frame)
+    return temporal.rolling_outliers(_read(spark, sf_dir, "events"))
+
+
 def q_image_domcolor(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Per-image dominant quantized color (loop-twin + tie/center
     invariants pytest-proven in tests/test_geocode.py)."""
@@ -1704,6 +1729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_editdist": q_traj_editdist,  # SAX edit distance (full oracle)
         "cusum": q_cusum,  # exact CUSUM drift components (full oracle)
         "join_counts": q_join_counts,  # BB/WW/BW rook edges (full oracle)
+        # -- newest continuation-session wave (positions past 50 until the
+        # -- session-end rotation pass; all full-oracle) --
+        "heavy_hitters": q_heavy_hitters,  # two-pass Misra-Gries exact frequent items
+        "funnel": q_funnel,  # ordered first-completion funnel chain
+        "rolling_outliers": q_rolling_outliers,  # rolling median/MAD anomaly flags
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3095,6 +3125,56 @@ def oracle_sql() -> dict[str, str]:
             "CAST(-MAX({'s': s, 'nk': -k}).nk AS INT) AS k_max, "
             "CAST(MIN({'s': s, 'k': k}).k AS INT) AS k_min "
             "FROM s GROUP BY 1"
+        ),
+        "heavy_hitters": (
+            # semantic twin: the definition the sketch pass must equal —
+            # plain exact GROUP BY + HAVING over the same tokenization
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS value "
+            "FROM documents), "
+            "t AS (SELECT value FROM toks WHERE value IS NOT NULL), "
+            "tot AS (SELECT COUNT(*) AS n_total FROM t) "
+            "SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(MAX(n_total) AS BIGINT) AS n_total "
+            "FROM t, tot GROUP BY value "
+            "HAVING COUNT(*) >= CEIL(0.002 * MAX(n_total))"
+        ),
+        "funnel": (
+            # chained first-completion twin: MIN (ws,id) struct per stage,
+            # each stage strictly after the previous stage's key
+            "WITH f AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "event_id, event_type FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "ents AS (SELECT DISTINCT user_id FROM f), "
+            "s1 AS (SELECT user_id, MIN({'w': ws, 'i': event_id}) AS k "
+            "FROM f WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT f.user_id, MIN({'w': f.ws, 'i': f.event_id}) AS k "
+            "FROM f JOIN s1 USING (user_id) WHERE f.event_type = 'click' "
+            "AND {'w': f.ws, 'i': f.event_id} > s1.k GROUP BY 1), "
+            "s3 AS (SELECT f.user_id, MIN({'w': f.ws, 'i': f.event_id}) AS k "
+            "FROM f JOIN s2 USING (user_id) WHERE f.event_type = 'purchase' "
+            "AND {'w': f.ws, 'i': f.event_id} > s2.k GROUP BY 1) "
+            "SELECT e.user_id, CAST((s1.k IS NOT NULL)::INT + "
+            "(s2.k IS NOT NULL)::INT + (s3.k IS NOT NULL)::INT AS INT) AS steps_completed, "
+            "s1.k.w AS t1_ws, s2.k.w AS t2_ws, s3.k.w AS t3_ws "
+            "FROM ents e LEFT JOIN s1 USING (user_id) "
+            "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+        ),
+        "rolling_outliers": (
+            # rolling median/MAD twin: same window list, same sort +
+            # element formulas, identical 0.25-quantized double compares
+            "WITH b AS (SELECT user_id, event_id AS id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vq FROM events), "
+            "wn AS (SELECT user_id, id, ws, vq, "
+            "list_sort(list(vq) OVER (PARTITION BY user_id ORDER BY ws, id "
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS s FROM b), "
+            "m AS (SELECT *, len(s) AS n FROM wn), "
+            "m2 AS (SELECT *, (s[CAST((n+1)//2 AS INT)] + s[CAST(n//2 AS INT) + 1]) / 2.0 AS med FROM m), "
+            "m3 AS (SELECT *, list_sort(list_transform(s, v -> abs(CAST(v AS DOUBLE) - med))) AS ds FROM m2), "
+            "m4 AS (SELECT *, (ds[CAST((n+1)//2 AS INT)] + ds[CAST(n//2 AS INT) + 1]) / 2.0 AS mad FROM m3) "
+            "SELECT user_id, id, ws, vq, med, mad, "
+            "abs(CAST(vq AS DOUBLE) - med) AS dev, "
+            "abs(CAST(vq AS DOUBLE) - med) > 3.0 * mad AS is_outlier FROM m4"
         ),
         "grid_distance": (
             # BFS twin: recursive CTE with UNION dedup (state bounded by

@@ -166,6 +166,18 @@ def main():
     # grid-time linear interpolation over the same 2M fixes
     timed("track_resample_2m", lambda: force(
         trajectory.resample_track(fixes, step_s=300)))
+    # funnel chain + rolling median/MAD outliers over a typed 2M-event
+    # variant of the same fleet (one entity exchange each)
+    ev2m = fixes.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("view"),
+                    F.lit("purchase"), F.lit("click")),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ),
+    ).withColumn("value", (F.col("event_id") % 997).cast("double"))
+    timed("funnel_2m", lambda: force(temporal.funnel(ev2m)))
+    timed("rolling_outliers_2m", lambda: force(temporal.rolling_outliers(ev2m)))
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries
@@ -194,6 +206,13 @@ def main():
     # PQ/ADC lane: codebooks train once (bounded driver sample, the real
     # index-build shape); the timed path is JVM encode + ADC shortlist +
     # exact rerank
+    # exact frequent tokens via the two-pass MG sketch (zero key shuffle
+    # on pass 1; the recount shuffles only candidate-filtered rows)
+    from gol_tool_spark.operators import stats as stats_ops
+
+    timed("heavy_hitters_syn", lambda: stats_ops.heavy_hitters(
+        docs_syn.select(F.explode(F.split(F.col("text"), " ")).alias("tok")),
+        "tok", frac=0.001).count())
     pq_books = ann.pq_train(emb_syn, m=8, dim=64, k=16, sample=1024)
     timed("pq_adc_syn", lambda: ann.pq_search(
         ann.pq_encode(emb_syn, pq_books), [0, 1, 2, 3, 4], pq_books,

@@ -127,3 +127,83 @@ def value_histogram(
         df.groupBy(*list(group_cols), b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str = "value",
+    frac: float = 0.001,
+    extra_cap: int = 0,
+) -> DataFrame:
+    """EXACT frequent items at sketch cost — every value whose count is
+    >= ceil(frac * N), found WITHOUT shuffling the full key space
+    (reference parity: the string-frequency scan's "top strings" use,
+    gol/tiles/StringCatalogBuilder hot-string selection, done the way a
+    100-TB corpus requires).
+
+    Two passes:
+      1. Per-partition Misra-Gries (capacity ceil(1/frac) + extra_cap)
+         via mapInPandas — bounded memory, emits at most `cap` CANDIDATE
+         values per partition, never a per-key shuffle.  The MG
+         guarantee (any item with partition count > n_p/(cap+1) survives
+         that partition's sketch) plus pigeonhole across partitions
+         makes the union of candidates a SUPERSET of every item with
+         global count > N/(cap+1) >= the threshold.
+      2. Exact recount of candidates only: broadcast left-semi join +
+         one map-combined groupBy over the (tiny) candidate set, then
+         HAVING cnt >= ceil(frac * N).  The recount kills MG's
+         overcounting, so the result is EXACTLY the >= threshold set —
+         not an approximation.
+
+    Plan: the full input is scanned twice but shuffled ZERO times on the
+    value column for pass 1 (sketches are partition-local) and only the
+    candidate-filtered remnant shuffles in pass 2.  A naive
+    groupBy-HAVING shuffles every distinct value; at web scale (1e11
+    distinct tokens) that is the difference between a broadcastable
+    result and a dead stage.  Python touches each row once inside an
+    Arrow batch (the documented sketch seam — a production build would
+    register the same logic as a JVM Aggregator).
+
+    Returns (value, cnt, n_total) — cnt the exact count, n_total the
+    exact input size; output is small by construction (<= 1/frac rows).
+    """
+    import math
+
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    if not (0.0 < frac < 1.0):
+        raise ValueError("frac must be in (0, 1)")
+    cap = int(math.ceil(1.0 / frac)) + int(extra_cap)
+
+    # NULLs are excluded (pandas value_counts drops them; SQL semantics for
+    # "frequent values" don't want a NULL bucket either)
+    vals = df.select(F.col(value_col).alias("value")).filter(F.col("value").isNotNull())
+    out_schema = vals.schema
+
+    def mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            # merge the batch's exact counts into the running sketch,
+            # then apply the generalized MG decrement (subtract the
+            # k-th largest count from all, drop <=0) back to capacity
+            for v, c in pdf["value"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > cap:
+                dec = sorted(counts.values(), reverse=True)[cap]
+                counts = {v: c - dec for v, c in counts.items() if c > dec}
+        import pandas as pd
+
+        yield pd.DataFrame({"value": list(counts.keys())})
+
+    candidates = vals.mapInPandas(mg_partition, schema=out_schema).distinct()
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    recount = (
+        vals.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        recount.join(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(float(frac)) * F.col("n_total")))
+        .select("value", "cnt", "n_total")
+    )

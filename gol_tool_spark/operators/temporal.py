@@ -289,3 +289,138 @@ def cusum_stats(
         (-F.col("_mx._nk")).cast("int").alias("k_max"),
         F.col("_mn._k").cast("int").alias("k_min"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis — per entity, the FIRST completion chain of
+    `steps`: t1 = first step-1 event, t2 = first step-2 event strictly
+    after t1, ..., tk = first step-k event strictly after t(k-1).  The
+    product-analytics staple ("view -> click -> purchase conversion"),
+    with deterministic ordering on (wall-second, id).
+
+    Spark-first shape: ONE groupBy — per entity the relevant events are
+    collected, sorted, and folded by an F.aggregate chain entirely in the
+    JVM (no Python, no k self-joins).  A window formulation needs k
+    sequential passes; a join formulation shuffles k times.  Memory bound
+    = events-per-entity after the step filter, the same bound as any
+    sessionization; the step filter prunes the collected set to funnel
+    events only.
+
+    Returns (by, steps_completed, t1_ws..tk_ws): entities with at least
+    one funnel-step event; t_i the wall seconds of stage completion
+    (NULL past the deepest stage reached).
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps")
+    base = (
+        df.filter(F.col(step_col).isin(*list(steps)))
+        .select(
+            F.col(by),
+            F.struct(
+                _wall_secs(ts).alias("w"),
+                F.col(id_col).cast("bigint").alias("i"),
+                F.col(step_col).alias("s"),
+            ).alias("_e"),
+        )
+    )
+    grouped = base.groupBy(by).agg(
+        F.sort_array(F.collect_list("_e")).alias("_evs")
+    )
+    k = len(steps)
+    names = [f"t{i + 1}" for i in range(k)]
+    zero = F.struct(*[F.lit(None).cast("bigint").alias(n) for n in names])
+
+    def fold(acc, e):
+        fields = []
+        for i, (step, name) in enumerate(zip(steps, names)):
+            prev_ok = F.lit(True) if i == 0 else acc[names[i - 1]].isNotNull()
+            take = acc[name].isNull() & prev_ok & (e["s"] == F.lit(step))
+            fields.append(F.when(take, e["w"]).otherwise(acc[name]).alias(name))
+        return F.struct(*fields)
+
+    folded = grouped.select(
+        F.col(by), F.aggregate("_evs", zero, fold).alias("_f")
+    )
+    completed = sum(
+        F.col(f"_f.{n}").isNotNull().cast("int") for n in names
+    )
+    return folded.select(
+        F.col(by),
+        completed.cast("int").alias("steps_completed"),
+        *[F.col(f"_f.{n}").alias(f"{n}_ws") for n in names],
+    )
+
+
+def rolling_outliers(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    w: int = 3,
+    k: int = 3,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Robust rolling anomaly detection — flag values deviating from the
+    per-entity rolling MEDIAN by more than k rolling MADs (the
+    median-absolute-deviation rule; mean/stddev z-scores break on the
+    very outliers they hunt).
+
+    EXACT shape: values quantize once to integers (the cusum_stats
+    discipline); the +-w-row window's values are collected ONCE per row,
+    and median + MAD come from array_sort + element_at + a transform
+    lambda — all JVM higher-order functions on a (2w+1)-bounded array,
+    no second window pass, no Python.  Medians of ints are x.0/x.5 and
+    MADs x.25-quantized, so `dev > k*mad` compares exactly-representable
+    doubles: bit-reproducible across engines.
+
+    Plan: ONE entity exchange (the single window sort); everything after
+    is per-row expression work in WholeStageCodegen.  Window state is
+    2w+1 rows.  Boundary rows use their truncated frame (standard ROWS
+    BETWEEN semantics), identically on both engines.
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    vq = F.round(F.col(value) * F.lit(float(quant))).cast("bigint")
+    base = df.select(
+        F.col(by),
+        F.col(id_col).alias("id"),
+        _wall_secs(ts).alias("ws"),
+        vq.alias("vq"),
+    )
+    wnd = (
+        Window.partitionBy(by).orderBy("ws", "id").rowsBetween(-w, w)
+    )
+    arr = F.array_sort(F.collect_list("vq").over(wnd))
+    rows = base.withColumn("_s", arr).withColumn("_n", F.size("_s"))
+    med = (
+        F.element_at("_s", ((F.col("_n") + 1) / 2).cast("int"))
+        + F.element_at("_s", (F.col("_n") / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    rows = rows.withColumn("med", med)
+    devs = F.array_sort(
+        F.transform("_s", lambda v: F.abs(v.cast("double") - F.col("med")))
+    )
+    mad = (
+        F.element_at(devs, ((F.col("_n") + 1) / 2).cast("int"))
+        + F.element_at(devs, (F.col("_n") / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    rows = rows.withColumn("mad", mad)
+    dev = F.abs(F.col("vq").cast("double") - F.col("med"))
+    return rows.select(
+        F.col(by),
+        "id",
+        "ws",
+        "vq",
+        "med",
+        "mad",
+        dev.alias("dev"),
+        (dev > F.lit(float(k)) * F.col("mad")).alias("is_outlier"),
+    )
