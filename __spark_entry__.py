@@ -1058,6 +1058,28 @@ def q_cusum(spark, sf_dir):
     return temporal.cusum_stats(ev)
 
 
+def q_kde_peaks(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # hotspot centers: non-maximum suppression over the triangular-kernel
+    # density surface (kde_raster -> local_maxima composition)
+    surf = geostats.kde_raster(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=24, radius=2
+    )
+    return geostats.local_maxima(surf, min_weight=5)
+
+
+def q_cost_distance(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # congestion-weighted cost-distance from hotspot seeds: entering a
+    # cell costs 1 + min(count, 50); bounded Bellman-Ford, 4 rounds
+    return geostats.cost_distance(
+        synth.points_df(spark, sf_dir).select("x", "y"),
+        cell_shift=26, seed_min_count=20, max_rounds=4, cost_cap=50,
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     # exact frequent tokens via two-pass Misra-Gries: candidates from
     # bounded per-partition sketches, then an exact broadcast recount —
@@ -1734,6 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,  # two-pass Misra-Gries exact frequent items
         "funnel": q_funnel,  # ordered first-completion funnel chain
         "rolling_outliers": q_rolling_outliers,  # rolling median/MAD anomaly flags
+        "kde_peaks": q_kde_peaks,  # NMS hotspot centers over the KDE surface
+        "cost_distance": q_cost_distance,  # weighted cost-distance transform
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3125,6 +3149,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(-MAX({'s': s, 'nk': -k}).nk AS INT) AS k_max, "
             "CAST(MIN({'s': s, 'k': k}).k AS INT) AS k_min "
             "FROM s GROUP BY 1"
+        ),
+        "kde_peaks": _with_points(
+            # NMS twin: kde surface (identical to the kde_raster oracle)
+            # + 8-offset beat count; (weight, key) tie-break verbatim
+            ", cells AS (SELECT (x + 2147483648) // 16777216 AS cx, "
+            "(y + 2147483648) // 16777216 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "surf AS (SELECT cx + o1.d AS cx, cy + o2.d AS cy, "
+            "CAST(SUM(c * (3 - ABS(o1.d)) * (3 - ABS(o2.d))) AS BIGINT) AS w "
+            "FROM cells, UNNEST([-2, -1, 0, 1, 2]) AS o1(d), "
+            "UNNEST([-2, -1, 0, 1, 2]) AS o2(d) GROUP BY 1, 2), "
+            "pr AS (SELECT w AS b_w, cx AS b_cx, cy AS b_cy, "
+            "cx + v.dx AS cx, cy + v.dy AS cy FROM surf, "
+            "(VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), "
+            "(1, 0), (1, 1)) AS v(dx, dy)), "
+            "bt AS (SELECT a.cx, a.cy, SUM(CASE WHEN p.b_w > a.w OR "
+            "(p.b_w = a.w AND (p.b_cx < a.cx OR (p.b_cx = a.cx AND p.b_cy < a.cy))) "
+            "THEN 1 ELSE 0 END) AS nb "
+            "FROM surf a JOIN pr p ON a.cx = p.cx AND a.cy = p.cy GROUP BY 1, 2) "
+            "SELECT a.cx, a.cy, a.w FROM surf a "
+            "LEFT JOIN bt ON a.cx = bt.cx AND a.cy = bt.cy "
+            "WHERE COALESCE(bt.nb, 0) = 0 AND a.w >= 5"
+        ),
+        "cost_distance": _with_points(
+            # bounded Bellman-Ford twin: 4 unrolled min-plus layers over
+            # the same occupied-cell costs (d_i = exact <=i-move cost)
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "occ AS (SELECT cx, cy, 1 + LEAST(c, 50) AS w FROM cells), "
+            "d0 AS (SELECT cx, cy, CAST(0 AS BIGINT) AS d FROM cells WHERE c >= 20)"
+            + "".join(
+                f", d{i} AS (SELECT cx, cy, MIN(d) AS d FROM ("
+                f"SELECT * FROM d{i - 1} UNION ALL "
+                f"SELECT o.cx, o.cy, p.d + o.w AS d FROM d{i - 1} p, "
+                "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS v(dx, dy) "
+                "JOIN occ o ON o.cx = p.cx + v.dx AND o.cy = p.cy + v.dy) "
+                "GROUP BY 1, 2)"
+                for i in range(1, 5)
+            )
+            + " SELECT cx, cy, CAST(d AS BIGINT) AS d FROM d4"
         ),
         "heavy_hitters": (
             # semantic twin: the definition the sketch pass must equal —

@@ -320,6 +320,12 @@ def main():
     timed("kde_raster", lambda: force(_gs.kde_raster(_pxy, cell_shift=22, radius=2)))
     # Ripley pair-count curve: 2^15-blocked candidate join, one cond-sum pass
     timed("ripley_k", lambda: force(_gs.ripley_k(_pxy, [8192, 16384, 32768])))
+    # hotspot centers: NMS (8-offset beat join) over the KDE surface
+    timed("kde_peaks", lambda: force(_gs.local_maxima(
+        _gs.kde_raster(_pxy, cell_shift=22, radius=2), min_weight=5)))
+    # congestion-weighted cost distance: 4 frontier-relaxation rounds
+    timed("cost_distance", lambda: force(_gs.cost_distance(
+        _pxy, cell_shift=26, seed_min_count=20, max_rounds=4)))
     # per-entity mobility stats over the 2M-fix track set: map-combined
     # groupBys only, no joins
     timed("radius_gyration_2m", lambda: force(trajectory.radius_gyration(fixes)))

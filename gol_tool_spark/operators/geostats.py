@@ -509,3 +509,152 @@ def grid_distance(
         visited = visited.union(new.withColumn("dist", F.lit(d))).localCheckpoint(eager=True)
         frontier = new
     return visited
+
+
+def local_maxima(
+    cells: DataFrame,
+    x: str = "cx",
+    y: str = "cy",
+    w: str = "w_sum",
+    min_weight: int = 0,
+) -> DataFrame:
+    """Non-maximum suppression over a raster — the peaks of a density
+    surface: a cell is a local maximum iff NO 8-neighbor beats it, where
+    neighbor beats center on (weight, key) — strictly larger weight, or
+    equal weight and lexicographically smaller (cx, cy).  The key
+    tie-break makes plateaus yield exactly one peak per connected
+    equal-weight component boundary case, deterministically.  Composed
+    with kde_raster this is the standard "hotspot centers" product
+    (GIS focal-maximum / peak extraction).
+
+    Plan: one 8-direction probe explode + ONE equi-join on the cell key
+    (the getis_ord/join_counts shape — never all-pairs), one groupBy
+    counting beating neighbors, one left join back.  Isolated cells
+    (no occupied neighbor) are peaks by definition and survive the left
+    join with a 0-beat coalesce.  All integer arithmetic.
+    """
+    c = cells.select(
+        F.col(x).alias("cx"), F.col(y).alias("cy"), F.col(w).alias("w")
+    )
+    probe = c.select(
+        F.col("w").alias("b_w"),
+        F.col("cx").alias("b_cx"),
+        F.col("cy").alias("b_cy"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ])
+        ).alias("_nb"),
+    ).select("b_w", "b_cx", "b_cy", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    beats = (
+        c.join(probe, ["cx", "cy"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(
+                (
+                    (F.col("b_w") > F.col("w"))
+                    | (
+                        (F.col("b_w") == F.col("w"))
+                        & (
+                            (F.col("b_cx") < F.col("cx"))
+                            | ((F.col("b_cx") == F.col("cx")) & (F.col("b_cy") < F.col("cy")))
+                        )
+                    )
+                ).cast("int")
+            ).alias("_nb")
+        )
+    )
+    return (
+        c.join(beats, ["cx", "cy"], "left")
+        .filter((F.coalesce(F.col("_nb"), F.lit(0)) == 0) & (F.col("w") >= min_weight))
+        .select("cx", "cy", "w")
+    )
+
+
+def cost_distance(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+    seed_min_count: int = 2,
+    max_rounds: int = 4,
+    cost_cap: int = 50,
+) -> DataFrame:
+    """Weighted cost-distance transform (GRASS r.cost / ArcGIS Cost
+    Distance): least accumulated cost from the nearest SEED cell through
+    rook-adjacent occupied cells, where ENTERING a cell costs
+    1 + min(point_count, cost_cap) — hotspots are expensive terrain, so
+    the surface models congestion-aware reachability rather than plain
+    hop distance (grid_distance's weighted sibling).
+
+    Exact by construction: integer costs, pure min-plus algebra.  After
+    round i the table holds the EXACT least-cost path using <= i moves
+    (bounded Bellman-Ford); `max_rounds` bounds the stage count exactly
+    like grid_distance's max_hops.
+
+    Plan: frontier relaxation — per round only cells IMPROVED last round
+    probe their 4 neighbors (delta-stepping's work-efficiency argument),
+    ONE equi-join against the occupied-cell costs, a min groupBy, and a
+    join-update against the running distances; localCheckpoint cuts the
+    iterative lineage.  Work per round is O(frontier), never O(cells^2).
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    occupied = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "cx",
+            "cy",
+            (F.lit(1) + F.least(F.col("_c"), F.lit(cost_cap))).alias("w"),
+            F.col("_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        occupied.filter(F.col("_c") >= seed_min_count)
+        .select("cx", "cy", F.lit(0).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    occ = occupied.select("cx", "cy", "w")
+    for _ in range(max_rounds):
+        nbrs = frontier.select(
+            F.col("d"),
+            F.explode(
+                F.array(
+                    F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                    F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                    F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                    F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+                )
+            ).alias("_nb"),
+        ).select("d", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+        cand = (
+            nbrs.join(occ, ["cx", "cy"])
+            .groupBy("cx", "cy")
+            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+        )
+        improved = (
+            cand.join(dist, ["cx", "cy"], "left")
+            .filter(F.col("d").isNull() | (F.col("nd") < F.col("d")))
+            .select("cx", "cy", F.col("nd").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("cx", "cy"), ["cx", "cy"], "left_anti")
+            .union(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

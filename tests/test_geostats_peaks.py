@@ -1,0 +1,131 @@
+"""Tests for local_maxima (raster NMS) and cost_distance (weighted
+bounded Bellman-Ford) — python brute-force twins + determinism."""
+
+from __future__ import annotations
+
+import heapq
+
+import pytest
+from pyspark.sql import functions as F
+
+from gol_tool_spark.operators import geostats
+
+
+def _cells(spark, triples):
+    return spark.createDataFrame(triples, "cx bigint, cy bigint, w_sum bigint")
+
+
+class TestLocalMaxima:
+    def test_brute_force_twin(self, spark):
+        # deterministic lumpy surface on a 12x12 patch
+        cells = [
+            (x, y, ((x * 31 + y * 17) % 13) + (3 if (x // 4 + y // 4) % 2 else 0))
+            for x in range(12)
+            for y in range(12)
+        ]
+        got = {
+            (r.cx, r.cy)
+            for r in geostats.local_maxima(_cells(spark, cells)).collect()
+        }
+        wmap = {(x, y): w for x, y, w in cells}
+        expect = set()
+        for (x, y), w in wmap.items():
+            beaten = False
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    nb = wmap.get((x + dx, y + dy))
+                    if nb is None:
+                        continue
+                    if nb > w or (nb == w and (x + dx, y + dy) < (x, y)):
+                        beaten = True
+            if not beaten:
+                expect.add((x, y))
+        assert got == expect and got
+
+    def test_plateau_single_winner(self, spark):
+        # 2x2 plateau of equal weight: exactly the lexicographically
+        # smallest cell survives
+        cells = [(0, 0, 5), (0, 1, 5), (1, 0, 5), (1, 1, 5)]
+        got = [(r.cx, r.cy) for r in geostats.local_maxima(_cells(spark, cells)).collect()]
+        assert got == [(0, 0)]
+
+    def test_isolated_cell_is_peak(self, spark):
+        cells = [(0, 0, 1), (10, 10, 2)]
+        got = {(r.cx, r.cy, r.w) for r in geostats.local_maxima(_cells(spark, cells)).collect()}
+        assert got == {(0, 0, 1), (10, 10, 2)}
+
+    def test_min_weight_filters_peak_only(self, spark):
+        # low peak filtered; its beating role over neighbors is unaffected
+        cells = [(0, 0, 2), (0, 1, 1), (5, 5, 9)]
+        got = {(r.cx, r.cy) for r in
+               geostats.local_maxima(_cells(spark, cells), min_weight=3).collect()}
+        assert got == {(5, 5)}
+
+
+def _pts(spark, cell_counts, shift=4):
+    # place `count` points at distinct coords inside each cell
+    rows = []
+    for (cx, cy), n in cell_counts.items():
+        for i in range(n):
+            rows.append((cx * (1 << shift) - (1 << 31), cy * (1 << shift) - (1 << 31) + i))
+    return spark.createDataFrame(rows, "x bigint, y bigint")
+
+
+class TestCostDistance:
+    def _dijkstra_bounded(self, cell_counts, seed_min, rounds, cap):
+        cost = {c: 1 + min(n, cap) for c, n in cell_counts.items()}
+        dist = {c: 0 for c, n in cell_counts.items() if n >= seed_min}
+        # exact <=K-move least cost = K rounds of Bellman-Ford
+        for _ in range(rounds):
+            new = dict(dist)
+            for (x, y), d in dist.items():
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nb = (x + dx, y + dy)
+                    if nb in cost and d + cost[nb] < new.get(nb, 1 << 60):
+                        new[nb] = d + cost[nb]
+            dist = new
+        return dist
+
+    def test_python_twin_and_weighting(self, spark):
+        counts = {
+            (0, 0): 10,   # seed
+            (1, 0): 1, (2, 0): 1, (3, 0): 1,       # cheap corridor
+            (0, 1): 7, (0, 2): 1,                  # expensive then cheap
+            (5, 5): 12,  # second seed, disconnected
+        }
+        pts = _pts(spark, counts)
+        out = {
+            (r.cx, r.cy): r.d
+            for r in geostats.cost_distance(
+                pts, cell_shift=4, seed_min_count=10, max_rounds=3, cost_cap=50
+            ).collect()
+        }
+        expect = self._dijkstra_bounded(counts, 10, 3, 50)
+        assert out == expect
+        # weighted semantics: the expensive cell (0,1) costs 8 to enter,
+        # the cheap one (1,0) costs 2
+        assert out[(1, 0)] == 2 and out[(0, 1)] == 8
+        # cost accumulates along the corridor
+        assert out[(3, 0)] == 6
+
+    def test_round_bound_is_exact(self, spark):
+        counts = {(0, 0): 10, (1, 0): 1, (2, 0): 1, (3, 0): 1}
+        pts = _pts(spark, counts)
+        out = {
+            (r.cx, r.cy)
+            for r in geostats.cost_distance(
+                pts, cell_shift=4, seed_min_count=10, max_rounds=2
+            ).collect()
+        }
+        assert (3, 0) not in out and (2, 0) in out
+
+    def test_no_seeds_empty(self, spark):
+        pts = _pts(spark, {(0, 0): 1})
+        assert geostats.cost_distance(pts, cell_shift=4, seed_min_count=99).count() == 0
+
+    def test_validation(self, spark):
+        pts = _pts(spark, {(0, 0): 1})
+        with pytest.raises(ValueError):
+            geostats.cost_distance(pts, max_rounds=-1)
