@@ -1179,6 +1179,25 @@ def q_image_otsu(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     return multimodal.otsu_threshold(fixtures.images(spark, 200))
 
 
+def q_image_morphology(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """3x3 binary erosion/dilation/opening counts per image (loop twin +
+    extensive/anti-extensive law invariants in tests/test_morphology_ssim.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.morphology_stats(fixtures.images(spark, 200))
+
+
+def q_image_ssim(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Global SSIM + PSNR of each image vs its lossy re-encode (lossless
+    identity == 1.0 exactly and structure-sensitivity invariants in
+    tests/test_morphology_ssim.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.ssim_roundtrip(fixtures.images(spark, 200), fmt="jpg")
+
+
 def q_image_gradient(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """Sobel gradient stats over the image fixture — exact int64
     luminance/convolution sums per image (invariants pytest-proven in
@@ -1877,6 +1896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_distance": q_grid_distance,
         "image_components": q_image_components,  # rows-only (pixels aren't SQL)
         "image_domcolor": q_image_domcolor,  # rows-only (pixels aren't SQL)
+        "image_morphology": q_image_morphology,  # rows-only (pixels aren't SQL)
+        "image_ssim": q_image_ssim,  # rows-only (pixels aren't SQL)
         # rotated out this session (see head-block comment)
         "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
         "dup_clusters": q_dup_clusters,  # CC over near-dup pairs

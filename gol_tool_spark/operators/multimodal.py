@@ -594,3 +594,118 @@ def dominant_color(images: DataFrame, bits: int = 4) -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, DOMCOLOR_SCHEMA)
+
+MORPH_SCHEMA = (
+    "image_id string, n_px long, n_set long, n_eroded long, "
+    "n_dilated long, n_opened long"
+)
+
+
+def morphology_stats(images: DataFrame, thr: int = 128) -> DataFrame:
+    """Binary morphology counts per image — 3x3 erosion, dilation and
+    opening over the luminance mask (lum >= thr), the denoising /
+    blob-cleanup primitives of any mask pipeline (opening removes
+    speckle; dilation-minus-mask finds halos).
+
+    Semantics: outside-image counts as UNSET, so erosion never keeps a
+    border pixel and dilation grows into the border ring — the standard
+    zero-padded structuring-element convention, applied identically in
+    the pytest loop twin.  Counts are exact integers.
+
+    Vectorized: per (w, h, fmt) stack, the 9 shifted views of one
+    zero-padded array reduce with np.minimum/np.maximum — no per-pixel
+    Python, no per-image loop; Python touches each Arrow batch once
+    (the image-kernel discipline of blur_stats/gradient_stats).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for w, h, fmt, sub, px in _shape_groups(pdf):
+                p = px.astype(np.int64)
+                lum = (p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114) // 1000
+                mask = (lum >= thr).astype(np.uint8)
+
+                def shifted(b):
+                    pad = np.zeros((b.shape[0], h + 2, w + 2), b.dtype)
+                    pad[:, 1:-1, 1:-1] = b
+                    return [
+                        pad[:, r:r + h, c:c + w]
+                        for r in range(3)
+                        for c in range(3)
+                    ]
+
+                ero = np.minimum.reduce(shifted(mask))
+                dil = np.maximum.reduce(shifted(mask))
+                opened = np.maximum.reduce(shifted(ero))
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "n_px": h * w,
+                    "n_set": mask.sum(axis=(1, 2)).astype(np.int64),
+                    "n_eroded": ero.sum(axis=(1, 2)).astype(np.int64),
+                    "n_dilated": dil.sum(axis=(1, 2)).astype(np.int64),
+                    "n_opened": opened.sum(axis=(1, 2)).astype(np.int64),
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return images.mapInPandas(run, MORPH_SCHEMA)
+
+
+SSIM_SCHEMA = "image_id string, n_px long, ssim double, psnr double"
+
+
+def ssim_roundtrip(images: DataFrame, fmt: str = "jpg") -> DataFrame:
+    """Global SSIM (Wang et al. 2004, single-window variant) between each
+    image and its lossy re-encode — the perceptual twin of the PSNR lane
+    in verify_roundtrip: PSNR counts absolute error, SSIM compares
+    luminance/contrast/structure, so ringing near edges scores worse
+    than the same energy as uniform noise.
+
+    All moments (sums, squares, cross products of the 0..255 integer
+    luminance) accumulate in exact int64; only the final SSIM/PSNR ratio
+    is float.  Lossless payload formats round-trip to ssim == 1.0
+    EXACTLY (the identity cancels bit-for-bit), which the tests pin.
+    """
+    K1, K2, L = 0.01, 0.03, 255.0
+    C1, C2 = (K1 * L) ** 2, (K2 * L) ** 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for w, h, _fmt, sub, px in _shape_groups(pdf):
+                rt = IMG.decode_batch(
+                    [IMG.encode(px[i], fmt) for i in range(len(px))], w, h, fmt
+                )
+                a = px.astype(np.int64)
+                b = rt.astype(np.int64)
+                lx = (a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) // 1000
+                ly = (b[..., 0] * 299 + b[..., 1] * 587 + b[..., 2] * 114) // 1000
+                n = h * w
+                sx = lx.sum(axis=(1, 2))
+                sy = ly.sum(axis=(1, 2))
+                sxx = (lx * lx).sum(axis=(1, 2))
+                syy = (ly * ly).sum(axis=(1, 2))
+                sxy = (lx * ly).sum(axis=(1, 2))
+                mx, my = sx / n, sy / n
+                vx = sxx / n - mx * mx
+                vy = syy / n - my * my
+                cov = sxy / n - mx * my
+                ssim = ((2 * mx * my + C1) * (2 * cov + C2)) / (
+                    (mx * mx + my * my + C1) * (vx + vy + C2)
+                )
+                se = ((lx - ly) ** 2).sum(axis=(1, 2))
+                with np.errstate(divide="ignore"):
+                    psnr = np.where(
+                        se == 0, np.inf, 10 * np.log10(255.0 * 255.0 * n / np.maximum(se, 1))
+                    )
+                parts.append(pd.DataFrame({
+                    "image_id": sub["image_id"].to_numpy(),
+                    "n_px": n,
+                    "ssim": ssim,
+                    "psnr": psnr,
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return images.mapInPandas(run, SSIM_SCHEMA)
