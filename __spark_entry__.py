@@ -1179,6 +1179,43 @@ def q_image_otsu(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     return multimodal.otsu_threshold(fixtures.images(spark, 200))
 
 
+def q_way_diameter(spark, sf_dir):
+    from gol_tool_spark.operators import measures
+
+    # exact max pairwise squared distance per way (distinct resolved nodes)
+    return measures.way_diameter(
+        synth.membership_df(spark, sf_dir), synth.points_df(spark, sf_dir)
+    )
+
+
+def q_semivariogram(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # directional empirical semivariogram components over the z6 lattice
+    return geostats.semivariogram(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26, max_lag=4
+    )
+
+
+def q_knox(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+    from gol_tool_spark.operators.temporal import _wall_secs
+
+    # Knox space-time interaction: eps = 2^18 map units (inside one hot
+    # cluster), tau = 2 days — both marginals and the joint count exact
+    ev = _events_xy(spark, sf_dir).withColumn("t", _wall_secs("ts"))
+    return geostats.knox_stat(ev, eps=1 << 18, tau=2 * 86400)
+
+
+def q_seg_raster(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # DDA line rasterization: per-segment distinct-cell count + exact sums
+    return segments.raster_cover(
+        segments.synth_segments(synth.points_df(spark, sf_dir)), cell_shift=12
+    )
+
+
 def q_image_morphology(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """3x3 binary erosion/dilation/opening counts per image (loop twin +
     extensive/anti-extensive law invariants in tests/test_morphology_ssim.py)."""
@@ -1777,6 +1814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_outliers": q_rolling_outliers,  # rolling median/MAD anomaly flags
         "kde_peaks": q_kde_peaks,  # NMS hotspot centers over the KDE surface
         "cost_distance": q_cost_distance,  # weighted cost-distance transform
+        "way_diameter": q_way_diameter,  # exact per-way extent (full oracle)
+        "semivariogram": q_semivariogram,  # directional variogram (full oracle)
+        "knox": q_knox,  # space-time interaction components (full oracle)
+        "seg_raster": q_seg_raster,  # DDA line rasterization (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3067,6 +3108,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
         "zonal_stats": _zonal_oracle(),
+        "way_diameter": (
+            # diameter twin: DISTINCT resolved nodes, bounded per-way
+            # self-join, HUGEINT squared distances == DECIMAL(38,0) strings
+            f"WITH pts AS ({_PTS}), mem AS ({_MEM}), "
+            "res AS (SELECT DISTINCT m.way_id, m.node_ref, p.x, p.y "
+            "FROM mem m JOIN pts p ON p.id = m.node_ref), "
+            "pr AS (SELECT a.way_id, "
+            "CAST(a.x - b.x AS HUGEINT) * (a.x - b.x) "
+            "+ CAST(a.y - b.y AS HUGEINT) * (a.y - b.y) AS d2 "
+            "FROM res a JOIN res b ON a.way_id = b.way_id AND a.node_ref < b.node_ref), "
+            "d AS (SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(d2) AS d2 "
+            "FROM pr GROUP BY 1), "
+            "n AS (SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM res GROUP BY 1) "
+            "SELECT d.way_id, n.n_nodes, d.n_pairs, CAST(d.d2 AS VARCHAR) AS diam2 "
+            "FROM d JOIN n ON d.way_id = n.way_id"
+        ),
+        "semivariogram": _with_points(
+            # variogram twin: same z6 cells, 16 directed (dir, lag)
+            # offsets, one equi-join, HUGEINT contrast sums as strings
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "p AS (SELECT o.dir, CAST(o.lag AS INT) AS lag, a.c AS c_i, "
+            "a.cx + o.dx AS cx, a.cy + o.dy AS cy FROM cells a, "
+            "(VALUES ('E', 1, 1, 0), ('E', 2, 2, 0), ('E', 3, 3, 0), ('E', 4, 4, 0), "
+            "('N', 1, 0, 1), ('N', 2, 0, 2), ('N', 3, 0, 3), ('N', 4, 0, 4), "
+            "('NE', 1, 1, 1), ('NE', 2, 2, 2), ('NE', 3, 3, 3), ('NE', 4, 4, 4), "
+            "('NW', 1, -1, 1), ('NW', 2, -2, 2), ('NW', 3, -3, 3), ('NW', 4, -4, 4)"
+            ") AS o(dir, lag, dx, dy)), "
+            "j AS (SELECT p.dir, p.lag, p.c_i, b.c AS c_j FROM p "
+            "JOIN cells b ON p.cx = b.cx AND p.cy = b.cy) "
+            "SELECT dir, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CAST(c_i - c_j AS HUGEINT) * (c_i - c_j)) AS VARCHAR) AS gamma2 "
+            "FROM j GROUP BY 1, 2"
+        ),
+        "knox": (
+            # Knox twin: eps-cell 3x3 blocked space pairs (d2 in DOUBLE —
+            # exact below 2^53 on candidates, never errors if the filter
+            # runs early; the dbscan-oracle discipline), tau-bucket
+            # {-1,0,1} blocked time pairs, exact bigint counts
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "e AS (SELECT event_id AS id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t, "
+            "CAST(FLOOR(CAST(x AS DOUBLE) / 262144.0) AS BIGINT) AS cx, "
+            "CAST(FLOOR(CAST(y AS DOUBLE) / 262144.0) AS BIGINT) AS cy FROM exy), "
+            "pr AS (SELECT id AS ia, x AS xa, y AS ya, t AS ta, "
+            "cx + o1.d AS cx, cy + o2.d AS cy FROM e, "
+            "UNNEST([-1, 0, 1]) AS o1(d), UNNEST([-1, 0, 1]) AS o2(d)), "
+            "sp AS (SELECT p.ta, b.t AS tb FROM pr p "
+            "JOIN e b ON p.cx = b.cx AND p.cy = b.cy AND p.ia < b.id "
+            "WHERE CAST(p.xa - b.x AS DOUBLE) * (p.xa - b.x) "
+            "+ CAST(p.ya - b.y AS DOUBLE) * (p.ya - b.y) <= 68719476736.0), "
+            "b2 AS (SELECT id, t, t // 172800 AS bk FROM e), "
+            "pt AS (SELECT id AS ib, t AS tb2, bk + o.d AS bk FROM b2, "
+            "UNNEST([-1, 0, 1]) AS o(d)), "
+            "tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS pairs_time "
+            "FROM b2 a JOIN pt p ON a.bk = p.bk AND a.id < p.ib "
+            "WHERE ABS(a.t - p.tb2) <= 172800), "
+            "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS pairs_space, "
+            "CAST(COALESCE(SUM(CASE WHEN ABS(ta - tb) <= 172800 THEN 1 END), 0) AS BIGINT) "
+            "AS pairs_both FROM sp), "
+            "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
+            "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "seg_raster": _with_points(
+            # DDA twin: same LCG segments, same bias/floor cell math,
+            # generate_series over the exact rational interpolation
+            ", sg AS (SELECT id AS seg, x AS x1, y AS y1, "
+            "x + (CASE WHEN (id * 48271) % 65536 - 32768 = 0 AND (id * 69621 + 12345) % 65536 - 32768 = 0 "
+            "THEN 1 ELSE (id * 48271) % 65536 - 32768 END) AS x2, "
+            "y + ((id * 69621 + 12345) % 65536 - 32768) AS y2 FROM pts), "
+            "b AS (SELECT seg, x1 + 2147516416 AS X1, y1 + 2147516416 AS Y1, "
+            "x2 + 2147516416 AS X2, y2 + 2147516416 AS Y2 FROM sg), "
+            "n AS (SELECT seg, X1, Y1, X2, Y2, "
+            "GREATEST(ABS(X2 // 4096 - X1 // 4096), ABS(Y2 // 4096 - Y1 // 4096), 1) AS n FROM b), "
+            "s AS (SELECT seg, n, "
+            "(((n - t.t) * X1 + t.t * X2) // n) // 4096 AS cx, "
+            "(((n - t.t) * Y1 + t.t * Y2) // n) // 4096 AS cy "
+            "FROM n, UNNEST(generate_series(0, n)) AS t(t)), "
+            "c AS (SELECT DISTINCT seg, n, cx, cy FROM s) "
+            "SELECT seg, CAST(MAX(n) AS BIGINT) AS n_steps, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cells, "
+            "CAST(SUM(cx) AS BIGINT) AS sum_cx, CAST(SUM(cy) AS BIGINT) AS sum_cy "
+            "FROM c GROUP BY seg"
+        ),
         "geofence": _geofence_oracle(),
         "group_sample": (
             # hash-rank twin: identical md5 hex + id tiebreak, QUALIFY <= k

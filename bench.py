@@ -341,6 +341,26 @@ def main():
     timed("heading_rose_2m", lambda: force(trajectory.heading_rose(fixes)))
     timed("traj_similarity_2m", lambda: force(trajectory.traj_similarity(
         fixes, cell_shift=22, max_users_per_cell=64, min_shared=2)))
+    # directional variogram over the same lattice: one cells groupBy +
+    # a 16-offset probe join
+    timed("semivariogram", lambda: force(_gs.semivariogram(
+        _pxy, cell_shift=26, max_lag=4)))
+    # Knox space-time interaction at fleet scale: both marginals blocked
+    # (eps cells / tau buckets); 500k fixes keeps the time-pair volume
+    # in the millions, the realistic incident-analysis shape
+    knox_ev = spark.range(500_000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 2654435761) % (1 << 32) - (1 << 31)).alias("x"),
+        ((F.col("id") * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)).alias("y"),
+        (F.lit(1_700_000_000) + (F.col("id") / 1000).cast("bigint") * 60
+         + F.col("id") % 7).alias("t"),
+    )
+    timed("knox_500k", lambda: force(_gs.knox_stat(knox_ev, eps=1 << 16, tau=1)))
+    # exact per-way extent: ref-resolve shuffle + bounded per-way pairs
+    timed("way_diameter", lambda: force(_me.way_diameter(mem, points)))
+    # DDA line rasterization: explode bounded by each segment's own span
+    timed("seg_raster", lambda: force(_sg.raster_cover(
+        _sg.synth_segments(points), cell_shift=12)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()

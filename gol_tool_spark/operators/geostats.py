@@ -658,3 +658,155 @@ def cost_distance(
         )
         frontier = improved
     return dist
+
+
+def semivariogram(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+    max_lag: int = 4,
+) -> DataFrame:
+    """Empirical directional semivariogram components (Matheron 1963)
+    over occupied grid-cell counts — the kriging/spatial-interpolation
+    input the ESDA set (morans_i / gearys_c / getis_ord) leads to:
+    per direction d and lag k,
+
+        2 * gamma(d, k) = (1 / n_pairs) * sum (c_i - c_{i + k*d})^2
+
+    Four canonical directions (E, N, NE, NW) at lags 1..max_lag; each
+    UNORDERED pair is counted exactly once (the directed offset leads
+    with the positive axis).  Returns (dir, lag, n_pairs, gamma2) with
+    gamma2 the EXACT squared-contrast sum in DECIMAL(38,0) rendered as a
+    string (count contrasts square past int64 at planet scale); the one
+    float division is the caller's.  (dir, lag) rows with no occupied
+    pair are absent — the sparse-lattice convention of morans_i.
+
+    Plan: one map-combined groupBy for cell counts, a 4*max_lag offset
+    explode on the probe side, ONE equi-join on the cell key, one
+    grouped agg.  Never all-pairs; the lag probe multiplies the SMALL
+    cells table only.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dirs = [("E", 1, 0), ("N", 0, 1), ("NE", 1, 1), ("NW", -1, 1)]
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("dir"),
+                F.lit(k).alias("lag"),
+                F.lit(dx * k).alias("dx"),
+                F.lit(dy * k).alias("dy"),
+            )
+            for name, dx, dy in dirs
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    probe = cells.select(
+        F.col("c").alias("c_i"), F.explode(offs).alias("_o"),
+        F.col("cx"), F.col("cy"),
+    ).select(
+        "c_i",
+        F.col("_o.dir").alias("dir"),
+        F.col("_o.lag").alias("lag"),
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    pairs = probe.join(
+        cells.select("cx", "cy", F.col("c").alias("c_j")), ["cx", "cy"]
+    )
+    return (
+        pairs.groupBy("dir", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                d(F.col("c_i") - F.col("c_j")) * d(F.col("c_i") - F.col("c_j"))
+            ).alias("_g2"),
+        )
+        .select(
+            "dir", "lag", "n_pairs", F.col("_g2").cast("string").alias("gamma2")
+        )
+    )
+
+
+def knox_stat(
+    events: DataFrame,
+    eps: int,
+    tau: int,
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    t_col: str = "t",
+) -> DataFrame:
+    """Knox space-time interaction components (Knox 1964) — the standard
+    epidemiology / incident-analysis test for whether events that are
+    close in SPACE are also close in TIME (disease contagion, crime
+    near-repeat victimization, aftershocks).
+
+    Over all unordered event pairs, with closeness thresholds eps
+    (L2 distance, inclusive) and tau (|dt| seconds, inclusive):
+
+        X = pairs_both  (close in space AND time)
+
+    whose null expectation is pairs_space * pairs_time / C(n, 2).
+    Returns ONE exact row (n_events, pairs_space, pairs_time,
+    pairs_both) — the ratio/simulation step is the caller's.
+
+    Plan: the space side reuses the eps-cell 3x3 blocked self-join of
+    geocluster.eps_pairs (each qualifying pair lands exactly once);
+    pairs_both re-resolves the two timestamps with two keyed joins.  The
+    time side blocks on tau-wide buckets with a {-1,0,1} offset probe —
+    the 1-D analogue of the same pattern, one equi-join, never
+    all-pairs.  All counts are exact bigints.
+    """
+    from .geocluster import eps_pairs
+
+    ev = events.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+        F.col(t_col).cast("bigint").alias("_t"),
+    )
+    n_events = ev.agg(F.count(F.lit(1)).alias("n_events"))
+
+    sp = eps_pairs(ev, eps, id_col="_id", x_col="_x", y_col="_y")
+    t_of = ev.select("_id", "_t")
+    sp_t = (
+        sp.join(t_of.withColumnsRenamed({"_id": "id_a", "_t": "_ta"}), "id_a")
+        .join(t_of.withColumnsRenamed({"_id": "id_b", "_t": "_tb"}), "id_b")
+    )
+    dt_ok = F.abs(F.col("_ta") - F.col("_tb")) <= F.lit(int(tau))
+    space_both = sp_t.agg(
+        F.count(F.lit(1)).alias("pairs_space"),
+        F.coalesce(F.sum(F.when(dt_ok, 1)), F.lit(0)).alias("pairs_both"),
+    )
+
+    tau = int(tau)
+    # time blocking: bucket = floor(t / tau) over doubles is unsafe for
+    # negative t; epoch seconds here are non-negative by data contract,
+    # and integer DIV on non-negatives == floor in every engine
+    tb = ev.select("_id", "_t", F.expr(f"_t DIV {tau}").alias("_b"))
+    probe_t = tb.select(
+        F.col("_id").alias("_ib"),
+        F.col("_t").alias("_tb"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_o"),
+    ).select("_ib", "_tb", (F.col("_o") + F.expr(f"_tb DIV {tau}")).alias("_b"))
+    time_pairs = (
+        tb.join(probe_t, "_b")
+        .filter(
+            (F.col("_id") < F.col("_ib"))
+            & (F.abs(F.col("_t") - F.col("_tb")) <= F.lit(tau))
+        )
+        .agg(F.count(F.lit(1)).alias("pairs_time"))
+    )
+    return (
+        n_events.join(F.broadcast(space_both))
+        .join(F.broadcast(time_pairs))
+        .select("n_events", "pairs_space", "pairs_time", "pairs_both")
+    )

@@ -333,3 +333,59 @@ def convex_hulls(membership: DataFrame, points: DataFrame) -> DataFrame:
         F.size("hull_idx").alias("n_hull"),
         F.transform("hull_idx", lambda i: F.element_at("coords", i)).alias("hull"),
     )
+
+
+def way_diameter(membership: DataFrame, points: DataFrame) -> DataFrame:
+    """Exact diameter (max pairwise squared L2 distance) per way — the
+    footprint-extent measure behind label sizing, generalization cutoffs
+    and "is this feature too large for its zoom" validation (the measure
+    the reference derives from tile spread, reference
+    gol-tool/query/Stats spread analogue, computed exactly here).
+
+    Semantics: over DISTINCT resolved member nodes (duplicate memberships
+    of one node contribute nothing to extent); ways with fewer than two
+    distinct resolved nodes have no diameter and emit no row.  diam2 is
+    the exact squared distance in DECIMAL(38,0) rendered as a string —
+    full-plane int32 deltas square past int64, and doubles would round.
+
+    Plan: one equi-join resolves refs (shuffle on node id), one
+    self-equi-join on way_id forms the bounded per-way pairs (ways are
+    small by data contract — the reference caps member fan-in the same
+    way), one map-combined groupBy.  No Python, no crossJoin.
+    """
+    pts = points.select(F.col("id").alias("node_ref"), "x", "y")
+    res = (
+        membership.join(pts, "node_ref", "inner")
+        .select("way_id", "node_ref", "x", "y")
+        .dropDuplicates(["way_id", "node_ref"])
+    )
+    a = res.select(
+        F.col("way_id"),
+        F.col("node_ref").alias("_ra"),
+        F.col("x").alias("_xa"),
+        F.col("y").alias("_ya"),
+    )
+    b = res.select(
+        F.col("way_id"),
+        F.col("node_ref").alias("_rb"),
+        F.col("x").alias("_xb"),
+        F.col("y").alias("_yb"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    dx = d(F.col("_xa")) - d(F.col("_xb"))
+    dy = d(F.col("_ya")) - d(F.col("_yb"))
+    pairs = a.join(b, "way_id").filter(F.col("_ra") < F.col("_rb"))
+    diam = pairs.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(dx * dx + dy * dy).alias("_d2"),
+    )
+    n_nodes = res.groupBy("way_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        diam.join(n_nodes, "way_id")
+        .select(
+            "way_id",
+            "n_nodes",
+            "n_pairs",
+            F.col("_d2").cast("string").alias("diam2"),
+        )
+    )

@@ -174,3 +174,68 @@ def snap_points(
     # same result, clearer SQL)
     best = scored.groupBy("id").agg(F.min(F.struct("d2", "seg")).alias("_m"))
     return best.select("id", F.col("_m.seg").alias("seg"), F.col("_m.d2").alias("d2"))
+
+
+def raster_cover(segs: DataFrame, cell_shift: int = 12) -> DataFrame:
+    """Vector->raster: the DDA cell trace of each segment — the line-
+    rasterization stage of any tile renderer / coverage-grid builder
+    (the raster twin of the point-based density_raster: density counts
+    POINT hits, this walks LINES across the grid).
+
+    Sampled-DDA spec (deterministic, engine-exact): with X = x + BIAS
+    (strictly non-negative, so truncating integer division == floor in
+    every engine), n = max(|cell(X2) - cell(X1)|, |cell(Y2) - cell(Y1)|, 1)
+    steps and samples t = 0..n at
+
+        X_t = ((n - t) * X1 + t * X2) DIV n
+
+    i.e. exact rational interpolation floored to map units; the sampled
+    cell chain moves at most one cell per axis per step, covers both
+    endpoint cells exactly, and is the classic DDA rasterization (a
+    supercover variant would add corner-touch cells; this spec is the
+    one the oracle reproduces verbatim).  Returns one row per segment:
+    (seg, n_steps, n_cells, sum_cx, sum_cy) — the DISTINCT-cell count
+    plus exact coordinate sums, pinning the cell set without exploding
+    output rows.
+
+    Scale: numerators stay under 2^40 for short segments (extent < 2^16
+    here) and under 2^53 at planet extent for cell_shift >= 13 (n <=
+    2^19, X < 2^33) — inside exact bigint range either way; the explode
+    is bounded by the segment's own cell span, the per-segment
+    distinct+agg is map-combined, and nothing joins — embarrassingly
+    parallel.
+    """
+    cell = lambda c: F.shiftright(c, cell_shift)
+    base = segs.select(
+        "seg",
+        (F.col("x1") + BIAS).alias("_X1"),
+        (F.col("y1") + BIAS).alias("_Y1"),
+        (F.col("x2") + BIAS).alias("_X2"),
+        (F.col("y2") + BIAS).alias("_Y2"),
+    ).withColumn(
+        "_n",
+        F.greatest(
+            F.abs(cell(F.col("_X2")) - cell(F.col("_X1"))),
+            F.abs(cell(F.col("_Y2")) - cell(F.col("_Y1"))),
+            F.lit(1).cast("bigint"),
+        ),
+    )
+    # Spark `a DIV b` = exact 64-bit integer division (truncating; both
+    # operands non-negative here, so == floor == DuckDB //)
+    lerp = lambda a, b: F.expr(f"((_n - _t) * {a} + _t * {b}) DIV _n")
+    cells = (
+        base.withColumn("_t", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n"))))
+        .select(
+            "seg",
+            "_n",
+            cell(lerp("_X1", "_X2")).alias("cx"),
+            cell(lerp("_Y1", "_Y2")).alias("cy"),
+        )
+        .dropDuplicates(["seg", "cx", "cy"])
+    )
+    return cells.groupBy("seg").agg(
+        F.max("_n").alias("n_steps"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cx").alias("sum_cx"),
+        F.sum("cy").alias("sum_cy"),
+    )
