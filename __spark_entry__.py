@@ -1216,6 +1216,32 @@ def q_seg_raster(spark, sf_dir):
     )
 
 
+_SEEDS = [
+    # the five hot-cluster anchors + three outfield facilities
+    (k, k * 700000000 - 1500000000, (k * 1111111111) % 3000000000 - 1500000000)
+    for k in range(5)
+] + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
+
+
+def q_tile_pyramid(spark, sf_dir):
+    from gol_tool_spark.operators import multimodal
+
+    # one pyramid level: z4 density rasters -> z3 overview tiles through
+    # the real PNG codec; filled/px_sum come FROM THE DECODED PARENT, so
+    # the pure-SQL 4-bin floor-mean oracle checks the whole pixel chain
+    z4 = multimodal.density_raster(synth.points_df(spark, sf_dir), zoom=4, grid=16)
+    return multimodal.pyramid_rollup(z4, zoom=4, grid=16).select(
+        "tile", "filled", "px_sum"
+    )
+
+
+def q_nearest_seed(spark, sf_dir):
+    from gol_tool_spark.operators import spatial_query
+
+    # discrete Voronoi assignment to 8 literal facilities (pure codegen)
+    return spatial_query.nearest_seed(synth.points_df(spark, sf_dir), _SEEDS)
+
+
 def q_image_morphology(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     """3x3 binary erosion/dilation/opening counts per image (loop twin +
     extensive/anti-extensive law invariants in tests/test_morphology_ssim.py)."""
@@ -1818,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,  # directional variogram (full oracle)
         "knox": q_knox,  # space-time interaction components (full oracle)
         "seg_raster": q_seg_raster,  # DDA line rasterization (full oracle)
+        "nearest_seed": q_nearest_seed,  # discrete Voronoi labels (full oracle)
+        "tile_pyramid": q_tile_pyramid,  # raster overview level (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3171,6 +3199,31 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_both FROM sp), "
             "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
             "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "tile_pyramid": _with_points(
+            # pyramid twin: clamp at the CHILD bin (the u8 raster), then
+            # 4-bin floor-mean into the parent bin — pure integer SQL
+            f", b AS (SELECT {synth.tile_sql('x', 'y', 3)} AS tile, "
+            f"(x + {_HALF}) // {1 << 24} AS gx, "
+            f"({_HALF - 1} - y) // {1 << 24} AS gy, "
+            f"LEAST(COUNT(*), 255) AS c FROM pts GROUP BY 1, 2, 3), "
+            "p AS (SELECT tile, gx // 2 AS px, gy // 2 AS py, "
+            "CAST(SUM(c) AS BIGINT) // 4 AS v FROM b GROUP BY 1, 2, 3) "
+            "SELECT tile, CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS filled, "
+            "CAST(SUM(v) AS BIGINT) AS px_sum FROM p GROUP BY tile"
+        ),
+        "nearest_seed": _with_points(
+            # Voronoi twin: K-literal cross join + (d2, seed) argmin window;
+            # HUGEINT squared distances == the DECIMAL(38,0) strings
+            ", s(seed, sx, sy) AS (SELECT * FROM (VALUES "
+            + ", ".join(f"({sid}, {sx}, {sy})" for sid, sx, sy in _SEEDS)
+            + ")), "
+            "c AS (SELECT p.id, p.x, p.y, CAST(s.seed AS BIGINT) AS seed, "
+            "CAST(p.x - s.sx AS HUGEINT) * (p.x - s.sx) "
+            "+ CAST(p.y - s.sy AS HUGEINT) * (p.y - s.sy) AS d2 FROM pts p, s) "
+            "SELECT id, x, y, seed, CAST(d2 AS VARCHAR) AS d2 FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, seed) AS rn "
+            "FROM c) WHERE rn = 1"
         ),
         "seg_raster": _with_points(
             # DDA twin: same LCG segments, same bias/floor cell math,

@@ -358,6 +358,15 @@ def main():
     timed("knox_500k", lambda: force(_gs.knox_stat(knox_ev, eps=1 << 16, tau=1)))
     # exact per-way extent: ref-resolve shuffle + bounded per-way pairs
     timed("way_diameter", lambda: force(_me.way_diameter(mem, points)))
+    # discrete Voronoi labels: pure-codegen argmin over 8 literal seeds
+    _seeds = [(k, k * 700000000 - 1500000000,
+               (k * 1111111111) % 3000000000 - 1500000000) for k in range(5)] \
+        + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
+    timed("nearest_seed", lambda: force(
+        spatial_query.nearest_seed(points, _seeds)), repeats=2)
+    # raster overview level: z4 density rasters -> z3 through the PNG codec
+    timed("tile_pyramid", lambda: force(multimodal.pyramid_rollup(
+        multimodal.density_raster(points, zoom=4, grid=16), zoom=4, grid=16)))
     # DDA line rasterization: explode bounded by each segment's own span
     timed("seg_raster", lambda: force(_sg.raster_cover(
         _sg.synth_segments(points), cell_shift=12)))

@@ -709,3 +709,60 @@ def ssim_roundtrip(images: DataFrame, fmt: str = "jpg") -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return images.mapInPandas(run, SSIM_SCHEMA)
+
+
+PYRAMID_SCHEMA = "tile long, png binary, filled long, px_sum long"
+
+
+def pyramid_rollup(rasters: DataFrame, zoom: int, grid: int) -> DataFrame:
+    """One level of a raster tile pyramid: assemble each parent tile's
+    (up to) four child density rasters into the 2g x 2g mosaic, 2x2
+    floor-mean pool back to g x g, and re-encode — the overview-build
+    stage of every map-tile / imagery pipeline (the reference's tile
+    tree stores features; its renderer analogue stores these).
+
+    Input is density_raster's output at `zoom` (tile, png, ...); output
+    has the same schema one zoom up.  Missing children are zero tiles.
+    filled / px_sum are computed FROM THE DECODED PARENT PIXELS, so the
+    pure-SQL oracle (clamped child binning -> 4-bin floor-mean) checks
+    the decode -> assemble -> pool -> encode -> decode chain end to end;
+    pooling floor((a+b+c+d)/4) over u8 is exact integer math.
+
+    Scale: the groupBy key is the PARENT tile (<= 4 rows per group, one
+    png each — bounded group size by construction, no skew possible);
+    Python touches each parent group once; everything upstream is the
+    bounded O(tiles) density_raster stage.  Levels chain by calling this
+    repeatedly — each level is one bounded shuffle of tiny rasters.
+    """
+    from ..functions import spatial as SP
+    from ..kernels import image as IMG
+
+    if zoom < 1:
+        raise ValueError("pyramid_rollup: zoom must be >= 1")
+    row = F.shiftright(F.col("tile"), 12).bitwiseAND(F.lit(0xFFF))
+    col = F.col("tile").bitwiseAND(F.lit(0xFFF))
+    kids = rasters.select(
+        SP.zoomed_out(F.col("tile"), zoom, zoom - 1).alias("parent"),
+        (row % 2).cast("int").alias("qy"),
+        (col % 2).cast("int").alias("qx"),
+        "png",
+    )
+
+    def per_parent(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mosaic = np.zeros((2 * grid, 2 * grid), np.int64)
+        for qy, qx, png in zip(pdf["qy"], pdf["qx"], pdf["png"]):
+            child = IMG.decode(bytes(png), grid, grid, "png")[:, :, 0]
+            mosaic[qy * grid:(qy + 1) * grid, qx * grid:(qx + 1) * grid] = child
+        pooled = (
+            mosaic[0::2, 0::2] + mosaic[0::2, 1::2]
+            + mosaic[1::2, 0::2] + mosaic[1::2, 1::2]
+        ) // 4
+        rgb = np.repeat(pooled.astype(np.uint8)[:, :, None], 3, axis=2)
+        png = IMG.encode(rgb, "png")
+        dec = IMG.decode(png, grid, grid, "png")[:, :, 0].astype(np.int64)
+        return pd.DataFrame(
+            [(int(key[0]), png, int((dec > 0).sum()), int(dec.sum()))],
+            columns=["tile", "png", "filled", "px_sum"],
+        )
+
+    return kids.groupBy("parent").applyInPandas(per_parent, PYRAMID_SCHEMA)
