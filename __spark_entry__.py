@@ -1223,6 +1223,41 @@ _SEEDS = [
 ] + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
 
 
+def q_morans_bv(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # cross-set spatial correlation: R-flag points vs the rest
+    pts = synth.points_df(spark, sf_dir)
+    return geostats.morans_i_bv(
+        pts.filter(F.col("returnflag") == "R").select("x", "y"),
+        pts.filter(F.col("returnflag") != "R").select("x", "y"),
+        cell_shift=26,
+    )
+
+
+def q_image_diff(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Two-epoch change detection: exact changed-pixel counts between the
+    image table and its deterministically edited second epoch (planted
+    quadrant inversions; invariants pytest-proven in
+    tests/test_image_diff.py)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    a = fixtures.images(spark, 200)
+    b = fixtures.edit_images(a, every=7)
+    pairs = a.select(
+        "image_id", "w", "h",
+        F.col("fmt").alias("fmt_a"), F.col("bytes").alias("bytes_a"),
+    ).join(
+        b.select(
+            "image_id",
+            F.col("fmt").alias("fmt_b"), F.col("bytes").alias("bytes_b"),
+        ),
+        "image_id",
+    )
+    return multimodal.image_diff(pairs)
+
+
 def q_tile_pyramid(spark, sf_dir):
     from gol_tool_spark.operators import multimodal
 
@@ -1846,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_raster": q_seg_raster,  # DDA line rasterization (full oracle)
         "nearest_seed": q_nearest_seed,  # discrete Voronoi labels (full oracle)
         "tile_pyramid": q_tile_pyramid,  # raster overview level (full oracle)
+        "morans_bv": q_morans_bv,  # bivariate cross-Moran components (full oracle)
+        "image_diff": q_image_diff,  # two-epoch change detection (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3199,6 +3236,31 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_both FROM sp), "
             "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
             "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "morans_bv": _with_points(
+            # bivariate twin: one conditional-sum cells pass, HUGEINT
+            # N-scaled deviations for BOTH marks, same 4-direction probe
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, "
+            "CAST(SUM(CASE WHEN returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+            "CAST(SUM(CASE WHEN returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+            "FROM pts GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(ca) AS ta, "
+            "SUM(cb) AS tb FROM cells), "
+            "z AS (SELECT cx, cy, n_cells, "
+            "CAST(n_cells AS HUGEINT) * ca - ta AS za, "
+            "CAST(n_cells AS HUGEINT) * cb - tb AS zb FROM cells, tot), "
+            "pr AS (SELECT za AS za_i, cx + d.dx AS cx, cy + d.dy AS cy FROM z, "
+            "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy)), "
+            "pairs AS (SELECT p.za_i, q.zb AS zb_j FROM pr p "
+            "JOIN z q ON p.cx = q.cx AND p.cy = q.cy), "
+            "nw AS (SELECT COALESCE(SUM(za_i * zb_j), 0) AS num, "
+            "CAST(COUNT(*) AS BIGINT) AS w_pairs FROM pairs), "
+            "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(za * za) AS den_a, "
+            "SUM(zb * zb) AS den_b FROM z) "
+            "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
+            "CAST(den_a AS VARCHAR) AS den_a, CAST(den_b AS VARCHAR) AS den_b "
+            "FROM dn, nw"
         ),
         "tile_pyramid": _with_points(
             # pyramid twin: clamp at the CHILD bin (the u8 raster), then

@@ -810,3 +810,92 @@ def knox_stat(
         .join(F.broadcast(time_pairs))
         .select("n_events", "pairs_space", "pairs_time", "pairs_both")
     )
+
+
+def morans_i_bv(
+    a: DataFrame,
+    b: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Bivariate Moran's I components (Wartenberg 1985 / Anselin's
+    standard form) — cross-set spatial correlation: are the cells dense
+    in set A adjacent to the cells dense in set B (pharmacies near
+    hospitals, crashes near bars)?
+
+        I_AB = (N / W) * sum_ij w_ij zA_i zB_j / sqrt(sum zA^2 * sum zB^2)
+
+    over the OCCUPIED-cell lattice of the UNION of both sets (rook
+    binary weights, the morans_i sparse-data convention), with the same
+    N-scaled exact deviations: zA_i = N*a_i - TA.  Returns ONE row
+    (n_cells, w_pairs, num, den_a, den_b) — num sums zA_i*zB_j over
+    DIRECTED adjacent pairs (symmetrized by direction like morans_i),
+    den_a/den_b are the two exact sum-of-squares; the sqrt/ratio is the
+    caller's one float step.  All three accumulate in DECIMAL(38,0),
+    rendered as strings.
+
+    Plan: ONE union + map-combined groupBy builds both counts per cell
+    (conditional sums — no outer join), then the morans_i 4-direction
+    probe and ONE equi-join.  Never all-pairs.
+    """
+    cells = (
+        a.select(F.col(x).alias("x"), F.col(y).alias("y"))
+        .withColumn("_t", F.lit(0))
+        .unionByName(
+            b.select(F.col(x).alias("x"), F.col(y).alias("y")).withColumn(
+                "_t", F.lit(1)
+            )
+        )
+        .select(
+            F.shiftright(F.col("x").cast("bigint") + F.lit(HALF), cell_shift).alias("cx"),
+            F.shiftright(F.col("y").cast("bigint") + F.lit(HALF), cell_shift).alias("cy"),
+            "_t",
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("_t") == 0, 1)), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum(F.when(F.col("_t") == 1, 1)), F.lit(0)).alias("cb"),
+        )
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    z = cells.join(F.broadcast(totals)).select(
+        "cx", "cy", "n_cells",
+        (d(F.col("n_cells")) * d(F.col("ca")) - d(F.col("ta"))).alias("za"),
+        (d(F.col("n_cells")) * d(F.col("cb")) - d(F.col("tb"))).alias("zb"),
+    )
+    probe = z.select(
+        F.col("za").alias("za_i"),
+        F.explode(
+            F.array(
+                F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+            )
+        ).alias("_nb"),
+    ).select("za_i", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    pairs = probe.join(z.select("cx", "cy", F.col("zb").alias("zb_j")), ["cx", "cy"])
+    num_w = pairs.agg(
+        F.coalesce(
+            F.sum(F.col("za_i") * F.col("zb_j")).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_num"),
+        F.count(F.lit(1)).alias("w_pairs"),
+    )
+    dens = z.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.sum(F.col("za") * F.col("za")).cast("decimal(38,0)").alias("_da"),
+        F.sum(F.col("zb") * F.col("zb")).cast("decimal(38,0)").alias("_db"),
+    )
+    return dens.join(F.broadcast(num_w)).select(
+        "n_cells", "w_pairs",
+        F.col("_num").cast("string").alias("num"),
+        F.col("_da").cast("string").alias("den_a"),
+        F.col("_db").cast("string").alias("den_b"),
+    )

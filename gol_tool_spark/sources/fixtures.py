@@ -124,3 +124,33 @@ POLYGON_HOLES = {
         [[(1 << 26, 1 << 26), (3 << 26, 1 << 26), (3 << 26, 3 << 26), (1 << 26, 3 << 26)]],
     ),
 }
+
+
+def edit_images(images: DataFrame, every: int = 7) -> DataFrame:
+    """Deterministic second EPOCH of an image table for change-detection
+    lanes: every `every`-th image (by its numeric id suffix) gets its
+    top-left quadrant inverted (255 - v); the rest pass through
+    untouched.  The edit re-encodes as PNG (lossless), so a diff against
+    the original decode is EXACTLY the planted quadrant — u8 inversion
+    never fixes a pixel in place (255 - v == v has no integer solution),
+    which the tests exploit for exact changed-pixel counts."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import image as IMG
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                seq = int(str(r.image_id).lstrip("img") or 0)
+                if seq % every == 0:
+                    px = IMG.decode(bytes(r.bytes), r.w, r.h, r.fmt).copy()
+                    px[: r.h // 2, : r.w // 2] = 255 - px[: r.h // 2, : r.w // 2]
+                    out.append((r.image_id, IMG.encode(px, "png"), r.w, r.h,
+                                "png", r.caption, IMG.phash64(px)))
+                else:
+                    out.append(tuple(r))
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    return images.mapInPandas(run, images.schema)
