@@ -1223,6 +1223,38 @@ _SEEDS = [
 ] + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
 
 
+def q_cell_churn(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # two-epoch diff: every 13th point moves exactly one cell east
+    pts = synth.points_df(spark, sf_dir)
+    moved = pts.select(
+        F.when(F.col("id") % 13 == 0, F.col("x") + (1 << 26))
+        .otherwise(F.col("x")).alias("x"),
+        "y",
+    )
+    return geostats.cell_churn(pts.select("x", "y"), moved, cell_shift=26)
+
+
+def q_pyramid_update(spark, sf_dir):
+    from gol_tool_spark.functions import spatial as SP
+    from gol_tool_spark.operators import multimodal
+
+    # incremental overview maintenance: recompute only the z3 parents of
+    # z4 tiles holding qty>45 points; oracle = the full-pyramid SQL
+    # restricted to exactly that dirty-parent set
+    pts = synth.points_df(spark, sf_dir)
+    z4 = multimodal.density_raster(pts, zoom=4, grid=16)
+    dirty = (
+        pts.filter(F.col("qty") > 45)
+        .select(SP.tile_of_point(F.col("x"), F.col("y"), 4).alias("tile"))
+        .distinct()
+    )
+    return multimodal.pyramid_update(z4, dirty, zoom=4, grid=16).select(
+        "tile", "filled", "px_sum"
+    )
+
+
 def q_morans_bv(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1883,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,  # raster overview level (full oracle)
         "morans_bv": q_morans_bv,  # bivariate cross-Moran components (full oracle)
         "image_diff": q_image_diff,  # two-epoch change detection (rows-only)
+        "cell_churn": q_cell_churn,  # two-epoch vector churn (full oracle)
+        "pyramid_update": q_pyramid_update,  # O(delta) overview refresh (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3236,6 +3270,38 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_both FROM sp), "
             "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
             "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "cell_churn": _with_points(
+            # churn twin: the one-cell-east move is pure integer SQL;
+            # conditional sums per cell over the union of both epochs
+            ", u AS ("
+            "SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, 0 AS t FROM pts "
+            "UNION ALL "
+            "SELECT (CASE WHEN id % 13 = 0 THEN x + 67108864 ELSE x END "
+            "+ 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, 1 AS t FROM pts), "
+            "c AS (SELECT cx, cy, "
+            "CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_before, "
+            "CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_after "
+            "FROM u GROUP BY 1, 2) "
+            "SELECT cx, cy, c_before, c_after, c_after - c_before AS delta "
+            "FROM c WHERE c_before <> c_after"
+        ),
+        "pyramid_update": _with_points(
+            # incremental twin: the FULL pyramid aggregation restricted to
+            # the dirty-parent set (z3 tiles holding qty>45 points)
+            f", b AS (SELECT {synth.tile_sql('x', 'y', 3)} AS tile, "
+            f"(x + {_HALF}) // {1 << 24} AS gx, "
+            f"({_HALF - 1} - y) // {1 << 24} AS gy, "
+            f"LEAST(COUNT(*), 255) AS c FROM pts GROUP BY 1, 2, 3), "
+            "p AS (SELECT tile, gx // 2 AS px, gy // 2 AS py, "
+            "CAST(SUM(c) AS BIGINT) // 4 AS v FROM b GROUP BY 1, 2, 3), "
+            f"dirty AS (SELECT DISTINCT {synth.tile_sql('x', 'y', 3)} AS tile "
+            "FROM pts WHERE qty > 45) "
+            "SELECT tile, CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS filled, "
+            "CAST(SUM(v) AS BIGINT) AS px_sum FROM p "
+            "WHERE tile IN (SELECT tile FROM dirty) GROUP BY tile"
         ),
         "morans_bv": _with_points(
             # bivariate twin: one conditional-sum cells pass, HUGEINT

@@ -899,3 +899,47 @@ def morans_i_bv(
         F.col("_da").cast("string").alias("den_a"),
         F.col("_db").cast("string").alias("den_b"),
     )
+
+
+def cell_churn(
+    before: DataFrame,
+    after: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Two-epoch vector change detection — the geospatial twin of the
+    imagery image_diff lane: per grid cell, the before/after point
+    counts and their signed delta, emitting ONLY cells that changed
+    (appeared, vanished, or shifted density).  The "what did this
+    update do to the map" report of an OSM-style diff apply.
+
+    Exact integers throughout; a cell absent from an epoch counts 0.
+    The no-outer-join shape of morans_i_bv: one union + conditional
+    sums, one filter.  Output (cx, cy, c_before, c_after, delta) sorted
+    by nothing — callers order; at 100 TB the changed-cell set is the
+    delta's footprint, not the store's.
+    """
+    cells = (
+        before.select(F.col(x).alias("x"), F.col(y).alias("y"))
+        .withColumn("_t", F.lit(0))
+        .unionByName(
+            after.select(F.col(x).alias("x"), F.col(y).alias("y")).withColumn(
+                "_t", F.lit(1)
+            )
+        )
+        .select(
+            F.shiftright(F.col("x").cast("bigint") + F.lit(HALF), cell_shift).alias("cx"),
+            F.shiftright(F.col("y").cast("bigint") + F.lit(HALF), cell_shift).alias("cy"),
+            "_t",
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("_t") == 0, 1)), F.lit(0)).alias("c_before"),
+            F.coalesce(F.sum(F.when(F.col("_t") == 1, 1)), F.lit(0)).alias("c_after"),
+        )
+    )
+    return cells.filter(F.col("c_before") != F.col("c_after")).select(
+        "cx", "cy", "c_before", "c_after",
+        (F.col("c_after") - F.col("c_before")).alias("delta"),
+    )

@@ -768,6 +768,40 @@ def pyramid_rollup(rasters: DataFrame, zoom: int, grid: int) -> DataFrame:
     return kids.groupBy("parent").applyInPandas(per_parent, PYRAMID_SCHEMA)
 
 
+def pyramid_update(
+    rasters: DataFrame, dirty: DataFrame, zoom: int, grid: int
+) -> DataFrame:
+    """Incremental overview maintenance — the O(delta) twin of
+    pyramid_rollup: after an update touched the child tiles listed in
+    `dirty` (a (tile) DataFrame at `zoom`), recompute ONLY the parents
+    one of those children maps into; every other parent keeps its old
+    raster.  This is the dirty-closure discipline of the typed-store
+    merge (streaming/changes_full) applied to the raster pyramid: work
+    scales with the CHANGE, never the store.
+
+    Returns the recomputed parent rows (pyramid_rollup schema) — by
+    construction bit-identical to the same parents out of a full
+    pyramid_rollup over the post-update child level (pytest-pinned).
+    Chain per level: the output's tiles are the next level's dirty set.
+
+    Plan: distinct dirty parents (tiny) broadcast into a LEFT SEMI join
+    against the child level — the full raster table is filtered down to
+    <= 4 * |dirty| rows BEFORE any Python runs; the rollup itself then
+    touches only affected groups.
+    """
+    from ..functions import spatial as SP
+
+    parents = dirty.select(
+        SP.zoomed_out(F.col("tile"), zoom, zoom - 1).alias("_p")
+    ).distinct()
+    affected = rasters.join(
+        F.broadcast(parents),
+        SP.zoomed_out(F.col("tile"), zoom, zoom - 1) == F.col("_p"),
+        "left_semi",
+    )
+    return pyramid_rollup(affected, zoom=zoom, grid=grid)
+
+
 DIFF_SCHEMA = (
     "image_id string, n_px long, n_changed long, sum_abs long, max_abs int"
 )
