@@ -1223,6 +1223,15 @@ _SEEDS = [
 ] + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
 
 
+def q_contour_cases(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # marching-squares case census at the join_counts threshold split
+    return geostats.contour_cases(
+        synth.points_df(spark, sf_dir).select("x", "y"), threshold=12, cell_shift=26
+    )
+
+
 def q_cell_churn(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1917,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_diff": q_image_diff,  # two-epoch change detection (rows-only)
         "cell_churn": q_cell_churn,  # two-epoch vector churn (full oracle)
         "pyramid_update": q_pyramid_update,  # O(delta) overview refresh (full oracle)
+        "contour_cases": q_contour_cases,  # marching-squares census (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3270,6 +3280,18 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_both FROM sp), "
             "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
             "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "contour_cases": _with_points(
+            # marching-squares twin: 4 anchor emissions per occupied cell,
+            # bit-sum per window, tiny census groupBy
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "w AS (SELECT cx + o.dx AS wx, cy + o.dy AS wy, "
+            "CAST(SUM(CASE WHEN c >= 12 THEN o.bit ELSE 0 END) AS INT) AS mcase "
+            "FROM cells, (VALUES (0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8)) "
+            "AS o(dx, dy, bit) GROUP BY 1, 2) "
+            "SELECT mcase, CAST(COUNT(*) AS BIGINT) AS n_windows FROM w GROUP BY 1"
         ),
         "cell_churn": _with_points(
             # churn twin: the one-cell-east move is pure integer SQL;

@@ -943,3 +943,64 @@ def cell_churn(
         "cx", "cy", "c_before", "c_after",
         (F.col("c_after") - F.col("c_before")).alias("delta"),
     )
+
+
+def contour_cases(
+    df: DataFrame,
+    threshold: int,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Marching-squares case census over the density surface — the
+    isoline-extraction primitive: every 2x2 corner window of the cell
+    lattice classifies into one of 16 cases by which corners sit at or
+    above `threshold`; the case histogram is the contour-topology
+    summary (cases 0/15 = interior, the rest = boundary windows, cases
+    5/10 = saddles), and sum(boundary cases) is the isoline-length
+    proxy renderers budget by.
+
+    Windows are anchored at every occupied cell's 2x2 NEIGHBORHOOD
+    (each window containing >= 1 occupied corner counted exactly once
+    via its anchor = the window's lower-left lattice point; all-empty
+    windows are case 0 and uncounted — the sparse convention).  Corner
+    bits: 1 = lower-left (wx, wy), 2 = lower-right, 4 = upper-left,
+    8 = upper-right.  Exact integers throughout.
+
+    Plan: one cells groupBy; each occupied cell emits the 4 window
+    anchors it can be a corner of, carrying its own corner bit — ONE
+    map-combined groupBy on the anchor builds (case, occupied-corner
+    bits) with NO join at all; a final tiny groupBy makes the census.
+    """
+    thr = int(threshold)
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # cell (cx, cy) is corner bit 1 of window (cx, cy), bit 2 of window
+    # (cx-1, cy), bit 4 of (cx, cy-1), bit 8 of (cx-1, cy-1)
+    emits = F.array(
+        F.struct(F.col("cx").alias("wx"), F.col("cy").alias("wy"), F.lit(1).alias("bit")),
+        F.struct((F.col("cx") - 1).alias("wx"), F.col("cy").alias("wy"), F.lit(2).alias("bit")),
+        F.struct(F.col("cx").alias("wx"), (F.col("cy") - 1).alias("wy"), F.lit(4).alias("bit")),
+        F.struct((F.col("cx") - 1).alias("wx"), (F.col("cy") - 1).alias("wy"), F.lit(8).alias("bit")),
+    )
+    hot = F.when(F.col("c") >= thr, F.col("_e.bit")).otherwise(F.lit(0))
+    windows = (
+        cells.select("c", F.explode(emits).alias("_e"))
+        .select(
+            F.col("_e.wx").alias("wx"),
+            F.col("_e.wy").alias("wy"),
+            hot.alias("hot_bit"),
+        )
+        .groupBy("wx", "wy")
+        .agg(F.sum("hot_bit").cast("int").alias("mcase"))
+    )
+    return (
+        windows.groupBy("mcase")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .select("mcase", "n_windows")
+    )

@@ -213,3 +213,59 @@ class TestRasterCover:
             self._segs(spark, [(1, x1, y1, x2, y2)]), cell_shift=shift
         ).collect()[0]
         assert r.n_cells == len(set(chain))
+
+
+class TestContourCases:
+    SHIFT = 30
+
+    def _df(self, spark, counts):
+        pts = []
+        k = 0
+        for (cx, cy), n in counts.items():
+            for _ in range(n):
+                pts.append((k, (cx << self.SHIFT) - HALF + 3, (cy << self.SHIFT) - HALF + 3))
+                k += 1
+        return spark.createDataFrame(pts, "id long, x long, y long")
+
+    def test_loop_twin(self, spark):
+        counts = {(0, 0): 5, (1, 0): 1, (2, 0): 7, (0, 1): 6,
+                  (1, 1): 2, (2, 2): 9, (3, 1): 1}
+        thr = 5
+        out = {
+            r.mcase: r.n_windows
+            for r in geostats.contour_cases(
+                self._df(spark, counts), threshold=thr, cell_shift=self.SHIFT
+            ).collect()
+        }
+        # python twin: windows anchored wherever >= 1 occupied corner
+        windows = {}
+        for (cx, cy) in counts:
+            for wx, wy in ((cx, cy), (cx - 1, cy), (cx, cy - 1), (cx - 1, cy - 1)):
+                windows[(wx, wy)] = 0
+        for (wx, wy) in windows:
+            case = 0
+            for bit, (dx, dy) in zip((1, 2, 4, 8), ((0, 0), (1, 0), (0, 1), (1, 1))):
+                if counts.get((wx + dx, wy + dy), 0) >= thr:
+                    case |= bit
+            windows[(wx, wy)] = case
+        expected = {}
+        for case in windows.values():
+            expected[case] = expected.get(case, 0) + 1
+        assert out == expected
+
+    def test_all_hot_island(self, spark):
+        # a single hot cell yields exactly one window of each corner case
+        out = {
+            r.mcase: r.n_windows
+            for r in geostats.contour_cases(
+                self._df(spark, {(5, 5): 9}), threshold=1, cell_shift=self.SHIFT
+            ).collect()
+        }
+        assert out == {1: 1, 2: 1, 4: 1, 8: 1}
+
+    def test_threshold_above_everything_is_case0(self, spark):
+        rows = geostats.contour_cases(
+            self._df(spark, {(0, 0): 2, (1, 1): 3}), threshold=100, cell_shift=self.SHIFT
+        ).collect()
+        assert {r.mcase for r in rows} == {0}
+        assert sum(r.n_windows for r in rows) == 7  # windows touching the 2 cells
