@@ -779,15 +779,20 @@ def knox_stat(
     Returns ONE exact row (n_events, pairs_space, pairs_time,
     pairs_both) — the ratio/simulation step is the caller's.
 
-    Plan: the space side reuses the eps-cell 3x3 blocked self-join of
-    geocluster.eps_pairs (each qualifying pair lands exactly once);
-    pairs_both re-resolves the two timestamps with two keyed joins.  The
+    Plan: the space side is the eps-cell 3x3 blocked self-join of
+    geocluster.eps_pairs with the timestamps CARRIED THROUGH both sides,
+    so pairs_both falls out of the same aggregate with no re-join (two
+    keyed joins and two input scans fewer than the join-back form).  The
     time side blocks on tau-wide buckets with a {-1,0,1} offset probe —
     the 1-D analogue of the same pattern, one equi-join, never
-    all-pairs.  All counts are exact bigints.
+    all-pairs.  All counts are exact bigints.  The raw input is NOT
+    localCheckpoint-pinned (unlike the tiny _pin lattices): the five
+    consumers each read a 3-4-column pruned scan, which at fact-table
+    scale beats materializing a full narrow copy to executor disk.
     """
-    from .geocluster import eps_pairs
+    from .geocluster import _cell
 
+    eps = int(eps)
     ev = events.select(
         F.col(id_col).alias("_id"),
         F.col(x_col).cast("bigint").alias("_x"),
@@ -796,16 +801,41 @@ def knox_stat(
     )
     n_events = ev.agg(F.count(F.lit(1)).alias("n_events"))
 
-    sp = eps_pairs(ev, eps, id_col="_id", x_col="_x", y_col="_y")
-    t_of = ev.select("_id", "_t")
-    sp_t = (
-        sp.join(t_of.withColumnsRenamed({"_id": "id_a", "_t": "_ta"}), "id_a")
-        .join(t_of.withColumnsRenamed({"_id": "id_b", "_t": "_tb"}), "id_b")
+    # eps_pairs' blocking, inlined so each side carries its timestamp
+    base = ev.select(
+        "_id", "_x", "_y", "_t",
+        _cell("_x", eps).alias("_cx"), _cell("_y", eps).alias("_cy"),
     )
-    dt_ok = F.abs(F.col("_ta") - F.col("_tb")) <= F.lit(int(tau))
-    space_both = sp_t.agg(
-        F.count(F.lit(1)).alias("pairs_space"),
-        F.coalesce(F.sum(F.when(dt_ok, 1)), F.lit(0)).alias("pairs_both"),
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.withColumn("_o", F.explode(offs)).select(
+        F.col("_id").alias("_ib"),
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+        F.col("_t").alias("_tb"),
+        (F.col("_cx") + F.col("_o.dx")).alias("_ncx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_ncy"),
+    )
+    dx = F.col("_x") - F.col("_xb")
+    dy = F.col("_y") - F.col("_yb")
+    dt_ok = F.abs(F.col("_t") - F.col("_tb")) <= F.lit(int(tau))
+    space_both = (
+        base.join(
+            probe,
+            (F.col("_cx") == F.col("_ncx"))
+            & (F.col("_cy") == F.col("_ncy"))
+            & (F.col("_id") < F.col("_ib")),
+        )
+        .filter(dx * dx + dy * dy <= F.lit(eps * eps))
+        .agg(
+            F.count(F.lit(1)).alias("pairs_space"),
+            F.coalesce(F.sum(F.when(dt_ok, 1)), F.lit(0)).alias("pairs_both"),
+        )
     )
 
     tau = int(tau)
