@@ -1223,6 +1223,22 @@ _SEEDS = [
 ] + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
 
 
+_EHS_T0 = 1704067200       # 2024-01-01T00:00:00Z — the events epoch start
+_EHS_PERIOD = 172800       # 2 days
+_EHS_N = 15                # covers the events table's January window
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+    from gol_tool_spark.operators.temporal import _wall_secs
+
+    # per-cell Mann-Kendall trend over 15 two-day windows
+    ev = _events_xy(spark, sf_dir).withColumn("t", _wall_secs("ts"))
+    return geostats.emerging_hotspots(
+        ev, t0=_EHS_T0, period_s=_EHS_PERIOD, n_periods=_EHS_N, cell_shift=26
+    )
+
+
 def q_contour_cases(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1927,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_churn": q_cell_churn,  # two-epoch vector churn (full oracle)
         "pyramid_update": q_pyramid_update,  # O(delta) overview refresh (full oracle)
         "contour_cases": q_contour_cases,  # marching-squares census (full oracle)
+        "emerging_hotspots": q_emerging_hotspots,  # Mann-Kendall drift (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3280,6 +3297,30 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_both FROM sp), "
             "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
             "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "emerging_hotspots": (
+            # Mann-Kendall twin: dense period pairs via generate_series +
+            # two LEFT JOINs (missing periods COALESCE to 0), CASE sign
+            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+            "e AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, "
+            f"(CAST(floor(epoch(ts)) AS BIGINT) - {_EHS_T0}) // {_EHS_PERIOD} AS p "
+            f"FROM exy WHERE CAST(floor(epoch(ts)) AS BIGINT) >= {_EHS_T0} "
+            f"AND CAST(floor(epoch(ts)) AS BIGINT) < {_EHS_T0 + _EHS_N * _EHS_PERIOD}), "
+            "per AS (SELECT cx, cy, p, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2, 3), "
+            "cells AS (SELECT cx, cy, CAST(SUM(c) AS BIGINT) AS total, "
+            "CAST(COUNT(*) AS BIGINT) AS n_active FROM per GROUP BY 1, 2), "
+            f"idx AS (SELECT i.i AS i, j.j AS j FROM UNNEST(generate_series(0, {_EHS_N - 1})) AS i(i), "
+            f"UNNEST(generate_series(0, {_EHS_N - 1})) AS j(j) WHERE i.i < j.j), "
+            "s AS (SELECT c.cx, c.cy, "
+            "CASE WHEN COALESCE(pj.c, 0) > COALESCE(pi.c, 0) THEN 1 "
+            "WHEN COALESCE(pj.c, 0) < COALESCE(pi.c, 0) THEN -1 ELSE 0 END AS sg "
+            "FROM cells c CROSS JOIN idx "
+            "LEFT JOIN per pi ON pi.cx = c.cx AND pi.cy = c.cy AND pi.p = idx.i "
+            "LEFT JOIN per pj ON pj.cx = c.cx AND pj.cy = c.cy AND pj.p = idx.j) "
+            "SELECT c.cx, c.cy, c.total, c.n_active, mk.mk_s FROM cells c JOIN "
+            "(SELECT cx, cy, CAST(SUM(sg) AS BIGINT) AS mk_s FROM s GROUP BY 1, 2) mk "
+            "ON mk.cx = c.cx AND mk.cy = c.cy"
         ),
         "contour_cases": _with_points(
             # marching-squares twin: 4 anchor emissions per occupied cell,

@@ -269,3 +269,74 @@ class TestContourCases:
         ).collect()
         assert {r.mcase for r in rows} == {0}
         assert sum(r.n_windows for r in rows) == 7  # windows touching the 2 cells
+
+
+class TestEmergingHotspots:
+    SHIFT = 30
+
+    def _ev(self, spark, rows):
+        # rows: (x, y, t)
+        return spark.createDataFrame(rows, "x long, y long, t long")
+
+    def _cellpt(self, cx, cy):
+        return ((cx << self.SHIFT) - HALF + 3, (cy << self.SHIFT) - HALF + 3)
+
+    def test_loop_twin(self, spark):
+        # three cells with known period series over 4 periods of 10s
+        series = {(0, 0): [1, 2, 3, 4],      # monotone up: S = +6
+                  (1, 1): [4, 0, 0, 1],      # down then blip
+                  (2, 2): [2, 2, 2, 2]}      # constant: S = 0
+        rows = []
+        for cell, cs in series.items():
+            x, y = self._cellpt(*cell)
+            for p, c in enumerate(cs):
+                rows += [(x, y, 100 + p * 10 + k) for k in range(c)]
+        out = {
+            (r.cx, r.cy): r
+            for r in geostats.emerging_hotspots(
+                self._ev(spark, rows), t0=100, period_s=10, n_periods=4,
+                cell_shift=self.SHIFT,
+            ).collect()
+        }
+        for cell, cs in series.items():
+            s = sum(
+                (cs[j] > cs[i]) - (cs[j] < cs[i])
+                for i in range(4) for j in range(i + 1, 4)
+            )
+            r = out[cell]
+            assert r.mk_s == s
+            assert r.total == sum(cs)
+            assert r.n_active == sum(1 for c in cs if c > 0)
+
+    def test_missing_periods_count_zero(self, spark):
+        # cell only active in the LAST period: S = +(n-1) (emerging)
+        x, y = self._cellpt(5, 5)
+        rows = [(x, y, 100 + 3 * 10 + k) for k in range(7)]
+        r = geostats.emerging_hotspots(
+            self._ev(spark, rows), t0=100, period_s=10, n_periods=4,
+            cell_shift=self.SHIFT,
+        ).collect()[0]
+        assert r.mk_s == 3 and r.n_active == 1 and r.total == 7
+
+    def test_out_of_window_ignored(self, spark):
+        x, y = self._cellpt(0, 0)
+        rows = [(x, y, 99), (x, y, 140), (x, y, 105)]  # only 105 is inside
+        r = geostats.emerging_hotspots(
+            self._ev(spark, rows), t0=100, period_s=10, n_periods=4,
+            cell_shift=self.SHIFT,
+        ).collect()[0]
+        assert r.total == 1
+
+    def test_bounds(self, spark):
+        # |S| <= C(n, 2) on the synthetic fixture
+        rows = [self._cellpt(i % 3, i % 5) + (100 + (i * 7) % 40,)
+                for i in range(200)]
+        rows = [(x, y, t) for (x, y), t in
+                [((r[0], r[1]), r[2]) for r in rows]]
+        out = geostats.emerging_hotspots(
+            self._ev(spark, rows), t0=100, period_s=10, n_periods=4,
+            cell_shift=self.SHIFT,
+        ).collect()
+        assert out
+        for r in out:
+            assert abs(r.mk_s) <= 6
