@@ -1228,6 +1228,15 @@ _EHS_PERIOD = 172800       # 2 days
 _EHS_N = 15                # covers the events table's January window
 
 
+def q_slope(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # Horn gradient components over the density surface (z6 lattice)
+    return geostats.slope_components(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     from gol_tool_spark.operators import geostats
     from gol_tool_spark.operators.temporal import _wall_secs
@@ -1944,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_update": q_pyramid_update,  # O(delta) overview refresh (full oracle)
         "contour_cases": q_contour_cases,  # marching-squares census (full oracle)
         "emerging_hotspots": q_emerging_hotspots,  # Mann-Kendall drift (full oracle)
+        "slope": q_slope,  # Horn gradient components (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3297,6 +3307,24 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_both FROM sp), "
             "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM exy) "
             "SELECT n_events, pairs_space, pairs_time, pairs_both FROM ne, agg, tp"
+        ),
+        "slope": _with_points(
+            # Horn twin: 8 weighted offsets from the NEIGHBOR side, one
+            # equi-join, LEFT join back so isolated cells keep (0, 0)
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "pr AS (SELECT c AS c_j, cx - o.dx AS cx, cy - o.dy AS cy, o.wx, o.wy "
+            "FROM cells, (VALUES (1, 1, 1, 1), (1, 0, 2, 0), (1, -1, 1, -1), "
+            "(-1, 1, -1, 1), (-1, 0, -2, 0), (-1, -1, -1, -1), "
+            "(0, 1, 0, 2), (0, -1, 0, -2)) AS o(dx, dy, wx, wy)), "
+            "g AS (SELECT p.cx, p.cy, CAST(SUM(p.wx * p.c_j) AS BIGINT) AS gx, "
+            "CAST(SUM(p.wy * p.c_j) AS BIGINT) AS gy FROM pr p "
+            "JOIN cells t ON p.cx = t.cx AND p.cy = t.cy GROUP BY 1, 2) "
+            "SELECT c.cx, c.cy, c.c, COALESCE(g.gx, 0) AS gx, COALESCE(g.gy, 0) AS gy, "
+            "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
+            "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
+            "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
         ),
         "emerging_hotspots": (
             # Mann-Kendall twin: dense period pairs via generate_series +

@@ -1134,3 +1134,77 @@ def emerging_hotspots(
         pair_signs, F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
     return withc.select("cx", "cy", "total", "n_active", mk.alias("mk_s"))
+
+
+def slope_components(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Horn's slope/aspect gradient components (Horn 1981) over the
+    density surface — the terrain-analysis primitive applied to count
+    rasters (where is density rising fastest, and toward where):
+
+        gx = (c_NE + 2*c_E + c_SE) - (c_NW + 2*c_W + c_SW)
+        gy = (c_NE + 2*c_N + c_NW) - (c_SE + 2*c_S + c_SW)
+
+    per occupied cell, with absent neighbors ZERO (the sparse-lattice
+    convention).  slope = atan(sqrt(gx^2+gy^2) / (8*cellsize)) and
+    aspect = atan2(gy, gx) are the caller's float steps; gx/gy and the
+    squared magnitude g2 = gx^2 + gy^2 ship exact (g2 in DECIMAL(38,0)
+    as a string — planet-scale counts square past int64).
+
+    Plan: cells groupBy (pinned), ONE 8-offset probe explode carrying
+    per-direction weights + ONE equi-join + a map-combined groupBy on
+    the target cell.  Never all-pairs.
+    """
+    cxc = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cyc = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cxc.alias("cx"), cyc.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = _pin(cells)
+    # neighbor (dx, dy) seen FROM the target cell; the probe emits the
+    # reverse offset so one equi-join lands each contribution
+    weights = {
+        (1, 1): (1, 1), (1, 0): (2, 0), (1, -1): (1, -1),
+        (-1, 1): (-1, 1), (-1, 0): (-2, 0), (-1, -1): (-1, -1),
+        (0, 1): (0, 2), (0, -1): (0, -2),
+    }
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(-dx).alias("dx"), F.lit(-dy).alias("dy"),
+                F.lit(wx).alias("wx"), F.lit(wy).alias("wy"),
+            )
+            for (dx, dy), (wx, wy) in weights.items()
+        ]
+    )
+    probe = cells.select(
+        "cx", "cy", F.col("c").alias("c_j"), F.explode(offs).alias("_o")
+    ).select(
+        "c_j",
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+        F.col("_o.wx").alias("wx"),
+        F.col("_o.wy").alias("wy"),
+    )
+    grads = (
+        probe.join(cells.select("cx", "cy"), ["cx", "cy"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(F.col("wx") * F.col("c_j")).alias("gx"),
+            F.sum(F.col("wy") * F.col("c_j")).alias("gy"),
+        )
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    # LEFT join from cells: isolated occupied cells keep a flat gradient
+    gx = F.coalesce(F.col("gx"), F.lit(0)).alias("gx")
+    gy = F.coalesce(F.col("gy"), F.lit(0)).alias("gy")
+    return cells.join(grads, ["cx", "cy"], "left").select(
+        "cx", "cy", "c", gx, gy,
+        (d(gx) * d(gx) + d(gy) * d(gy)).cast("string").alias("g2"),
+    )

@@ -340,3 +340,54 @@ class TestEmergingHotspots:
         assert out
         for r in out:
             assert abs(r.mk_s) <= 6
+
+
+class TestSlopeComponents:
+    SHIFT = 30
+
+    def test_loop_twin(self, spark):
+        counts = {(1, 1): 5, (2, 1): 3, (0, 1): 7, (1, 2): 2,
+                  (1, 0): 6, (2, 2): 1, (0, 0): 4, (9, 9): 8}
+        pts = []
+        k = 0
+        for (cx, cy), n in counts.items():
+            for _ in range(n):
+                pts.append((k, (cx << self.SHIFT) - HALF + 1, (cy << self.SHIFT) - HALF + 1))
+                k += 1
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {
+            (r.cx, r.cy): r
+            for r in geostats.slope_components(df, cell_shift=self.SHIFT).collect()
+        }
+        get = lambda cx, cy: counts.get((cx, cy), 0)
+        for (cx, cy), c in counts.items():
+            gx = (get(cx + 1, cy + 1) + 2 * get(cx + 1, cy) + get(cx + 1, cy - 1)
+                  - get(cx - 1, cy + 1) - 2 * get(cx - 1, cy) - get(cx - 1, cy - 1))
+            gy = (get(cx + 1, cy + 1) + 2 * get(cx, cy + 1) + get(cx - 1, cy + 1)
+                  - get(cx + 1, cy - 1) - 2 * get(cx, cy - 1) - get(cx - 1, cy - 1))
+            r = out[(cx, cy)]
+            assert (r.c, r.gx, r.gy) == (c, gx, gy)
+            assert int(r.g2) == gx * gx + gy * gy
+
+    def test_isolated_cell_flat(self, spark):
+        df = spark.createDataFrame(
+            [(1, (9 << self.SHIFT) - HALF, (9 << self.SHIFT) - HALF)],
+            "id long, x long, y long",
+        )
+        r = geostats.slope_components(df, cell_shift=self.SHIFT).collect()[0]
+        assert (r.gx, r.gy, r.g2) == (0, 0, "0")
+
+    def test_uniform_interior_flat(self, spark):
+        # constant field: every INTERIOR cell has zero gradient
+        pts = []
+        k = 0
+        for i in range(5):
+            for j in range(5):
+                for _ in range(3):
+                    pts.append((k, (i << self.SHIFT) - HALF + 2, (j << self.SHIFT) - HALF + 2))
+                    k += 1
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {(r.cx, r.cy): r for r in
+               geostats.slope_components(df, cell_shift=self.SHIFT).collect()}
+        assert out[(2, 2)].g2 == "0" and out[(1, 3)].g2 == "0"
+        assert int(out[(0, 0)].g2) > 0  # corner sees the falloff
