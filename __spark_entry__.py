@@ -1228,6 +1228,25 @@ _EHS_PERIOD = 172800       # 2 days
 _EHS_N = 15                # covers the events table's January window
 
 
+def q_hmm_match(spark, sf_dir):  # no oracle: Viterbi DP isn't SQL
+    """Sticky-HMM map matching over the hot-cluster fixes + segments
+    (brute-force Viterbi twin + stickiness/chain-break invariants in
+    tests/test_hmm_match.py).  Hot events and hot-point segments share
+    the five urban clusters, so candidate sets are non-vacuous."""
+    from gol_tool_spark.operators import segments, trajectory
+    from gol_tool_spark.operators.temporal import _wall_secs
+
+    ev = (
+        _events_xy(spark, sf_dir)
+        .filter(F.col("event_id") % 10 < 2)
+        .withColumn("t", _wall_secs("ts"))
+    )
+    segs = segments.synth_segments(
+        synth.points_df(spark, sf_dir).filter(F.col("id") % 10 < 2)
+    )
+    return trajectory.hmm_match(ev, segs, cell_shift=16, switch_cost=1.0e9)
+
+
 def q_slope(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1954,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_cases": q_contour_cases,  # marching-squares census (full oracle)
         "emerging_hotspots": q_emerging_hotspots,  # Mann-Kendall drift (full oracle)
         "slope": q_slope,  # Horn gradient components (full oracle)
+        "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash

@@ -652,3 +652,158 @@ def traj_editdist(
         F.length("_sa").cast("int").alias("len_a"),
         F.length("_sb").cast("int").alias("len_b"),
     )
+
+
+HMM_SCHEMA = "user_id long, event_id long, seg long, d2 double, n_cands int"
+
+
+def hmm_match(
+    fixes: DataFrame,
+    segs: DataFrame,
+    cell_shift: int = 16,
+    switch_cost: float = 1.0e9,
+    id_col: str = "user_id",
+    fix_col: str = "event_id",
+    t_col: str = "t",
+) -> DataFrame:
+    """Sequence-aware map matching (the sticky-HMM simplification of
+    Newson & Krumm 2009): per entity, choose ONE segment per fix so the
+    whole track minimizes
+
+        sum of point-to-segment d2  +  switch_cost * (segment changes)
+
+    — nearest-segment snapping (segments.snap_points) flaps between
+    near-parallel candidates fix by fix; the Viterbi chain pays a
+    penalty per switch, so tracks stick to one road until the evidence
+    says otherwise.  Without a routable graph the transition model is
+    the switch indicator (documented simplification; the full
+    route-distance model needs the graph the data contract doesn't
+    carry).
+
+    Semantics (all deterministic, pytest-twinned): candidates per fix =
+    segments within one cell width (same blocking + clamped-projection
+    d2 + IEEE evaluation order as snap_points); fixes with NO candidate
+    are emitted with seg NULL and BREAK the chain (costs reset — a
+    tunnel/garage gap starts a fresh track); cost ties prefer staying
+    on the same segment, then the smaller segment id; the final state
+    ties to the smallest accumulated cost then smallest seg.  Output:
+    one row per fix (matched seg or NULL) + its d2 and candidate count.
+
+    Plan: candidate generation is the snap_points JVM join (ring
+    explode x cover cells — Python never sees unmatched segments); the
+    Viterbi DP runs per entity in ONE applyInPandas over bounded
+    groups (fixes/entity and candidates/fix are data-contract bounded —
+    the rings.py boundary class).  One shuffle on the entity key.
+    """
+    import pandas as pd
+
+    from .segments import BIAS, _cover_cells
+
+    ring = F.explode(F.array([F.lit(d) for d in (-1, 0, 1)]))
+    pcx = F.shiftright(F.col("x").cast("bigint") + BIAS, cell_shift)
+    pcy = F.shiftright(F.col("y").cast("bigint") + BIAS, cell_shift)
+    p = (
+        fixes.select(
+            F.col(id_col).alias("user_id"),
+            F.col(fix_col).alias("event_id"),
+            F.col(t_col).cast("bigint").alias("t"),
+            F.col("x").cast("bigint").alias("px"),
+            F.col("y").cast("bigint").alias("py"),
+            pcx.alias("_bx"), pcy.alias("_by"),
+        )
+        .withColumn("_dx", ring)
+        .withColumn("_dy", ring)
+        .select(
+            "user_id", "event_id", "t", "px", "py",
+            (F.col("_bx") + F.col("_dx")).alias("_cx"),
+            (F.col("_by") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    s = _cover_cells(segs, cell_shift).select(
+        "seg", "x1", "y1", "x2", "y2", "_cx", "_cy"
+    )
+    cand = p.join(s, ["_cx", "_cy"])
+    dxs = F.col("x2") - F.col("x1")
+    dys = F.col("y2") - F.col("y1")
+    rx = F.col("px") - F.col("x1")
+    ry = F.col("py") - F.col("y1")
+    num = dxs * rx + dys * ry
+    den = dxs * dxs + dys * dys
+    tt = F.least(F.greatest(num.cast("double") / den.cast("double"), F.lit(0.0)), F.lit(1.0))
+    ddx = rx.cast("double") - tt * dxs.cast("double")
+    ddy = ry.cast("double") - tt * dys.cast("double")
+    d2 = (ddx * ddx + ddy * ddy).alias("d2")
+    r2 = float((1 << cell_shift) ** 2)
+    scored = cand.select("user_id", "event_id", "t", "seg", d2).filter(
+        F.col("d2") <= F.lit(r2)
+    )
+    # left join back so candidate-less fixes survive as chain breaks
+    base = fixes.select(
+        F.col(id_col).alias("user_id"),
+        F.col(fix_col).alias("event_id"),
+        F.col(t_col).cast("bigint").alias("t"),
+    )
+    rows = base.join(scored, ["user_id", "event_id", "t"], "left")
+
+    W = float(switch_cost)
+
+    def per_entity(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id", "seg"])
+        out = []
+        # group candidate rows per fix, in track order
+        fixes_seq = []
+        for (t, eid), sub in pdf.groupby(["t", "event_id"], sort=True):
+            # a (fix, seg) pair can land via up to 4 ring/cover cell
+            # combinations with the same d2 — dedupe on the seg id
+            cmap = {
+                int(sg): float(dd)
+                for sg, dd in zip(sub["seg"], sub["d2"])
+                if not pd.isna(sg)
+            }
+            fixes_seq.append((int(eid), sorted(cmap.items())))
+
+        chain = []  # [(eid, [(seg, d2)...], {seg: (cost, ptr)})]
+
+        def flush():
+            if not chain:
+                return
+            # backtrack from the best final state
+            eid_f, cands_f, states_f = chain[-1]
+            best_seg = min(states_f, key=lambda sg: (states_f[sg][0], sg))
+            picks = []
+            sg = best_seg
+            for eid_i, cands_i, states_i in reversed(chain):
+                d2_i = dict(cands_i)[sg]
+                picks.append((eid_i, sg, d2_i, len(cands_i)))
+                sg = states_i[sg][1]
+            out.extend(reversed(picks))
+            chain.clear()
+
+        for eid, cands in fixes_seq:
+            if not cands:
+                flush()
+                out.append((eid, None, None, 0))
+                continue
+            if not chain:
+                states = {sg: (dd, None) for sg, dd in cands}
+            else:
+                prev = chain[-1][2]
+                bp_seg = min(prev, key=lambda sg: (prev[sg][0], sg))
+                bp_cost = prev[bp_seg][0]
+                states = {}
+                for sg, dd in cands:
+                    stay = prev[sg][0] if sg in prev else None
+                    via = bp_cost + W
+                    # ties prefer staying on the same segment
+                    if stay is not None and stay <= via:
+                        states[sg] = (dd + stay, sg)
+                    else:
+                        states[sg] = (dd + via, bp_seg)
+            chain.append((eid, cands, states))
+        flush()
+        return pd.DataFrame(
+            [(int(key[0]), eid, sg, dd, nc) for eid, sg, dd, nc in out],
+            columns=["user_id", "event_id", "seg", "d2", "n_cands"],
+        )
+
+    return rows.groupBy("user_id").applyInPandas(per_entity, HMM_SCHEMA)
