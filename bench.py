@@ -367,6 +367,36 @@ def main():
     # raster overview level: z4 density rasters -> z3 through the PNG codec
     timed("tile_pyramid", lambda: force(multimodal.pyramid_rollup(
         multimodal.density_raster(points, zoom=4, grid=16), zoom=4, grid=16)))
+    # Horn gradients + two-epoch churn + marching-squares census: all
+    # pinned-lattice shapes (one input pass each)
+    timed("slope", lambda: force(_gs.slope_components(_pxy, cell_shift=26)))
+    _moved = points.select(
+        F.when(F.col("id") % 13 == 0, F.col("x") + (1 << 26))
+        .otherwise(F.col("x")).alias("x"), "y")
+    timed("cell_churn", lambda: force(_gs.cell_churn(_pxy, _moved, cell_shift=26)))
+    timed("contour_cases", lambda: force(_gs.contour_cases(_pxy, threshold=12, cell_shift=26)))
+    # Mann-Kendall drift over the 2M-fix fleet: 15 windows, codegen sign sum
+    _mk_ev = fixes.select(
+        "x", "y",
+        F.expr("CAST((CAST(ts AS TIMESTAMP_NTZ) - TIMESTAMP_NTZ '1970-01-01 00:00:00') AS BIGINT)").alias("t"),
+    )
+    timed("emerging_hotspots_2m", lambda: force(_gs.emerging_hotspots(
+        _mk_ev, t0=1_700_000_000, period_s=8000, n_periods=15, cell_shift=26)))
+    # sticky-HMM matching over the hot-cluster fixes (bounded entity DP)
+    _hot_ev = spark.range(20_000).select(
+        (F.col("id") % 200).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.lit(1_700_000_000) + F.col("id")).alias("t"),
+        ((F.col("id") % 5) * 700000000 - 1500000000
+         + (F.col("id") * 2654435761) % (1 << 20)).alias("x"),
+        (((F.col("id") % 5) * 1111111111) % 3000000000 - 1500000000
+         + (F.col("id") * 2246822519 + 1013904223) % (1 << 20)).alias("y"),
+    )
+    _hot_segs = _sg.synth_segments(points.filter(F.col("id") % 10 < 2))
+    from gol_tool_spark.operators import trajectory as _tj
+
+    timed("hmm_match_20k", lambda: force(_tj.hmm_match(
+        _hot_ev, _hot_segs, cell_shift=16, switch_cost=1.0e9)))
     # DDA line rasterization: explode bounded by each segment's own span
     timed("seg_raster", lambda: force(_sg.raster_cover(
         _sg.synth_segments(points), cell_shift=12)))
