@@ -1098,10 +1098,10 @@ def emerging_hotspots(
         events.filter(
             (t >= t0) & (t < t0 + n_periods * period_s)
         )
-        .select(
-            cx.alias("cx"), cy.alias("cy"),
-            ((t - t0) / period_s).cast("bigint").alias("p"),
-        )
+        .select(cx.alias("cx"), cy.alias("cy"), (t - t0).alias("_dt"))
+        # integer DIV, not double division: near a period boundary the
+        # rounded double quotient could truncate into the wrong window
+        .select("cx", "cy", F.expr(f"_dt DIV {period_s}").alias("p"))
         .groupBy("cx", "cy", "p")
         .agg(F.count(F.lit(1)).alias("c"))
     )
