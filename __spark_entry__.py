@@ -1256,6 +1256,26 @@ def q_slope(spark, sf_dir):
     )
 
 
+def q_flow_dir(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # D8 steepest-descent direction per occupied z6 cell (exact squared-
+    # rate comparison; ArcGIS codes; ties -> smallest code)
+    return geostats.flow_directions(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26
+    )
+
+
+def q_quadrat(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # CSR dispersion components over the 16x16 full-plane quadrat grid
+    # (empty quadrats count — Q enters as a literal)
+    return geostats.quadrat_counts(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=28
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     from gol_tool_spark.operators import geostats
     from gol_tool_spark.operators.temporal import _wall_secs
@@ -1973,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_cases": q_contour_cases,  # marching-squares census (full oracle)
         "emerging_hotspots": q_emerging_hotspots,  # Mann-Kendall drift (full oracle)
         "slope": q_slope,  # Horn gradient components (full oracle)
+        "flow_dir": q_flow_dir,  # D8 flow direction (full oracle)
+        "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
@@ -3345,6 +3367,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
+        ),
+        "flow_dir": _with_points(
+            # D8 twin: 8 literal offsets, LEFT join for the neighbor count
+            # (absent -> 0), squared-rate key in HUGEINT, ROW_NUMBER with
+            # the same (key DESC, code ASC) tie rule; pit rows collapse to
+            # one identical (0, 0) candidate so rn=1 is deterministic
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "cand AS (SELECT cl.cx, cl.cy, cl.c, o.code, o.mult, "
+            "cl.c - COALESCE(n.c, 0) AS dr FROM cells cl "
+            "CROSS JOIN (VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), "
+            "(-1, -1, 8, 1), (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), "
+            "(1, 1, 128, 1)) AS o(dx, dy, code, mult) "
+            "LEFT JOIN cells n ON n.cx = cl.cx + o.dx AND n.cy = cl.cy + o.dy), "
+            "r AS (SELECT cx, cy, c, "
+            "CASE WHEN dr > 0 THEN code ELSE 0 END AS code, "
+            "CASE WHEN dr > 0 THEN dr ELSE 0 END AS dr, "
+            "ROW_NUMBER() OVER (PARTITION BY cx, cy ORDER BY "
+            "(CASE WHEN dr > 0 THEN CAST(dr AS HUGEINT) * dr * mult ELSE -1 END) DESC, "
+            "(CASE WHEN dr > 0 THEN code ELSE 0 END) ASC) AS rn FROM cand) "
+            "SELECT cx, cy, c, CAST(code AS INT) AS d8, CAST(dr AS BIGINT) AS c_drop "
+            "FROM r WHERE rn = 1"
+        ),
+        "quadrat": _with_points(
+            # quadrat twin: one shift-28 groupBy; Q = 256 enters as a
+            # literal (empty quadrats contribute zero to every sum)
+            ", q AS (SELECT (x + 2147483648) // 268435456 AS qx, "
+            "(y + 2147483648) // 268435456 AS qy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2) "
+            "SELECT CAST(256 AS BIGINT) AS n_quadrats, "
+            "CAST(SUM(c) AS BIGINT) AS n_points, "
+            "CAST(COUNT(*) AS BIGINT) AS occupied, "
+            "CAST(MAX(c) AS BIGINT) AS max_count, "
+            "CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS sum_sq, "
+            "CAST(256 * SUM(CAST(c AS HUGEINT) * c) "
+            "- CAST(SUM(c) AS HUGEINT) * SUM(c) AS VARCHAR) AS vmr_num "
+            "FROM q"
         ),
         "emerging_hotspots": (
             # Mann-Kendall twin: dense period pairs via generate_series +

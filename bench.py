@@ -316,6 +316,10 @@ def main():
     timed("zonal_stats", lambda: force(_zs(points, _zones, value_col="qty")))
     # Gi* hotspots: 9-offset probe join + per-cell agg, exact decimals
     timed("getis_ord", lambda: force(_gs.getis_ord(_pxy, cell_shift=26)))
+    # D8 flow directions: 8-offset explode + ONE left equi-join + argmin
+    timed("flow_dir", lambda: force(_gs.flow_directions(_pxy, cell_shift=26)))
+    # quadrat dispersion: one map-combined groupBy + 1-row agg, zero joins
+    timed("quadrat", lambda: force(_gs.quadrat_counts(_pxy, cell_shift=28)))
     # integer-kernel heatmap: two map-combined groupBys, 25-offset spread
     timed("kde_raster", lambda: force(_gs.kde_raster(_pxy, cell_shift=22, radius=2)))
     # Ripley pair-count curve: 2^15-blocked candidate join, one cond-sum pass

@@ -1208,3 +1208,147 @@ def slope_components(
         "cx", "cy", "c", gx, gy,
         (d(gx) * d(gx) + d(gy) * d(gy)).cast("string").alias("g2"),
     )
+
+
+def flow_directions(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """D8 flow direction (O'Callaghan & Mark 1984, the ArcGIS FlowDir
+    convention) over the density surface — for every occupied cell, which
+    of its 8 neighbors receives the steepest descent of the count raster.
+    The hydrology primitive applied to density: "toward where does this
+    hotspot drain".
+
+    Direction codes are the ArcGIS powers of two (E=1, SE=2, S=4, SW=8,
+    W=16, NW=32, N=64, NE=128); 0 = pit/flat (no neighbor strictly
+    lower).  Absent neighbors count ZERO (the sparse-lattice convention
+    shared with slope_components), so boundary cells drain off the
+    surface.  D8 compares drop/distance with distance 1 straight and
+    sqrt(2) diagonal; to stay EXACT we compare squared rates — key =
+    drop^2 * 2 for straight, drop^2 for diagonal (both sides of
+    (drop_s/1)^2 vs (drop_d/sqrt2)^2 scaled by 2) in DECIMAL(38,0)
+    (planet-scale counts square past int64).  Ties take the SMALLEST
+    direction code — deterministic and oracle-checkable.
+
+    Returns (cx, cy, c, d8, c_drop): the winning code, and the raw count
+    drop toward it (0 for pits).
+
+    Plan: cells groupBy (pinned), each cell explodes its 8 literal
+    offsets, ONE LEFT equi-join pulls the neighbor count (absent -> 0),
+    and one map-combined min(struct) argmin per cell.  Never all-pairs;
+    the join key is the cell id itself so hot cells don't skew.
+    """
+    d = lambda c: c.cast("decimal(38,0)")
+    cxc = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cyc = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cxc.alias("cx"), cyc.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = _pin(cells)
+    # (dx, dy, code, mult): ArcGIS D8 codes, mult 2 = straight (distance
+    # 1: rate^2 scaled by 2), mult 1 = diagonal (distance sqrt(2))
+    offsets = [
+        (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+        (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1),
+    ]
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(code).alias("code"), F.lit(mult).alias("mult"),
+            )
+            for dx, dy, code, mult in offsets
+        ]
+    )
+    probe = cells.select(
+        "cx", "cy", "c", F.explode(offs).alias("_o")
+    ).select(
+        "cx", "cy", "c",
+        (F.col("cx") + F.col("_o.dx")).alias("nx"),
+        (F.col("cy") + F.col("_o.dy")).alias("ny"),
+        F.col("_o.code").alias("code"),
+        F.col("_o.mult").alias("mult"),
+    )
+    nb = cells.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("c").alias("c_j")
+    )
+    cand = probe.join(nb, ["nx", "ny"], "left").withColumn(
+        "_drop", F.col("c") - F.coalesce(F.col("c_j"), F.lit(0))
+    )
+    # no-flow candidates collapse to one identical (-1, 0, 0) key so the
+    # argmin needs no second join back for pits
+    key = F.when(
+        F.col("_drop") > 0, d(F.col("_drop")) * d(F.col("_drop")) * F.col("mult")
+    ).otherwise(F.lit(-1).cast("decimal(38,0)"))
+    code = F.when(F.col("_drop") > 0, F.col("code")).otherwise(F.lit(0))
+    drop = F.when(F.col("_drop") > 0, F.col("_drop")).otherwise(F.lit(0))
+    return (
+        cand.select(
+            "cx", "cy", "c",
+            F.struct(
+                (-key).alias("negkey"), code.alias("code"), drop.alias("drop")
+            ).alias("_k"),
+        )
+        .groupBy("cx", "cy", "c")
+        .agg(F.min("_k").alias("_w"))
+        .select(
+            "cx", "cy", "c",
+            F.col("_w.code").cast("int").alias("d8"),
+            F.col("_w.drop").cast("bigint").alias("c_drop"),
+        )
+    )
+
+
+def quadrat_counts(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 28,
+) -> DataFrame:
+    """Quadrat-count dispersion test components (the classic CSR check,
+    Greig-Smith 1952): divide the FULL int32 plane into 4^k equal
+    quadrats (k = 32 - cell_shift per axis), count points per quadrat —
+    EMPTY quadrats count, unlike the occupied-only lattice every other
+    statistic here uses — and ship the exact integer components of the
+    variance-to-mean ratio / chi-square statistic:
+
+        vmr_num = Q * sum_sq - n^2     (= Q^2 * sample variance * (Q-1)/Q ... )
+        chi     = vmr_num / n          (the caller's float step)
+
+    Returns ONE row: (n_quadrats, n_points, occupied, max_count,
+    sum_sq, vmr_num) with the two overflow-prone accumulators as
+    DECIMAL(38,0) strings (n^2 and Q*sum_sq square past int64 at planet
+    scale).  Empty quadrats contribute zero to sum_sq, so the occupied
+    aggregation IS the full-lattice aggregation — Q enters as a literal.
+
+    Plan: one map-combined groupBy + a 1-row global agg.  Zero joins.
+    """
+    if not 16 <= cell_shift <= 31:
+        raise ValueError("cell_shift must be in [16, 31]")
+    k = 32 - cell_shift
+    n_quadrats = 1 << (2 * k)
+    d = lambda c: c.cast("decimal(38,0)")
+    cxc = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cyc = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    q = (
+        df.select(cxc.alias("qx"), cyc.alias("qy"))
+        .groupBy("qx", "qy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return q.agg(
+        F.lit(n_quadrats).cast("bigint").alias("n_quadrats"),
+        F.sum("c").cast("bigint").alias("n_points"),
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.sum(d(F.col("c")) * d(F.col("c"))).cast("string").alias("sum_sq"),
+        (
+            F.lit(n_quadrats).cast("decimal(38,0)")
+            * F.sum(d(F.col("c")) * d(F.col("c")))
+            - F.sum(d(F.col("c"))) * F.sum(d(F.col("c")))
+        ).cast("string").alias("vmr_num"),
+    )

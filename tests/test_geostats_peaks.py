@@ -129,3 +129,99 @@ class TestCostDistance:
         pts = _pts(spark, {(0, 0): 1})
         with pytest.raises(ValueError):
             geostats.cost_distance(pts, max_rounds=-1)
+
+
+HALF = 1 << 31
+
+
+def _pts_for_cells(spark, cells, shift):
+    """One point per count unit, placed at each cell's min corner."""
+    rows = []
+    for cx, cy, c in cells:
+        for _ in range(c):
+            rows.append(((cx << shift) - HALF, (cy << shift) - HALF))
+    return spark.createDataFrame(rows, "x bigint, y bigint")
+
+
+_D8_OFFS = [
+    (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+    (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1),
+]
+
+
+def _d8_twin(cells):
+    wmap = {(x, y): c for x, y, c in cells}
+    out = {}
+    for (x, y), c in wmap.items():
+        best = None  # (key, -code, drop): larger key wins, tie -> smaller code
+        for dx, dy, code, mult in _D8_OFFS:
+            drop = c - wmap.get((x + dx, y + dy), 0)
+            if drop <= 0:
+                continue
+            cand = (drop * drop * mult, -code, drop)
+            if best is None or cand > best:
+                best = cand
+        out[(x, y)] = (0, 0) if best is None else (-best[1], best[2])
+    return out
+
+
+class TestFlowDirections:
+    def test_brute_force_twin(self, spark):
+        cells = [
+            (x, y, ((x * 29 + y * 13) % 11) + 1 + (4 if (x + y) % 3 == 0 else 0))
+            for x in range(9)
+            for y in range(9)
+        ]
+        shift = 8
+        got = {
+            (r.cx, r.cy): (r.d8, r.c_drop)
+            for r in geostats.flow_directions(
+                _pts_for_cells(spark, cells, shift), cell_shift=shift
+            ).collect()
+        }
+        assert got == _d8_twin(cells)
+        assert any(v[0] for v in got.values())  # non-vacuous: some flow
+
+    def test_isolated_cell_drains_east(self, spark):
+        # all 8 neighbors absent (count 0): every drop equals c, straight
+        # directions beat diagonals (2*c^2 > c^2), smallest straight = E=1
+        got = geostats.flow_directions(
+            _pts_for_cells(spark, [(5, 5, 3)], 8), cell_shift=8
+        ).collect()
+        assert len(got) == 1
+        assert (got[0].d8, got[0].c_drop) == (1, 3)
+
+    def test_plateau_interior_is_pit(self, spark):
+        # uniform 5x5 plateau: the strict interior (3x3) has no lower
+        # neighbor -> d8 = 0; boundary cells drain off the surface
+        cells = [(x, y, 2) for x in range(5) for y in range(5)]
+        got = {
+            (r.cx, r.cy): (r.d8, r.c_drop)
+            for r in geostats.flow_directions(
+                _pts_for_cells(spark, cells, 8), cell_shift=8
+            ).collect()
+        }
+        for x in range(1, 4):
+            for y in range(1, 4):
+                assert got[(x, y)] == (0, 0)
+        assert got[(0, 0)][0] != 0 and got[(4, 4)][0] != 0
+
+
+class TestQuadratCounts:
+    def test_exact_components(self, spark):
+        # three quadrats occupied at shift 28: counts 3, 2, 1 (n=6)
+        shift = 28
+        cells = [(1, 1, 3), (2, 1, 2), (14, 9, 1)]
+        row = geostats.quadrat_counts(
+            _pts_for_cells(spark, cells, shift), cell_shift=shift
+        ).collect()[0]
+        assert row.n_quadrats == 256
+        assert row.n_points == 6
+        assert row.occupied == 3
+        assert row.max_count == 3
+        assert row.sum_sq == str(9 + 4 + 1)
+        assert row.vmr_num == str(256 * 14 - 36)
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            geostats.quadrat_counts(_pts_for_cells(spark, [(0, 0, 1)], 28), cell_shift=8)
