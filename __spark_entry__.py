@@ -1256,6 +1256,13 @@ def q_slope(spark, sf_dir):
     )
 
 
+def q_acf(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # lag-1/2/3 autocorrelation components per user over the value series
+    return temporal.acf_stats(_read(spark, sf_dir, "events"), lags=(1, 2, 3))
+
+
 def q_flow_dir(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1994,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,  # Mann-Kendall drift (full oracle)
         "slope": q_slope,  # Horn gradient components (full oracle)
         "flow_dir": q_flow_dir,  # D8 flow direction (full oracle)
+        "acf": q_acf,  # lag-k autocorrelation components (full oracle)
         "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
@@ -3367,6 +3375,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
+        ),
+        "acf": (
+            # ACF twin: identical quantization + (ws, id) ordering, one
+            # window pass with three LEAD offsets, HUGEINT accumulators
+            "WITH b AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vq FROM events), "
+            "l AS (SELECT user_id, vq, "
+            "LEAD(vq, 1) OVER w AS v1, LEAD(vq, 2) OVER w AS v2, "
+            "LEAD(vq, 3) OVER w AS v3 FROM b "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ws, event_id)), "
+            "u AS (SELECT user_id, 1 AS lag, vq, v1 AS vk FROM l WHERE v1 IS NOT NULL "
+            "UNION ALL SELECT user_id, 2, vq, v2 FROM l WHERE v2 IS NOT NULL "
+            "UNION ALL SELECT user_id, 3, vq, v3 FROM l WHERE v3 IS NOT NULL) "
+            "SELECT user_id, CAST(lag AS INT) AS lag, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CAST(vq AS HUGEINT)) AS VARCHAR) AS sum_x, "
+            "CAST(SUM(CAST(vk AS HUGEINT)) AS VARCHAR) AS sum_y, "
+            "CAST(SUM(CAST(vq AS HUGEINT) * vk) AS VARCHAR) AS sum_xy, "
+            "CAST(COUNT(*) * SUM(CAST(vq AS HUGEINT) * vk) "
+            "- SUM(CAST(vq AS HUGEINT)) * SUM(CAST(vk AS HUGEINT)) AS VARCHAR) AS num "
+            "FROM u GROUP BY 1, 2"
         ),
         "flow_dir": _with_points(
             # D8 twin: 8 literal offsets, LEFT join for the neighbor count

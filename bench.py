@@ -178,6 +178,8 @@ def main():
     ).withColumn("value", (F.col("event_id") % 997).cast("double"))
     timed("funnel_2m", lambda: force(temporal.funnel(ev2m)))
     timed("rolling_outliers_2m", lambda: force(temporal.rolling_outliers(ev2m)))
+    # lag-1/2/3 autocorrelation components: one entity exchange, no joins
+    timed("acf_2m", lambda: force(temporal.acf_stats(ev2m)))
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries

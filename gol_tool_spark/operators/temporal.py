@@ -424,3 +424,80 @@ def rolling_outliers(
         dev.alias("dev"),
         (dev > F.lit(float(k)) * F.col("mad")).alias("is_outlier"),
     )
+
+
+def acf_stats(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    lags: Sequence[int] = (1, 2, 3),
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-entity lag-k autocorrelation components — "does this series
+    remember itself k steps back" (the Box-Jenkins identification
+    primitive).  For each entity and each lag k, over the (time, id)-
+    ordered quantized series v_1..v_n, the overlapping pairs are
+    (v_i, v_{i+k}) for i = 1..n-k, and the Pearson numerator of the
+    sample ACF is
+
+        num_k = m * sum(v_i * v_{i+k}) - sum(v_i) * sum(v_{i+k})
+
+    with m = n - k pairs.  EXACT shape (the cusum_stats discipline):
+    values quantize ONCE per element (round(v * quant), the only float
+    step), every accumulator is DECIMAL(38,0) and ships as a string
+    (planet-scale sums of 1e6-scaled products overflow int64); the
+    caller's r_k = num_k / sqrt(den_x * den_y) is the float step.
+
+    Returns (by, lag, n_pairs, sum_x, sum_y, sum_xy, num) — one row per
+    entity per lag with at least one pair.
+
+    Plan: ONE entity exchange — every lag's lead() shares the same
+    (partitionBy, orderBy) window sort — then an in-row struct explode
+    and one map-combined groupBy.  No joins.
+    """
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be positive")
+    d = lambda c: c.cast("decimal(38,0)")
+    vq = F.round(F.col(value) * F.lit(float(quant))).cast("bigint")
+    w = Window.partitionBy(by).orderBy("_ws", id_col)
+    base = df.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"), vq.alias("_vq")
+    )
+    led = base.select(
+        F.col(by),
+        F.col("_vq"),
+        *[F.lead("_vq", int(k)).over(w).alias(f"_v{k}") for k in lags],
+    )
+    pairs = led.select(
+        F.col(by),
+        F.col("_vq"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(k)).alias("lag"), F.col(f"_v{k}").alias("vk")
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("_p"),
+    ).filter(F.col("_p.vk").isNotNull())
+    agg = pairs.groupBy(F.col(by), F.col("_p.lag").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(d(F.col("_vq"))).alias("_sx"),
+        F.sum(d(F.col("_p.vk"))).alias("_sy"),
+        F.sum(d(F.col("_vq")) * d(F.col("_p.vk"))).alias("_sxy"),
+    )
+    return agg.select(
+        F.col(by),
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.col("_sx").cast("string").alias("sum_x"),
+        F.col("_sy").cast("string").alias("sum_y"),
+        F.col("_sxy").cast("string").alias("sum_xy"),
+        (d(F.col("n_pairs")) * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("string")
+        .alias("num"),
+    )

@@ -176,3 +176,84 @@ class TestCusumStats:
         # s_k = 0 for every k on a constant series; smallest-k tie-break
         assert (r.max_s, r.min_s, r.k_max, r.k_min) == ("0", "0", 1, 1)
         assert r.n == 5 and r.t_q == 5 * 7_500_000
+
+
+class TestAcfStats:
+    @staticmethod
+    def _twin(rows, lags=(1, 2, 3), quant=1_000_000):
+        # rows: (user, event_id, epoch_s, value) -> {(user, lag): tuple}
+        by_u: dict = {}
+        for u, i, s, v in rows:
+            by_u.setdefault(u, []).append((s, i, round(v * quant)))
+        out = {}
+        for u, fx in by_u.items():
+            fx.sort()
+            vs = [v for _, _, v in fx]
+            for k in lags:
+                xs, ys = vs[: len(vs) - k], vs[k:]
+                if not xs:
+                    continue
+                m = len(xs)
+                sx, sy = sum(xs), sum(ys)
+                sxy = sum(a * b for a, b in zip(xs, ys))
+                out[(u, k)] = (m, str(sx), str(sy), str(sxy), str(m * sxy - sx * sy))
+        return out
+
+    def _df(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), v)
+             for u, i, s, v in rows],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import temporal
+
+        rows = []
+        for i in range(150):
+            u = i % 4
+            # user 0: strong period-2 alternation -> negative lag-1, positive lag-2
+            v = (10.0 if (i // 4) % 2 == 0 else -10.0) if u == 0 else (i % 13) * 0.5 - 3.0
+            rows.append((u, i, 1_700_000_000 + i, v))
+        got = {
+            (r.user_id, r.lag): (r.n_pairs, r.sum_x, r.sum_y, r.sum_xy, r.num)
+            for r in temporal.acf_stats(self._df(spark, rows)).collect()
+        }
+        assert got == self._twin(rows)
+        # the planted alternation: user 0's lag-1 numerator is negative,
+        # lag-2 positive
+        assert int(got[(0, 1)][4]) < 0 < int(got[(0, 2)][4])
+
+    def test_tie_ordering_and_short_series(self, spark):
+        from gol_tool_spark.operators import temporal
+
+        # same timestamp, ordering falls to event_id; series shorter than
+        # the largest lag emits no row for it
+        rows = [(1, 3, 100, 3.0), (1, 1, 100, 1.0), (1, 2, 100, 2.0)]
+        got = {
+            (r.user_id, r.lag): (r.n_pairs, r.sum_xy)
+            for r in temporal.acf_stats(self._df(spark, rows), lags=(1, 2, 3)).collect()
+        }
+        q = 1_000_000
+        assert got[(1, 1)] == (2, str(1 * 2 * q * q + 2 * 3 * q * q))
+        assert got[(1, 2)] == (1, str(1 * 3 * q * q))
+        assert (1, 3) not in got
+
+    def test_validation(self, spark):
+        import pytest
+        from gol_tool_spark.operators import temporal
+
+        with pytest.raises(ValueError):
+            temporal.acf_stats(self._df(spark, [(1, 1, 0, 1.0)]), lags=(0,))
+
+    def test_single_entity_exchange(self, spark):
+        from gol_tool_spark.operators import temporal
+
+        rows = [(i % 3, i, 1_700_000_000 + i, float(i % 7)) for i in range(60)]
+        plan = temporal.acf_stats(self._df(spark, rows))._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # one exchange for the window sort, one for the final partial/final
+        # agg pair — the three lags must NOT each add an exchange
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
