@@ -1256,6 +1256,21 @@ def q_slope(spark, sf_dir):
     )
 
 
+def q_los(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # visibility from every 63rd point to its id%8 tower (the Voronoi
+    # seed anchors) across the shift-24 blocked lattice (count >= 4).
+    # NOT id%64: point ids are orderkey*8 + linenumber with linenumber
+    # 1..7, so id%8 is never 0 and an %64 filter selects nothing (the
+    # snap_segments id%4 lesson: measure the fixture before committing)
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return geostats.line_of_sight(
+        pts.filter(F.col("id") % 63 == 0), pts, _SEEDS,
+        cell_shift=24, block_min_count=4,
+    )
+
+
 def q_acf(spark, sf_dir):
     from gol_tool_spark.operators import temporal
 
@@ -2002,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope": q_slope,  # Horn gradient components (full oracle)
         "flow_dir": q_flow_dir,  # D8 flow direction (full oracle)
         "acf": q_acf,  # lag-k autocorrelation components (full oracle)
+        "los": q_los,  # DDA line-of-sight visibility (full oracle)
         "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
@@ -3375,6 +3391,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
+        ),
+        "los": _with_points(
+            # LOS twin: same DDA spec as seg_raster (bias, floor lerp,
+            # cell span), endpoint cells excluded BEFORE the distinct,
+            # LEFT join against the count>=4 blocked lattice
+            ", tw(tid, tx, ty) AS (SELECT * FROM (VALUES "
+            + ", ".join(f"({tid}, {tx}, {ty})" for tid, tx, ty in _SEEDS)
+            + ")), "
+            "obs AS (SELECT id, x, y FROM pts WHERE id % 63 = 0), "
+            "blocked AS (SELECT (x + 2147483648) // 16777216 AS cx, "
+            "(y + 2147483648) // 16777216 AS cy FROM pts "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 4), "
+            "b AS (SELECT o.id, CAST(t.tid AS BIGINT) AS tower, "
+            "o.x + 2147483648 AS X1, o.y + 2147483648 AS Y1, "
+            "t.tx + 2147483648 AS X2, t.ty + 2147483648 AS Y2 "
+            "FROM obs o JOIN tw t ON t.tid = o.id % 8), "
+            "n AS (SELECT *, GREATEST(ABS(X2 // 16777216 - X1 // 16777216), "
+            "ABS(Y2 // 16777216 - Y1 // 16777216), 1) AS n FROM b), "
+            "s AS (SELECT id, tower, n, "
+            "(((n - t.t) * X1 + t.t * X2) // n) // 16777216 AS cx, "
+            "(((n - t.t) * Y1 + t.t * Y2) // n) // 16777216 AS cy, "
+            "X1 // 16777216 AS ox, Y1 // 16777216 AS oy, "
+            "X2 // 16777216 AS txc, Y2 // 16777216 AS tyc "
+            "FROM n, UNNEST(generate_series(0, n)) AS t(t)), "
+            "f AS (SELECT DISTINCT id, tower, n, cx, cy FROM s "
+            "WHERE NOT (cx = ox AND cy = oy) AND NOT (cx = txc AND cy = tyc)) "
+            "SELECT f.id, f.tower, CAST(MAX(f.n) AS BIGINT) AS n_steps, "
+            "CAST(COUNT(*) AS BIGINT) AS n_between, "
+            "CAST(SUM(CASE WHEN bl.cx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, "
+            "SUM(CASE WHEN bl.cx IS NOT NULL THEN 1 ELSE 0 END) = 0 AS visible "
+            "FROM f LEFT JOIN blocked bl ON bl.cx = f.cx AND bl.cy = f.cy "
+            "GROUP BY f.id, f.tower"
         ),
         "acf": (
             # ACF twin: identical quantization + (ws, id) ordering, one

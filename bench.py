@@ -370,6 +370,11 @@ def main():
         + [(5, 0, 0), (6, 1900000000, -1900000000), (7, -2000000000, 2000000000)]
     timed("nearest_seed", lambda: force(
         spatial_query.nearest_seed(points, _seeds)), repeats=2)
+    # DDA line-of-sight: every 63rd point to its id%8 tower across the
+    # shift-24 blocked lattice (broadcast LEFT join, bounded explode)
+    timed("line_of_sight", lambda: force(_gs.line_of_sight(
+        points.filter(F.col("id") % 63 == 0), points, _seeds,
+        cell_shift=24, block_min_count=4)))
     # raster overview level: z4 density rasters -> z3 through the PNG codec
     timed("tile_pyramid", lambda: force(multimodal.pyramid_rollup(
         multimodal.density_raster(points, zoom=4, grid=16), zoom=4, grid=16)))

@@ -225,3 +225,91 @@ class TestQuadratCounts:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             geostats.quadrat_counts(_pts_for_cells(spark, [(0, 0, 1)], 28), cell_shift=8)
+
+
+class TestLineOfSight:
+    @staticmethod
+    def _twin(observers, towers, blocked_cells, shift):
+        # python DDA twin of the raster_cover sampling spec
+        out = {}
+        k = len(towers)
+        for oid, ox, oy in observers:
+            tid, tx, ty = towers[oid % k]
+            X1, Y1, X2, Y2 = ox + HALF, oy + HALF, tx + HALF, ty + HALF
+            cell = lambda v: v >> shift
+            n = max(abs(cell(X2) - cell(X1)), abs(cell(Y2) - cell(Y1)), 1)
+            oc = (cell(X1), cell(Y1))
+            tc = (cell(X2), cell(Y2))
+            seen = set()
+            for t in range(n + 1):
+                c = (
+                    cell(((n - t) * X1 + t * X2) // n),
+                    cell(((n - t) * Y1 + t * Y2) // n),
+                )
+                if c != oc and c != tc:
+                    seen.add(c)
+            if not seen:
+                continue  # line never leaves the endpoint cells
+            nb = sum(1 for c in seen if c in blocked_cells)
+            out[(oid, tid)] = (n, len(seen), nb, nb == 0)
+        return out
+
+    def test_brute_force_twin(self, spark):
+        shift = 8
+        towers = [(0, 2000, 2000), (1, -1800, 900)]
+        # blocked surface: two 4-point blobs + scattered singles
+        surface_pts = (
+            [(700, 700)] * 4 + [(-900, 300)] * 5 + [(100, 1500)] * 1
+        )
+        observers = [(i, (i * 373) % 3000 - 1500, (i * 911) % 3000 - 1500) for i in range(40)]
+        obs_df = spark.createDataFrame(
+            [(i, x, y) for i, x, y in observers], "id bigint, x bigint, y bigint"
+        )
+        surf_df = spark.createDataFrame(surface_pts, "x bigint, y bigint")
+        got = {
+            (r.id, r.tower): (r.n_steps, r.n_between, r.n_blocked, r.visible)
+            for r in geostats.line_of_sight(
+                obs_df, surf_df, towers, cell_shift=shift, block_min_count=4
+            ).collect()
+        }
+        blocked = set()
+        from collections import Counter
+
+        cnt = Counter(((x + HALF) >> shift, (y + HALF) >> shift) for x, y in surface_pts)
+        blocked = {c for c, n in cnt.items() if n >= 4}
+        assert blocked  # the fixture actually blocks something
+        expect = self._twin(observers, towers, blocked, shift)
+        assert got == expect
+        vs = {v[3] for v in got.values()}
+        assert vs == {True, False}  # non-vacuous both ways
+
+    def test_endpoint_cells_excluded(self, spark):
+        # observer sits INSIDE a blocked cell, tower in another blocked
+        # cell, nothing in between: still visible
+        shift = 8
+        obs = spark.createDataFrame([(0, 10, 10)], "id bigint, x bigint, y bigint")
+        surf = spark.createDataFrame(
+            [(10, 10)] * 5 + [(5000, 10)] * 5, "x bigint, y bigint"
+        )
+        r = geostats.line_of_sight(
+            obs, surf, [(9, 5000, 10)], cell_shift=shift, block_min_count=4
+        ).collect()
+        assert len(r) == 1 and r[0].visible and r[0].n_blocked == 0
+        assert r[0].tower == 9
+
+    def test_adjacent_cells_emit_nothing(self, spark):
+        # obs and tower in adjacent cells: every sample is an endpoint
+        # cell, the line emits no row (trivially clear, documented)
+        obs = spark.createDataFrame([(0, 10, 10)], "id bigint, x bigint, y bigint")
+        surf = spark.createDataFrame([(10, 10)], "x bigint, y bigint")
+        r = geostats.line_of_sight(
+            obs, surf, [(1, 300, 10)], cell_shift=8, block_min_count=1
+        ).collect()
+        assert r == []
+
+    def test_validation(self, spark):
+        obs = spark.createDataFrame([(0, 0, 0)], "id bigint, x bigint, y bigint")
+        with pytest.raises(ValueError):
+            geostats.line_of_sight(obs, obs, [], cell_shift=24)
+        with pytest.raises(ValueError):
+            geostats.line_of_sight(obs, obs, [(0, 1, 1)], cell_shift=2)
