@@ -1256,6 +1256,14 @@ def q_slope(spark, sf_dir):
     )
 
 
+def q_distinctive(spark, sf_dir):
+    from gol_tool_spark.operators import retrieval
+
+    # top-5 distinguishing terms per doc by the exact rational tf-idf
+    # order (tf DESC, df ASC, term ASC)
+    return retrieval.distinctive_terms(_read(spark, sf_dir, "documents"), k=5)
+
+
 def q_los(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2018,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_dir": q_flow_dir,  # D8 flow direction (full oracle)
         "acf": q_acf,  # lag-k autocorrelation components (full oracle)
         "los": q_los,  # DDA line-of-sight visibility (full oracle)
+        "distinctive": q_distinctive,  # per-doc top-k keyword terms (full oracle)
         "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
@@ -3391,6 +3400,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
+        ),
+        "distinctive": (
+            # distinctive-terms twin: bm25's tokenization/postings chain,
+            # deterministic (tf DESC, df ASC, term ASC) rank
+            "WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace("
+            "lower(text), '\\s+', ' ', 'g')), ' ')) AS term FROM documents), "
+            "post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY 1, 2), "
+            "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1) "
+            "SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM ("
+            "SELECT p.doc_id, p.term, p.tf, d.df, ROW_NUMBER() OVER ("
+            "PARTITION BY p.doc_id ORDER BY p.tf DESC, d.df ASC, p.term ASC) AS rank "
+            "FROM post p JOIN dft d USING (term)) WHERE rank <= 5"
         ),
         "los": _with_points(
             # LOS twin: same DDA spec as seg_raster (bias, floor lerp,

@@ -253,6 +253,8 @@ def main():
          ("q3", "customer order merge stream")],
         "query_id string, qtext string")
     timed("bm25_topk_syn", lambda: force(retrieval.bm25_topk(docs_syn, bm25_q, k=10)))
+    # per-doc top-5 keywords: postings + df join + WindowGroupLimit
+    timed("distinctive_syn", lambda: force(retrieval.distinctive_terms(docs_syn, k=5)))
     # geodesic disc over the tiled points: range prefilter + haversine
     timed("radius_query", lambda: force(spatial_query.radius_query_m(
         pts_tiled.select("id", "x", "y"), -1500000000, -1500000000, 300000.0)),

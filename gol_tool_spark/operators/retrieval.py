@@ -120,3 +120,42 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "score_r", "rnk")
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k distinguishing terms — the keyword-extraction /
+    corpus-inspection primitive ("what is this doc about, relative to the
+    corpus").  Rank key is the EXACT rational tf-idf order (tf DESC, df
+    ASC, term ASC): for fixed tf any idf(df) monotone decreasing in df
+    induces exactly this order, so the ranking is float-free and
+    bit-reproducible (the float idf in bm25() is where scoring lives;
+    this operator is the deterministic selection stage).
+
+    Returns (doc_id, term, tf, df, rank), rank 1..k per doc.
+
+    Plan: the postings explode + ONE map-combined (doc, term) groupBy,
+    a term-keyed df aggregate JOINED back on term (AQE handles hot
+    stopword terms; at 100 TB both sides are term-bucketable), and a
+    WindowGroupLimit top-k per doc — the rank window prunes to k rows
+    per group before the final sort, no global shuffle of full postings.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    post = postings(docs, text_col=text_col, id_col=id_col)
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        post.join(df_t, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", F.col("rank").cast("int").alias("rank"))
+    )

@@ -89,3 +89,50 @@ class TestBM25:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestDistinctiveTerms:
+    @staticmethod
+    def _twin(docs, k):
+        toks = {d: t.lower().split() for d, t in docs}
+        df = {}
+        for t in toks.values():
+            for term in set(t):
+                df[term] = df.get(term, 0) + 1
+        out = {}
+        for d, t in toks.items():
+            tf = {}
+            for term in t:
+                tf[term] = tf.get(term, 0) + 1
+            ranked = sorted(tf.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))
+            for r, (term, f) in enumerate(ranked[:k], start=1):
+                out[(d, term)] = (f, df[term], r)
+        return out
+
+    def test_matches_python_twin(self, docs_df):
+        got = {
+            (r.doc_id, r.term): (r.tf, r.df, r.rank)
+            for r in retrieval.distinctive_terms(docs_df, k=3).collect()
+        }
+        assert got == self._twin(DOCS, 3)
+
+    def test_df_breaks_tf_ties_rarer_first(self, spark):
+        # doc 1: 'aa' and 'zz' both tf=1, but 'zz' is corpus-rare -> wins
+        docs = spark.createDataFrame(
+            [(1, "aa zz"), (2, "aa"), (3, "aa")], "doc_id long, text string"
+        )
+        top = retrieval.distinctive_terms(docs, k=1).filter("doc_id = 1").collect()
+        assert [(r.term, r.tf, r.df, r.rank) for r in top] == [("zz", 1, 1, 1)]
+
+    def test_k_bounds_and_validation(self, docs_df):
+        assert retrieval.distinctive_terms(docs_df, k=2).groupBy("doc_id").count() \
+            .filter("count > 2").count() == 0
+        with pytest.raises(ValueError):
+            retrieval.distinctive_terms(docs_df, k=0)
+
+    def test_topk_prunes_before_final_sort(self, docs_df, spark):
+        # the rank window must compile to a WindowGroupLimit (per-group
+        # top-k pruning), not a full-window materialization
+        plan = retrieval.distinctive_terms(docs_df, k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "WindowGroupLimit" in plan
