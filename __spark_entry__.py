@@ -1256,6 +1256,16 @@ def q_slope(spark, sf_dir):
     )
 
 
+def q_flow_acc(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # bounded upstream-catchment size over the D8 forest (4 rounds)
+    flow = geostats.flow_directions(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26
+    )
+    return geostats.flow_accumulation(flow, max_rounds=4)
+
+
 def q_distinctive(spark, sf_dir):
     from gol_tool_spark.operators import retrieval
 
@@ -2027,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,  # lag-k autocorrelation components (full oracle)
         "los": q_los,  # DDA line-of-sight visibility (full oracle)
         "distinctive": q_distinctive,  # per-doc top-k keyword terms (full oracle)
+        "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
         "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
@@ -2272,6 +2283,43 @@ def _catalog_cte() -> str:
 
 def _cents_sql(col: str) -> str:
     return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+def _flow_acc_oracle(rounds: int) -> str:
+    """Unrolled-CTE twin of flow_accumulation over flow_directions: the
+    flow_dir winner CTE -> D8 unit-step edges -> `rounds` aggregation
+    CTEs of acc_h = 1 + sum(upstream acc_{h-1})."""
+    head = (
+        ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+        "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM pts GROUP BY 1, 2), "
+        "cand AS (SELECT cl.cx, cl.cy, cl.c, o.code, o.mult, "
+        "cl.c - COALESCE(n.c, 0) AS dr FROM cells cl "
+        "CROSS JOIN (VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), "
+        "(-1, -1, 8, 1), (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), "
+        "(1, 1, 128, 1)) AS o(dx, dy, code, mult) "
+        "LEFT JOIN cells n ON n.cx = cl.cx + o.dx AND n.cy = cl.cy + o.dy), "
+        "w AS (SELECT cx, cy, code FROM (SELECT cx, cy, "
+        "CASE WHEN dr > 0 THEN code ELSE 0 END AS code, "
+        "ROW_NUMBER() OVER (PARTITION BY cx, cy ORDER BY "
+        "(CASE WHEN dr > 0 THEN CAST(dr AS HUGEINT) * dr * mult ELSE -1 END) DESC, "
+        "(CASE WHEN dr > 0 THEN code ELSE 0 END) ASC) AS rn FROM cand) WHERE rn = 1), "
+        "e AS (SELECT cx AS fx, cy AS fy, "
+        "cx + (CASE WHEN code IN (1, 2, 128) THEN 1 WHEN code IN (8, 16, 32) THEN -1 ELSE 0 END) AS tx, "
+        "cy + (CASE WHEN code IN (2, 4, 8) THEN -1 WHEN code IN (32, 64, 128) THEN 1 ELSE 0 END) AS ty "
+        "FROM w WHERE code <> 0), "
+        "a0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS acc FROM cells)"
+    )
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", a{i} AS (SELECT c.cx, c.cy, CAST(1 + COALESCE(u.s, 0) AS BIGINT) AS acc "
+            f"FROM cells c LEFT JOIN (SELECT e.tx AS cx, e.ty AS cy, SUM(p.acc) AS s "
+            f"FROM e JOIN a{i - 1} p ON p.cx = e.fx AND p.cy = e.fy GROUP BY 1, 2) u "
+            f"ON u.cx = c.cx AND u.cy = c.cy)"
+        )
+    parts.append(f" SELECT cx, cy, acc FROM a{rounds}")
+    return _with_points("".join(parts))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3401,6 +3449,7 @@ def oracle_sql() -> dict[str, str]:
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
         ),
+        "flow_acc": _flow_acc_oracle(4),
         "distinctive": (
             # distinctive-terms twin: bm25's tokenization/postings chain,
             # deterministic (tf DESC, df ASC, term ASC) rank

@@ -324,6 +324,9 @@ def main():
     timed("flow_dir", lambda: force(_gs.flow_directions(_pxy, cell_shift=26)))
     # quadrat dispersion: one map-combined groupBy + 1-row agg, zero joins
     timed("quadrat", lambda: force(_gs.quadrat_counts(_pxy, cell_shift=28)))
+    # bounded D8 catchment: 4 frontier rounds over the flow forest
+    timed("flow_acc", lambda: force(_gs.flow_accumulation(
+        _gs.flow_directions(_pxy, cell_shift=26), max_rounds=4)))
     # integer-kernel heatmap: two map-combined groupBys, 25-offset spread
     timed("kde_raster", lambda: force(_gs.kde_raster(_pxy, cell_shift=22, radius=2)))
     # Ripley pair-count curve: 2^15-blocked candidate join, one cond-sum pass

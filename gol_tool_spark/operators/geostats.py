@@ -1457,3 +1457,73 @@ def line_of_sight(
         )
         .withColumn("visible", F.col("n_blocked") == 0)
     )
+
+
+# D8 code -> unit offset (the flow_directions convention)
+_D8_STEP = {
+    1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+    16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1),
+}
+
+
+def flow_accumulation(flow: DataFrame, max_rounds: int = 4) -> DataFrame:
+    """Bounded D8 flow accumulation over a flow_directions() result — for
+    every cell, how many cells drain THROUGH it within max_rounds hops
+    (itself included): the upstream-catchment size of hydrology, applied
+    to the density surface.  Because flow_directions drops are strictly
+    positive, the flow graph is acyclic (count strictly decreases along
+    every edge), and each cell has at most ONE outflow — a forest — so
+    paths are unique and the bounded recurrence
+
+        acc_0(v) = 1;  acc_h(v) = 1 + sum over {u : flow(u) = v} acc_{h-1}(u)
+
+    counts exactly the cells whose flow path reaches v in <= max_rounds
+    steps.  Pits (d8 = 0) contribute no edge.
+
+    Returns (cx, cy, acc) for every cell of the input lattice.
+
+    Plan: the relations.py fixed-point discipline — per round ONE
+    equi-join on the target cell + a map-combined sum, localCheckpointed
+    to cut lineage; max_rounds bounds the stage count.  Work per round
+    is O(edges) = O(cells); nothing is ever all-pairs.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    step_dx = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _D8_STEP.items() for v in (kv[0], kv[1][0])]),
+        F.col("d8"),
+    )
+    step_dy = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _D8_STEP.items() for v in (kv[0], kv[1][1])]),
+        F.col("d8"),
+    )
+    cells = flow.select("cx", "cy").localCheckpoint(eager=True)
+    edges = (
+        flow.filter(F.col("d8") != 0)
+        .select(
+            F.col("cx").alias("fx"),
+            F.col("cy").alias("fy"),
+            (F.col("cx") + step_dx).alias("tx"),
+            (F.col("cy") + step_dy).alias("ty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    acc = cells.withColumn("acc", F.lit(1).cast("bigint"))
+    for _ in range(max_rounds):
+        upstream = (
+            edges.join(
+                acc.select(F.col("cx").alias("fx"), F.col("cy").alias("fy"), "acc"),
+                ["fx", "fy"],
+            )
+            .groupBy(F.col("tx").alias("cx"), F.col("ty").alias("cy"))
+            .agg(F.sum("acc").alias("_up"))
+        )
+        acc = (
+            cells.join(upstream, ["cx", "cy"], "left")
+            .select(
+                "cx", "cy",
+                (F.lit(1) + F.coalesce(F.col("_up"), F.lit(0))).cast("bigint").alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return acc

@@ -313,3 +313,59 @@ class TestLineOfSight:
             geostats.line_of_sight(obs, obs, [], cell_shift=24)
         with pytest.raises(ValueError):
             geostats.line_of_sight(obs, obs, [(0, 1, 1)], cell_shift=2)
+
+
+def _flow_acc_twin(cells, rounds):
+    d8 = _d8_twin(cells)
+    step = {1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+            16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1)}
+    lattice = [(x, y) for x, y, _ in cells]
+    acc = {c: 1 for c in lattice}
+    for _ in range(rounds):
+        new = {}
+        for c in lattice:
+            up = 0
+            for u in lattice:
+                code = d8[u][0]
+                if code and (u[0] + step[code][0], u[1] + step[code][1]) == c:
+                    up += acc[u]
+            new[c] = 1 + up
+        acc = new
+    return acc
+
+
+class TestFlowAccumulation:
+    def test_brute_force_twin(self, spark):
+        cells = [
+            (x, y, ((x * 29 + y * 13) % 11) + 1 + (4 if (x + y) % 3 == 0 else 0))
+            for x in range(7)
+            for y in range(7)
+        ]
+        flow = geostats.flow_directions(_pts_for_cells(spark, cells, 8), cell_shift=8)
+        got = {
+            (r.cx, r.cy): r.acc
+            for r in geostats.flow_accumulation(flow, max_rounds=4).collect()
+        }
+        assert got == _flow_acc_twin(cells, 4)
+        assert max(got.values()) > 1  # non-vacuous: something accumulates
+
+    def test_descending_chain_round_bound(self, spark):
+        # strictly descending eastward chain: every cell flows E (the
+        # straight drop to its lower neighbor beats the off-surface
+        # diagonals only while counts step by 1 < sqrt(2)*... verify via
+        # the twin), and acc at the low end grows with rounds up to the
+        # chain length
+        cells = [(x, 0, 10 - x) for x in range(6)]
+        flow = geostats.flow_directions(_pts_for_cells(spark, cells, 8), cell_shift=8)
+        for rounds in (0, 1, 3):
+            got = {
+                (r.cx, r.cy): r.acc
+                for r in geostats.flow_accumulation(flow, max_rounds=rounds).collect()
+            }
+            assert got == _flow_acc_twin(cells, rounds)
+        assert _flow_acc_twin(cells, 0) == {(x, 0): 1 for x in range(6)}
+
+    def test_validation(self, spark):
+        flow = geostats.flow_directions(_pts_for_cells(spark, [(0, 0, 1)], 8), cell_shift=8)
+        with pytest.raises(ValueError):
+            geostats.flow_accumulation(flow, max_rounds=-1)
