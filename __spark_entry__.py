@@ -1256,6 +1256,15 @@ def q_slope(spark, sf_dir):
     )
 
 
+def q_seg_components(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # network connectivity: CC over the proper-crossing graph (the
+    # seg_intersect pair chain + the dup_clusters large/small-star engine)
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return segments.crossing_components(segments.synth_segments(pts))
+
+
 def q_flow_acc(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2038,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "los": q_los,  # DDA line-of-sight visibility (full oracle)
         "distinctive": q_distinctive,  # per-doc top-k keyword terms (full oracle)
         "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
+        "seg_components": q_seg_components,  # crossing-graph CC (full oracle)
         "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
@@ -3450,6 +3460,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
         ),
         "flow_acc": _flow_acc_oracle(4),
+        "seg_components": (
+            # crossing-graph CC twin: the seg_intersect pair chain wrapped
+            # in the dup_clusters min-label reachability closure; isolated
+            # segments coalesce to themselves
+            f"WITH RECURSIVE pts AS ({_PTS}), "
+            "sg AS (SELECT id AS seg, x AS x1, y AS y1, "
+            "x + (CASE WHEN (id * 48271) % 65536 - 32768 = 0 AND (id * 69621 + 12345) % 65536 - 32768 = 0 "
+            "THEN 1 ELSE (id * 48271) % 65536 - 32768 END) AS x2, "
+            "y + ((id * 69621 + 12345) % 65536 - 32768) AS y2 FROM pts), "
+            "cov AS (SELECT seg, x1, y1, x2, y2, ux.cx AS cx, uy.cy AS cy FROM sg, "
+            "UNNEST(list_distinct([(x1 + 2147516416) // 65536, (x2 + 2147516416) // 65536])) AS ux(cx), "
+            "UNNEST(list_distinct([(y1 + 2147516416) // 65536, (y2 + 2147516416) // 65536])) AS uy(cy)), "
+            "cand AS (SELECT a.seg AS seg_a, b.seg AS seg_b, "
+            "CAST(a.x1 AS HUGEINT) AS ax1, CAST(a.y1 AS HUGEINT) AS ay1, "
+            "CAST(a.x2 AS HUGEINT) AS ax2, CAST(a.y2 AS HUGEINT) AS ay2, "
+            "CAST(b.x1 AS HUGEINT) AS bx1, CAST(b.y1 AS HUGEINT) AS by1, "
+            "CAST(b.x2 AS HUGEINT) AS bx2, CAST(b.y2 AS HUGEINT) AS by2 "
+            "FROM cov a JOIN cov b ON a.cx = b.cx AND a.cy = b.cy AND a.seg < b.seg), "
+            "dd AS (SELECT seg_a, seg_b, "
+            "(ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d1, "
+            "(ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d2, "
+            "(bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d3, "
+            "(bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d4 FROM cand), "
+            "p AS (SELECT DISTINCT seg_a, seg_b FROM dd "
+            "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+            "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))), "
+            "sym AS (SELECT seg_a u, seg_b v FROM p UNION ALL SELECT seg_b u, seg_a v FROM p), "
+            "reach AS (SELECT seg_a AS id, seg_a AS lbl FROM p "
+            "UNION SELECT seg_b AS id, seg_b AS lbl FROM p "
+            "UNION SELECT sym.v AS id, reach.lbl FROM reach JOIN sym ON sym.u = reach.id), "
+            "comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id) "
+            "SELECT s.seg, COALESCE(c.comp, s.seg) AS comp "
+            "FROM sg s LEFT JOIN comp c ON c.id = s.seg"
+        ),
         "distinctive": (
             # distinctive-terms twin: bm25's tokenization/postings chain,
             # deterministic (tf DESC, df ASC, term ASC) rank

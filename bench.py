@@ -416,6 +416,9 @@ def main():
     # DDA line rasterization: explode bounded by each segment's own span
     timed("seg_raster", lambda: force(_sg.raster_cover(
         _sg.synth_segments(points), cell_shift=12)))
+    # network connectivity: crossing pairs + large/small-star CC rounds
+    timed("seg_components", lambda: force(_sg.crossing_components(
+        _sg.synth_segments(points))))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()

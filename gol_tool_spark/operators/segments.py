@@ -239,3 +239,32 @@ def raster_cover(segs: DataFrame, cell_shift: int = 12) -> DataFrame:
         F.sum("cx").alias("sum_cx"),
         F.sum("cy").alias("sum_cy"),
     )
+
+
+def crossing_components(
+    segs: DataFrame, cell_shift: int = CELL_SHIFT, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components of the proper-crossing graph — "which
+    segments form one connected network": segment_intersections emits
+    the crossing pairs (grid-blocked, exact big-int orientation tests),
+    and the SAME alternating large-star/small-star CC engine that
+    clusters near-dup documents (dedup.dup_clusters) contracts them to
+    components in O(log n) rounds.  The road/rail/waterway connectivity
+    question of network analysis, answered without ever materializing
+    an all-pairs join.
+
+    Returns (seg, comp) for EVERY input segment; comp = the smallest
+    seg id reachable through crossings, so isolated segments are their
+    own singleton component (LEFT join + coalesce, not an inner join
+    that would silently drop them).
+    """
+    from gol_tool_spark.operators.dedup import dup_clusters
+
+    pairs = segment_intersections(segs, cell_shift)
+    comp = dup_clusters(pairs, a_col="seg_a", b_col="seg_b", max_rounds=max_rounds)
+    comp = comp.select(F.col("doc_id").alias("seg"), "comp")
+    return (
+        segs.select("seg")
+        .join(comp, "seg", "left")
+        .select("seg", F.coalesce(F.col("comp"), F.col("seg")).alias("comp"))
+    )

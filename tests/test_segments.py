@@ -145,3 +145,54 @@ class TestSnapPoints:
         out = {r.id: (r.seg, r.d2) for r in segments.snap_points(pts, segs).collect()}
         assert out[1] == (3, 100.0)  # tie at d2=100 -> min seg id
         assert out[2] == (7, 1600.0)  # 40 beyond the (100,10) endpoint
+
+
+class TestCrossingComponents:
+    @staticmethod
+    def _uf_twin(segs):
+        # union-find over the exact brute-force crossing pairs
+        parent = {s[0]: s[0] for s in segs}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i, a in enumerate(segs):
+            for b in segs[i + 1:]:
+                if _proper(a[1:], b[1:]):
+                    ra, rb = find(a[0]), find(b[0])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        return {s[0]: find(s[0]) for s in segs}
+
+    def test_matches_union_find_twin(self, spark):
+        segs = _synth_segs(300)
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: r.comp for r in segments.crossing_components(df).collect()}
+        expect = self._uf_twin(segs)
+        assert got == expect
+        # non-vacuous: some real merging happened AND isolated segs exist
+        assert len(set(got.values())) < len(got)
+        singles = [s for s, c in got.items() if c == s and list(got.values()).count(c) == 1]
+        assert singles
+
+    def test_chain_is_one_component(self, spark):
+        # chain of X shapes: seg i properly crosses only its neighbors
+        # -> the whole chain contracts to one component
+        segs = [
+            (i, i * 100, -100 if i % 2 == 0 else 100, (i + 2) * 100, 100 if i % 2 == 0 else -100)
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: r.comp for r in segments.crossing_components(df).collect()}
+        expect = self._uf_twin(segs)
+        assert got == expect
+        assert set(got.values()) == {0}  # the chain contracts to one comp
+
+    def test_isolated_are_singletons(self, spark):
+        segs = [(1, 0, 0, 10, 10), (2, 1000, 1000, 1010, 1010), (3, -500, 7, -400, 7)]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: r.comp for r in segments.crossing_components(df).collect()}
+        assert got == {1: 1, 2: 2, 3: 3}
