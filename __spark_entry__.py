@@ -1960,12 +1960,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- green + local re-verification only); they take the head so
         # -- CORRECTNESS_r05 covers everything r4 missed. phash_neardup has
         # -- never had a driver row at all.
-        "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
+        # phash_neardup -> tail this session: rows-only (driver row proves
+        # only the row count; the exact planted-pair invariants live in
+        # pytest); flow_acc takes the slot — its oracle EMBEDS the whole
+        # flow_dir winner CTE, so one driver row checks both new ops
+        "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
         "pack_greedy": q_pack_greedy,  # greedy binning (recursive-CTE oracle)
-        "seg_intersect": q_seg_intersect,  # exact proper-crossing join
+        # seg_intersect -> tail this session: seg_components' oracle embeds
+        # the identical pair chain and adds the reachability closure, so
+        # its driver row strictly dominates
+        "seg_components": q_seg_components,  # crossing-graph CC (full oracle)
         "od_matrix": q_od_matrix,  # origin-destination cell flows
         "gridhash_density": q_gridhash_density,  # base32 Morton prefix rollup
         "snap_segments": q_snap_segments,  # map matching (nearest segment)
@@ -2046,8 +2053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,  # lag-k autocorrelation components (full oracle)
         "los": q_los,  # DDA line-of-sight visibility (full oracle)
         "distinctive": q_distinctive,  # per-doc top-k keyword terms (full oracle)
-        "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
-        "seg_components": q_seg_components,  # crossing-graph CC (full oracle)
         "quadrat": q_quadrat,  # quadrat dispersion components (full oracle)
         "hmm_match": q_hmm_match,  # sticky-Viterbi map matching (rows-only)
         # ----- entry 50 boundary: everything below is r4 driver green and
@@ -2173,6 +2178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim": q_image_ssim,  # rows-only (pixels aren't SQL)
         # rotated out this session (see head-block comment)
         "way_simplify": q_way_simplify,  # rows-only: Douglas-Peucker (recursive)
+        "phash_neardup": q_phash_neardup,  # rows-only (pixel-derived hash)
+        "seg_intersect": q_seg_intersect,  # pair chain embedded in seg_components
         "dup_clusters": q_dup_clusters,  # CC over near-dup pairs
         "pack_chunks": q_pack_chunks,  # concat-and-chunk packing
     }
