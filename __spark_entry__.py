@@ -1275,6 +1275,17 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_watershed(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # basin labels over the D8 forest: 4 doubling rounds resolve paths
+    # up to 16 steps (flow_acc's observed catchment depth is well under)
+    flow = geostats.flow_directions(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26
+    )
+    return geostats.watershed(flow, doubling_rounds=4)
+
+
 def q_distinctive(spark, sf_dir):
     from gol_tool_spark.operators import retrieval
 
@@ -1965,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest); flow_acc takes the slot — its oracle EMBEDS the whole
         # flow_dir winner CTE, so one driver row checks both new ops
         "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
+        "watershed": q_watershed,  # basin labels by pointer doubling (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -2302,31 +2314,36 @@ def _cents_sql(col: str) -> str:
     return f"CAST(round({col} * 100) AS BIGINT)"
 
 
+# the flow_directions winner chain as a reusable CTE fragment ending in
+# w(cx, cy, code) and e(fx, fy, tx, ty) — shared by the flow_acc and
+# watershed oracles so one set of D8 semantics backs both
+_FLOW_W_CTE = (
+    ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+    "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM pts GROUP BY 1, 2), "
+    "cand AS (SELECT cl.cx, cl.cy, cl.c, o.code, o.mult, "
+    "cl.c - COALESCE(n.c, 0) AS dr FROM cells cl "
+    "CROSS JOIN (VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), "
+    "(-1, -1, 8, 1), (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), "
+    "(1, 1, 128, 1)) AS o(dx, dy, code, mult) "
+    "LEFT JOIN cells n ON n.cx = cl.cx + o.dx AND n.cy = cl.cy + o.dy), "
+    "w AS (SELECT cx, cy, code FROM (SELECT cx, cy, "
+    "CASE WHEN dr > 0 THEN code ELSE 0 END AS code, "
+    "ROW_NUMBER() OVER (PARTITION BY cx, cy ORDER BY "
+    "(CASE WHEN dr > 0 THEN CAST(dr AS HUGEINT) * dr * mult ELSE -1 END) DESC, "
+    "(CASE WHEN dr > 0 THEN code ELSE 0 END) ASC) AS rn FROM cand) WHERE rn = 1), "
+    "e AS (SELECT cx AS fx, cy AS fy, "
+    "cx + (CASE WHEN code IN (1, 2, 128) THEN 1 WHEN code IN (8, 16, 32) THEN -1 ELSE 0 END) AS tx, "
+    "cy + (CASE WHEN code IN (2, 4, 8) THEN -1 WHEN code IN (32, 64, 128) THEN 1 ELSE 0 END) AS ty "
+    "FROM w WHERE code <> 0)"
+)
+
+
 def _flow_acc_oracle(rounds: int) -> str:
     """Unrolled-CTE twin of flow_accumulation over flow_directions: the
     flow_dir winner CTE -> D8 unit-step edges -> `rounds` aggregation
     CTEs of acc_h = 1 + sum(upstream acc_{h-1})."""
-    head = (
-        ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
-        "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM pts GROUP BY 1, 2), "
-        "cand AS (SELECT cl.cx, cl.cy, cl.c, o.code, o.mult, "
-        "cl.c - COALESCE(n.c, 0) AS dr FROM cells cl "
-        "CROSS JOIN (VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), "
-        "(-1, -1, 8, 1), (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), "
-        "(1, 1, 128, 1)) AS o(dx, dy, code, mult) "
-        "LEFT JOIN cells n ON n.cx = cl.cx + o.dx AND n.cy = cl.cy + o.dy), "
-        "w AS (SELECT cx, cy, code FROM (SELECT cx, cy, "
-        "CASE WHEN dr > 0 THEN code ELSE 0 END AS code, "
-        "ROW_NUMBER() OVER (PARTITION BY cx, cy ORDER BY "
-        "(CASE WHEN dr > 0 THEN CAST(dr AS HUGEINT) * dr * mult ELSE -1 END) DESC, "
-        "(CASE WHEN dr > 0 THEN code ELSE 0 END) ASC) AS rn FROM cand) WHERE rn = 1), "
-        "e AS (SELECT cx AS fx, cy AS fy, "
-        "cx + (CASE WHEN code IN (1, 2, 128) THEN 1 WHEN code IN (8, 16, 32) THEN -1 ELSE 0 END) AS tx, "
-        "cy + (CASE WHEN code IN (2, 4, 8) THEN -1 WHEN code IN (32, 64, 128) THEN 1 ELSE 0 END) AS ty "
-        "FROM w WHERE code <> 0), "
-        "a0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS acc FROM cells)"
-    )
+    head = _FLOW_W_CTE + ", a0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS acc FROM cells)"
     parts = [head]
     for i in range(1, rounds + 1):
         parts.append(
@@ -2336,6 +2353,33 @@ def _flow_acc_oracle(rounds: int) -> str:
             f"ON u.cx = c.cx AND u.cy = c.cy)"
         )
     parts.append(f" SELECT cx, cy, acc FROM a{rounds}")
+    return _with_points("".join(parts))
+
+
+def _watershed_oracle(doubling_rounds: int) -> str:
+    """Pointer-doubling twin of geostats.watershed: the shared flow_dir
+    winner CTE -> total step map p0 (off-lattice target or pit -> self
+    loop with d = 0) -> `doubling_rounds` composition CTEs p_{k+1}(v) =
+    p_k(p_k(v)) with distances added -> terminal flag via p0.d = 0."""
+    head = _FLOW_W_CTE + (
+        ", p0 AS (SELECT w.cx, w.cy, "
+        "CASE WHEN w.code <> 0 AND n.cx IS NOT NULL THEN e.tx ELSE w.cx END AS tx, "
+        "CASE WHEN w.code <> 0 AND n.cx IS NOT NULL THEN e.ty ELSE w.cy END AS ty, "
+        "CAST(CASE WHEN w.code <> 0 AND n.cx IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS d "
+        "FROM w LEFT JOIN e ON e.fx = w.cx AND e.fy = w.cy "
+        "LEFT JOIN cells n ON n.cx = e.tx AND n.cy = e.ty)"
+    )
+    parts = [head]
+    for i in range(1, doubling_rounds + 1):
+        parts.append(
+            f", p{i} AS (SELECT a.cx, a.cy, b.tx, b.ty, a.d + b.d AS d "
+            f"FROM p{i - 1} a JOIN p{i - 1} b ON b.cx = a.tx AND b.cy = a.ty)"
+        )
+    parts.append(
+        f" SELECT p.cx, p.cy, p.tx AS sink_x, p.ty AS sink_y, p.d AS depth, "
+        f"(t.d = 0) AS at_sink FROM p{doubling_rounds} p "
+        f"JOIN p0 t ON t.cx = p.tx AND t.cy = p.ty"
+    )
     return _with_points("".join(parts))
 
 
@@ -3467,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
         ),
         "flow_acc": _flow_acc_oracle(4),
+        "watershed": _watershed_oracle(4),
         "seg_components": (
             # crossing-graph CC twin: the seg_intersect pair chain wrapped
             # in the dup_clusters min-label reachability closure; isolated

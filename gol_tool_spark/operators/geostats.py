@@ -1527,3 +1527,98 @@ def flow_accumulation(flow: DataFrame, max_rounds: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return acc
+
+
+def watershed(flow: DataFrame, doubling_rounds: int = 4) -> DataFrame:
+    """Basin (watershed) labeling over the D8 forest — for every cell,
+    WHICH sink its flow path terminates at: the catchment-delineation
+    primitive of hydrology (Jenson & Domingue 1988) applied to the
+    density surface, and the complement of flow_accumulation ("how much
+    drains through me" vs "where do I drain to").
+
+    step(v) = the D8 target if that target is ON the lattice, else v
+    itself — so terminals are pits (d8 = 0) AND edge cells whose flow
+    leaves the surface (flow_directions lets boundary cells drain toward
+    absent neighbors).  Because drops are strictly positive the forest
+    is acyclic; pointer doubling (p_{k+1} = p_k ∘ p_k, distances add)
+    resolves every path of length <= 2^doubling_rounds to its terminal
+    in doubling_rounds joins instead of depth joins — the log-rounds
+    discipline that keeps a continent-deep drainage network at ~40
+    stages instead of ~10^6.  Cells deeper than the bound carry the cell
+    reached after exactly 2^doubling_rounds steps with at_sink = false
+    (bounded semantics, same contract as flow_accumulation/max_rounds).
+
+    Returns (cx, cy, sink_x, sink_y, depth, at_sink): the basin outlet
+    coordinates, the EXACT path length walked (stops growing once the
+    terminal self-loop is reached), and whether the label is final.
+
+    Plan: one LEFT join builds the total step map (target off-lattice ->
+    self-loop), then doubling_rounds self-joins on the moving target
+    key, each localCheckpointed to cut lineage; one final LEFT join
+    marks terminal-ness.  Work per round is O(cells); never all-pairs.
+    """
+    if doubling_rounds < 0:
+        raise ValueError("doubling_rounds must be >= 0")
+    step_dx = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _D8_STEP.items() for v in (kv[0], kv[1][0])]),
+        F.col("d8"),
+    )
+    step_dy = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _D8_STEP.items() for v in (kv[0], kv[1][1])]),
+        F.col("d8"),
+    )
+    lattice = flow.select(
+        F.col("cx").alias("_lx"), F.col("cy").alias("_ly")
+    ).localCheckpoint(eager=True)
+    raw = flow.select(
+        "cx", "cy",
+        F.when(F.col("d8") == 0, F.col("cx")).otherwise(F.col("cx") + step_dx).alias("_tx"),
+        F.when(F.col("d8") == 0, F.col("cy")).otherwise(F.col("cy") + step_dy).alias("_ty"),
+        (F.col("d8") != 0).alias("_moves"),
+    )
+    # total step map: off-lattice targets become self-loops (edge sinks)
+    p = (
+        raw.join(
+            lattice, (F.col("_tx") == F.col("_lx")) & (F.col("_ty") == F.col("_ly")), "left"
+        )
+        .select(
+            "cx", "cy",
+            F.when(F.col("_moves") & F.col("_lx").isNotNull(), F.col("_tx"))
+            .otherwise(F.col("cx")).alias("tx"),
+            F.when(F.col("_moves") & F.col("_lx").isNotNull(), F.col("_ty"))
+            .otherwise(F.col("cy")).alias("ty"),
+            F.when(F.col("_moves") & F.col("_lx").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    terminals = p.filter(F.col("d") == 0).select(
+        F.col("cx").alias("_sx"), F.col("cy").alias("_sy")
+    ).localCheckpoint(eager=True)
+    cur = p
+    for _ in range(doubling_rounds):
+        nxt = cur.select(
+            F.col("cx").alias("_jx"), F.col("cy").alias("_jy"),
+            F.col("tx").alias("_t2x"), F.col("ty").alias("_t2y"),
+            F.col("d").alias("_d2"),
+        )
+        cur = (
+            cur.join(nxt, (F.col("tx") == F.col("_jx")) & (F.col("ty") == F.col("_jy")))
+            .select(
+                "cx", "cy",
+                F.col("_t2x").alias("tx"), F.col("_t2y").alias("ty"),
+                (F.col("d") + F.col("_d2")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.join(
+            terminals, (F.col("tx") == F.col("_sx")) & (F.col("ty") == F.col("_sy")), "left"
+        )
+        .select(
+            "cx", "cy",
+            F.col("tx").alias("sink_x"), F.col("ty").alias("sink_y"),
+            F.col("d").alias("depth"),
+            F.col("_sx").isNotNull().alias("at_sink"),
+        )
+    )

@@ -369,3 +369,87 @@ class TestFlowAccumulation:
         flow = geostats.flow_directions(_pts_for_cells(spark, [(0, 0, 1)], 8), cell_shift=8)
         with pytest.raises(ValueError):
             geostats.flow_accumulation(flow, max_rounds=-1)
+
+
+_STEP = {1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+         16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1)}
+
+
+def _watershed_twin(cells, rounds):
+    d8 = _d8_twin(cells)
+    lattice = {(x, y) for x, y, _ in cells}
+    step = {}
+    for v in lattice:
+        code = d8[v][0]
+        t = (v[0] + _STEP[code][0], v[1] + _STEP[code][1]) if code else None
+        step[v] = t if (t is not None and t in lattice) else None
+    out = {}
+    cap = 2 ** rounds
+    for v in lattice:
+        cur, d = v, 0
+        while d < cap and step[cur] is not None:
+            cur = step[cur]
+            d += 1
+        out[v] = (cur[0], cur[1], d, step[cur] is None)
+    return out
+
+
+class TestWatershed:
+    def test_brute_force_twin(self, spark):
+        cells = [
+            (x, y, ((x * 29 + y * 13) % 11) + 1 + (4 if (x + y) % 3 == 0 else 0))
+            for x in range(9)
+            for y in range(9)
+        ]
+        flow = geostats.flow_directions(_pts_for_cells(spark, cells, 8), cell_shift=8)
+        for rounds in (0, 1, 2, 4):
+            got = {
+                (r.cx, r.cy): (r.sink_x, r.sink_y, r.depth, r.at_sink)
+                for r in geostats.watershed(flow, doubling_rounds=rounds).collect()
+            }
+            assert got == _watershed_twin(cells, rounds)
+        full = _watershed_twin(cells, 4)
+        assert all(v[3] for v in full.values())  # 16 steps settle a 9x9 grid
+        assert len({(v[0], v[1]) for v in full.values()}) > 1  # >1 basin
+
+    def test_descending_chain_bounded(self, spark):
+        # eastward descending chain WALLED by high cells (boundary cells
+        # always drain off-surface — absent neighbors count 0 — so a pure
+        # chain needs interior cells): head (1,1) is 5 steps from the pit
+        # at (6,1); 1 doubling round (2 steps) leaves it unsettled at
+        # (3,1), 3 rounds (8 steps) settle it at depth 5
+        cells = [(x, y, 100) for x in range(8) for y in (0, 2)]
+        cells += [(0, 1, 100), (7, 1, 100)]
+        cells += [(x, 1, 70 - 10 * x) for x in range(1, 7)]  # 60..10
+        flow = geostats.flow_directions(_pts_for_cells(spark, cells, 8), cell_shift=8)
+        short = {
+            (r.cx, r.cy): (r.sink_x, r.sink_y, r.depth, r.at_sink)
+            for r in geostats.watershed(flow, doubling_rounds=1).collect()
+        }
+        assert short == _watershed_twin(cells, 1)
+        assert short[(1, 1)] == (3, 1, 2, False)
+        done = {
+            (r.cx, r.cy): (r.sink_x, r.sink_y, r.depth, r.at_sink)
+            for r in geostats.watershed(flow, doubling_rounds=3).collect()
+        }
+        assert done == _watershed_twin(cells, 3)
+        assert done[(1, 1)] == (6, 1, 5, True)
+        assert done[(6, 1)] == (6, 1, 0, True)
+
+    def test_pit_is_own_sink(self, spark):
+        # uniform plateau: interior pits label themselves at depth 0
+        cells = [(x, y, 2) for x in range(5) for y in range(5)]
+        flow = geostats.flow_directions(_pts_for_cells(spark, cells, 8), cell_shift=8)
+        got = {
+            (r.cx, r.cy): (r.sink_x, r.sink_y, r.depth, r.at_sink)
+            for r in geostats.watershed(flow, doubling_rounds=4).collect()
+        }
+        assert got == _watershed_twin(cells, 4)
+        for x in range(1, 4):
+            for y in range(1, 4):
+                assert got[(x, y)] == (x, y, 0, True)
+
+    def test_validation(self, spark):
+        flow = geostats.flow_directions(_pts_for_cells(spark, [(0, 0, 1)], 8), cell_shift=8)
+        with pytest.raises(ValueError):
+            geostats.watershed(flow, doubling_rounds=-1)
