@@ -1275,6 +1275,15 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_triangles(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # degree-ordered triangle census over the proper-crossing graph:
+    # exact local clustering-coefficient components (seg, deg, tri)
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return segments.crossing_triangles(segments.synth_segments(pts))
+
+
 def q_watershed(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1977,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flow_dir winner CTE, so one driver row checks both new ops
         "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
         "watershed": q_watershed,  # basin labels by pointer doubling (full oracle)
+        "triangles": q_triangles,  # crossing-graph triangle census (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -2312,6 +2322,35 @@ def _catalog_cte() -> str:
 
 def _cents_sql(col: str) -> str:
     return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+# the segment_intersections pair chain as a reusable CTE fragment ending
+# in p(seg_a, seg_b) — same LCG segment synthesis, same <=2x2 cover cells,
+# four HUGEINT cross products == Spark's DECIMAL(38,0) lane (twin of the
+# inline chains inside the seg_intersect / seg_components oracles)
+_SEG_PAIRS_SQL = (
+    "sg AS (SELECT id AS seg, x AS x1, y AS y1, "
+    "x + (CASE WHEN (id * 48271) % 65536 - 32768 = 0 AND (id * 69621 + 12345) % 65536 - 32768 = 0 "
+    "THEN 1 ELSE (id * 48271) % 65536 - 32768 END) AS x2, "
+    "y + ((id * 69621 + 12345) % 65536 - 32768) AS y2 FROM pts), "
+    "cov AS (SELECT seg, x1, y1, x2, y2, ux.cx AS cx, uy.cy AS cy FROM sg, "
+    "UNNEST(list_distinct([(x1 + 2147516416) // 65536, (x2 + 2147516416) // 65536])) AS ux(cx), "
+    "UNNEST(list_distinct([(y1 + 2147516416) // 65536, (y2 + 2147516416) // 65536])) AS uy(cy)), "
+    "cand AS (SELECT a.seg AS seg_a, b.seg AS seg_b, "
+    "CAST(a.x1 AS HUGEINT) AS ax1, CAST(a.y1 AS HUGEINT) AS ay1, "
+    "CAST(a.x2 AS HUGEINT) AS ax2, CAST(a.y2 AS HUGEINT) AS ay2, "
+    "CAST(b.x1 AS HUGEINT) AS bx1, CAST(b.y1 AS HUGEINT) AS by1, "
+    "CAST(b.x2 AS HUGEINT) AS bx2, CAST(b.y2 AS HUGEINT) AS by2 "
+    "FROM cov a JOIN cov b ON a.cx = b.cx AND a.cy = b.cy AND a.seg < b.seg), "
+    "dd AS (SELECT seg_a, seg_b, "
+    "(ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d1, "
+    "(ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d2, "
+    "(bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d3, "
+    "(bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d4 FROM cand), "
+    "p AS (SELECT DISTINCT seg_a, seg_b FROM dd "
+    "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+    "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))"
+)
 
 
 # the flow_directions winner chain as a reusable CTE fragment ending in
@@ -3512,6 +3551,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "flow_acc": _flow_acc_oracle(4),
         "watershed": _watershed_oracle(4),
+        "triangles": _with_points(
+            # compact-forward twin over the shared crossing-pair chain:
+            # rank = (degree, id), wedges at the rank-lowest corner
+            ", " + _SEG_PAIRS_SQL + ", "
+            "sym AS (SELECT seg_a AS u, seg_b AS v FROM p "
+            "UNION ALL SELECT seg_b AS u, seg_a AS v FROM p), "
+            "deg AS (SELECT u AS seg, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u), "
+            "ed AS (SELECT s.u, s.v, dv.deg AS dv FROM sym s "
+            "JOIN deg du ON du.seg = s.u JOIN deg dv ON dv.seg = s.v "
+            "WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)), "
+            "wed AS (SELECT a.u AS n1, a.v AS n2, b.v AS n3 FROM ed a JOIN ed b ON b.u = a.u "
+            "AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))), "
+            "tri AS (SELECT n1, n2, n3 FROM wed JOIN ed e ON e.u = wed.n2 AND e.v = wed.n3), "
+            "tn AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS tri FROM "
+            "(SELECT n1 AS seg FROM tri UNION ALL SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri) "
+            "GROUP BY seg) "
+            "SELECT d.seg, d.deg, COALESCE(t.tri, 0) AS tri "
+            "FROM deg d LEFT JOIN tn t ON t.seg = d.seg"
+        ),
         "seg_components": (
             # crossing-graph CC twin: the seg_intersect pair chain wrapped
             # in the dup_clusters min-label reachability closure; isolated

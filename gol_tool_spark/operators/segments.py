@@ -268,3 +268,74 @@ def crossing_components(
         .join(comp, "seg", "left")
         .select("seg", F.coalesce(F.col("comp"), F.col("seg")).alias("comp"))
     )
+
+
+def crossing_triangles(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> DataFrame:
+    """Triangle census over the proper-crossing graph — for every segment
+    in the graph, its crossing degree and the number of triangles
+    (mutually-crossing triples) it participates in: the exact integer
+    components of the local clustering coefficient (tri / C(deg, 2)),
+    the standard "how mesh-like is this network here" statistic of
+    network analysis (Watts & Strogatz 1998).
+
+    Algorithm: compact-forward / degree ordering (Latapy 2008) — orient
+    every crossing edge from the lower-rank endpoint by (degree, id),
+    generate wedges only at each edge's SOURCE, and close them against
+    the oriented edge set.  Ordering by degree (not id) is what makes
+    this survive scale-up: a hub crossed by d segments generates wedges
+    bounded by arboricity * m, not d^2 — under id-ordering one popular
+    trunk line would quadratically explode.  Each triangle is generated
+    exactly once (its rank-lowest corner is the wedge pivot).
+
+    Returns (seg, deg, tri) for every segment with >= 1 crossing; tri is
+    0 for nodes in no triangle (LEFT join, not inner).
+
+    Plan: the segment_intersections pair chain, one map-combined degree
+    groupBy, two broadcast-free equi-joins to attach endpoint degrees,
+    one wedge self-join on the source key, one closing equi-join, one
+    corner-explode groupBy.  deg/ed are localCheckpointed (each is read
+    2-3 times downstream).  Never all-pairs.
+    """
+    pairs = segment_intersections(segs, cell_shift)
+    sym = pairs.select(
+        F.col("seg_a").alias("u"), F.col("seg_b").alias("v")
+    ).unionAll(pairs.select(F.col("seg_b").alias("u"), F.col("seg_a").alias("v")))
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .select(F.col("u").alias("seg"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    ed = (
+        sym.join(deg.select(F.col("seg").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("seg").alias("v"), F.col("deg").alias("_dv")), "v")
+        .filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", F.col("_dv").alias("dv"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = ed.alias("a"), ed.alias("b")
+    wed = (
+        a.join(b, F.col("a.u") == F.col("b.u"))
+        .filter(
+            (F.col("a.dv") < F.col("b.dv"))
+            | ((F.col("a.dv") == F.col("b.dv")) & (F.col("a.v") < F.col("b.v")))
+        )
+        .select(
+            F.col("a.u").alias("n1"), F.col("a.v").alias("n2"), F.col("b.v").alias("n3")
+        )
+    )
+    tri = wed.join(
+        ed.select(F.col("u").alias("n2"), F.col("v").alias("n3")), ["n2", "n3"]
+    )
+    corners = (
+        tri.select(F.col("n1").alias("seg"))
+        .unionAll(tri.select(F.col("n2").alias("seg")))
+        .unionAll(tri.select(F.col("n3").alias("seg")))
+    )
+    tn = corners.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    return deg.join(tn, "seg", "left").select(
+        "seg", "deg", F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("tri")
+    )

@@ -196,3 +196,79 @@ class TestCrossingComponents:
         df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
         got = {r.seg: r.comp for r in segments.crossing_components(df).collect()}
         assert got == {1: 1, 2: 2, 3: 3}
+
+
+class TestCrossingTriangles:
+    @staticmethod
+    def _tri_twin(segs):
+        # brute-force triangle census over the exact crossing pairs
+        ids = [s[0] for s in segs]
+        adj = {i: set() for i in ids}
+        for i, a in enumerate(segs):
+            for b in segs[i + 1:]:
+                if _proper(a[1:], b[1:]):
+                    adj[a[0]].add(b[0])
+                    adj[b[0]].add(a[0])
+        out = {}
+        for v in ids:
+            if not adj[v]:
+                continue
+            nb = sorted(adj[v])
+            tri = sum(
+                1
+                for i, p in enumerate(nb)
+                for q in nb[i + 1:]
+                if q in adj[p]
+            )
+            out[v] = (len(adj[v]), tri)
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        # the LCG synth segments are too sparse to form triangles (115
+        # crossings, 0 triangles at n=800) — mix in dense random chords
+        # of one box, which pairwise-cross constantly
+        segs = list(_synth_segs(200))
+        base = 10_000
+        for i in range(60):
+            a = (i * 48271 + 11) % 400
+            b = (i * 69621 + 137) % 400
+            segs.append(
+                (base + i, -200 + a, -250, -200 + b, 250)
+                if i % 2 == 0
+                else (base + i, -250, -200 + a, 250, -200 + b)
+            )
+        # one remote lone crossing guarantees a tri-free graph node
+        segs += [(20001, 900000, -50, 900000, 50), (20002, 899950, 0, 900050, 0)]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: (r.deg, r.tri) for r in segments.crossing_triangles(df).collect()}
+        expect = self._tri_twin(segs)
+        assert got == expect
+        assert any(v[1] > 0 for v in got.values())  # non-vacuous: triangles exist
+        assert got[20001] == (1, 0)  # and tri-free nodes too
+
+    def test_three_mutual_crossings(self, spark):
+        # a hash-sign triangle: three long segments pairwise crossing
+        segs = [
+            (1, -100, 10, 100, 20),    # ~horizontal
+            (2, -10, -100, 20, 100),   # ~vertical
+            (3, -100, 80, 100, -80),   # diagonal crosses both
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: (r.deg, r.tri) for r in segments.crossing_triangles(df).collect()}
+        assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+    def test_wedge_without_closure(self, spark):
+        # V shape: 2 crosses 1 and 3, but 1 never crosses 3 -> no triangle
+        segs = [
+            (1, -100, 10, 0, 10),
+            (2, -60, -50, -40, 50),
+            (3, -100, -30, 0, -30),
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: (r.deg, r.tri) for r in segments.crossing_triangles(df).collect()}
+        assert got == {1: (1, 0), 2: (2, 0), 3: (1, 0)}
+
+    def test_isolated_emit_nothing(self, spark):
+        segs = [(1, 0, 0, 10, 10), (2, 1000, 1000, 1010, 1010)]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        assert segments.crossing_triangles(df).collect() == []
