@@ -1275,6 +1275,16 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_lisa(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # local Moran's I per z6 lattice cell: per-cell hotspot/outlier
+    # quadrants whose numerators sum to the global morans_i numerator
+    return geostats.local_morans(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26
+    )
+
+
 def q_triangles(spark, sf_dir):
     from gol_tool_spark.operators import segments
 
@@ -1987,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_acc": q_flow_acc,  # bounded D8 flow accumulation (full oracle)
         "watershed": q_watershed,  # basin labels by pointer doubling (full oracle)
         "triangles": q_triangles,  # crossing-graph triangle census (full oracle)
+        "lisa": q_lisa,  # local Moran's I quadrants (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3465,6 +3476,29 @@ def oracle_sql() -> dict[str, str]:
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "lisa": _with_points(
+            # local-Moran twin: the morans_i z/probe chain, grouped per
+            # origin cell instead of globally; LEFT join keeps isolated
+            # cells at w = 0, quadrant labels from exact integer signs
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(c) AS t FROM cells), "
+            "z AS (SELECT cx, cy, c, CAST(n_cells AS HUGEINT) * CAST(c AS HUGEINT) "
+            "- CAST(t AS HUGEINT) AS zs FROM cells, tot), "
+            "pr AS (SELECT cx AS cx0, cy AS cy0, cx + d.dx AS cx, cy + d.dy AS cy FROM z, "
+            "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy)), "
+            "lg AS (SELECT p.cx0 AS cx, p.cy0 AS cy, SUM(q.zs) AS lag, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM pr p JOIN z q ON p.cx = q.cx AND p.cy = q.cy "
+            "GROUP BY 1, 2) "
+            "SELECT z.cx, z.cy, z.c, COALESCE(l.w, 0) AS w, CAST(z.zs AS VARCHAR) AS zs, "
+            "CAST(COALESCE(l.lag, 0) AS VARCHAR) AS lag, "
+            "CAST(z.zs * COALESCE(l.lag, 0) AS VARCHAR) AS num, "
+            "CASE WHEN COALESCE(l.w, 0) > 0 AND z.zs <> 0 AND COALESCE(l.lag, 0) <> 0 "
+            "THEN (CASE WHEN z.zs > 0 THEN 'H' ELSE 'L' END) || "
+            "(CASE WHEN l.lag > 0 THEN 'H' ELSE 'L' END) END AS quad "
+            "FROM z LEFT JOIN lg l ON l.cx = z.cx AND l.cy = z.cy"
         ),
         "zonal_stats": _zonal_oracle(),
         "way_diameter": (

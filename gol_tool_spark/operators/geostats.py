@@ -1622,3 +1622,86 @@ def watershed(flow: DataFrame, doubling_rounds: int = 4) -> DataFrame:
             F.col("_sx").isNotNull().alias("at_sink"),
         )
     )
+
+
+def local_morans(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) components per occupied grid
+    cell with rook binary weights — the per-cell decomposition of the
+    global morans_i: WHERE is the clustering, not just how much.
+
+    For each occupied cell i:  I_i ∝ z_i * sum_{j in rook(i)} z_j, with
+    z_i = n_cells*count_i - total (the same integer-scaled deviation the
+    global statistic uses, so sum_i num_i == the global numerator).
+
+    Returns (cx, cy, c, w, zs, lag, num, quad): the neighbor count w,
+    exact z_i / spatial lag / product as DECIMAL strings, and the
+    classic LISA quadrant label — 'HH'/'LL' (hotspot/coldspot core) /
+    'HL'/'LH' (spatial outliers), NULL when undefined (isolated cell or
+    a zero factor).  Exact integers end to end; significance (the
+    permutation envelope) is intentionally out of scope.
+
+    Plan: identical shape to morans_i — pinned lattice, broadcast
+    totals, ONE equi-join on the 4-offset neighbor probe, one
+    map-combined groupBy, one LEFT join back (isolated cells keep
+    w = 0 rather than vanishing).  Never all-pairs; hot cells cost
+    exactly 4 probe rows like every other cell.
+    """
+    cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = _pin(cells)
+    totals = cells.agg(F.count(F.lit(1)).alias("n_cells"), F.sum("c").alias("t"))
+    d = lambda col: col.cast("decimal(38,0)")
+    z = cells.join(F.broadcast(totals)).select(
+        "cx", "cy", "c",
+        (d(F.col("n_cells")) * d(F.col("c")) - d(F.col("t"))).alias("zs"),
+    )
+    probe = z.select(
+        F.col("cx").alias("cx0"), F.col("cy").alias("cy0"),
+        F.explode(
+            F.array(
+                F.struct((F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct((F.col("cx") - 1).alias("cx"), F.col("cy").alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")),
+                F.struct(F.col("cx").alias("cx"), (F.col("cy") - 1).alias("cy")),
+            )
+        ).alias("_nb"),
+    ).select("cx0", "cy0", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    lag = (
+        probe.join(z.select("cx", "cy", F.col("zs").alias("_zj")), ["cx", "cy"])
+        .groupBy(F.col("cx0").alias("cx"), F.col("cy0").alias("cy"))
+        .agg(
+            F.sum("_zj").cast("decimal(38,0)").alias("_lag"),
+            F.count(F.lit(1)).cast("bigint").alias("_w"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    out = z.join(lag, ["cx", "cy"], "left").select(
+        "cx", "cy", "c",
+        F.coalesce(F.col("_w"), F.lit(0).cast("bigint")).alias("w"),
+        F.col("zs"),
+        F.coalesce(F.col("_lag"), zero).alias("lag"),
+    )
+    quad = F.when(
+        (F.col("w") > 0) & (F.col("zs") != 0) & (F.col("lag") != 0),
+        F.concat(
+            F.when(F.col("zs") > 0, F.lit("H")).otherwise(F.lit("L")),
+            F.when(F.col("lag") > 0, F.lit("H")).otherwise(F.lit("L")),
+        ),
+    )
+    return out.select(
+        "cx", "cy", "c", "w",
+        F.col("zs").cast("string").alias("zs"),
+        F.col("lag").cast("string").alias("lag"),
+        (F.col("zs") * F.col("lag")).cast("decimal(38,0)").cast("string").alias("num"),
+        quad.alias("quad"),
+    )

@@ -862,3 +862,64 @@ class TestDominantColor:
         a[1, :, :] = 255   # code 4095 x2
         r = multimodal.dominant_color(_img_df(spark, [a]), bits=4).first()
         assert r.dom_code == 0 and r.dom_px == 2 and r.n_codes == 2
+
+
+def _lisa_twin(points, shift):
+    cells: dict[tuple, int] = {}
+    for x, y in points:
+        k = ((x + (1 << 31)) >> shift, (y + (1 << 31)) >> shift)
+        cells[k] = cells.get(k, 0) + 1
+    n = len(cells)
+    t = sum(cells.values())
+    zs = {k: n * c - t for k, c in cells.items()}
+    out = {}
+    for (cx, cy), zi in zs.items():
+        lag = w = 0
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (cx + dx, cy + dy)
+            if nb in zs:
+                lag += zs[nb]
+                w += 1
+        quad = None
+        if w and zi and lag:
+            quad = ("H" if zi > 0 else "L") + ("H" if lag > 0 else "L")
+        out[(cx, cy)] = (cells[(cx, cy)], w, str(zi), str(lag), str(zi * lag), quad)
+    return out
+
+
+class TestLocalMorans:
+    def test_matches_python_twin(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = TestMoransI._pts(TestMoransI())
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r.cx, r.cy): (r.c, r.w, r.zs, r.lag, r.num, r.quad)
+            for r in geostats.local_morans(df, cell_shift=14).collect()
+        }
+        expect = _lisa_twin(pts, 14)
+        assert got == expect
+        quads = {v[5] for v in got.values() if v[5]}
+        assert "HH" in quads  # the clusters produce hotspot cores
+
+    def test_sums_to_global_numerator(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        pts = TestMoransI._pts(TestMoransI())
+        df = spark.createDataFrame(pts, "x long, y long")
+        local = geostats.local_morans(df, cell_shift=14).collect()
+        glob = geostats.morans_i(df, cell_shift=14).first()
+        assert sum(int(r.num) for r in local) == int(glob.num)
+        assert sum(r.w for r in local) == glob.w_pairs
+
+    def test_isolated_cell_is_null_quad(self, spark):
+        from gol_tool_spark.operators import geostats
+
+        df = spark.createDataFrame(
+            [(0, 0), (1 << 30, 1 << 30), (1 << 30, (1 << 30) + 100)], "x long, y long"
+        )
+        got = {
+            (r.cx, r.cy): (r.c, r.w, r.quad) for r in geostats.local_morans(df, cell_shift=26).collect()
+        }
+        assert len(got) == 2
+        assert all(v[1] == 0 and v[2] is None for v in got.values())
