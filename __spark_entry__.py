@@ -1275,6 +1275,21 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_interval_coverage(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # per-user union uptime over synthetic spans: each event opens a
+    # (event_id % 7 + 1) * 10-minute interval; spans overlap heavily
+    # within a user's bursts, so merging is non-vacuous
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        temporal._wall_secs("ts").alias("start_s"),
+        (temporal._wall_secs("ts") + (F.col("event_id") % 7 + 1) * 600).alias("end_s"),
+    )
+    return temporal.interval_coverage(iv, by=("user_id",))
+
+
 def q_lisa(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -1998,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed": q_watershed,  # basin labels by pointer doubling (full oracle)
         "triangles": q_triangles,  # crossing-graph triangle census (full oracle)
         "lisa": q_lisa,  # local Moran's I quadrants (full oracle)
+        "interval_coverage": q_interval_coverage,  # interval-union sweep (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3476,6 +3492,20 @@ def oracle_sql() -> dict[str, str]:
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "interval_coverage": (
+            # sweep-line twin: running max(end) block detection + the
+            # same two-level fold, in DuckDB windows
+            "WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "CAST(floor(epoch(ts)) + (event_id % 7 + 1) * 600 AS BIGINT) AS e FROM events), "
+            "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv), "
+            "b AS (SELECT user_id, s, e, SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS blk FROM m), "
+            "g AS (SELECT user_id, blk, MIN(s) AS bs, MAX(e) AS be, COUNT(*) AS n FROM b GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals, "
+            "CAST(COUNT(*) AS BIGINT) AS n_blocks, CAST(SUM(be - bs) AS BIGINT) AS covered_s, "
+            "CAST(MAX(be) - MIN(bs) AS BIGINT) AS span_s FROM g GROUP BY user_id"
         ),
         "lisa": _with_points(
             # local-Moran twin: the morans_i z/probe chain, grouped per

@@ -501,3 +501,63 @@ def acf_stats(
         .cast("string")
         .alias("num"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    start: str = "start_s",
+    end: str = "end_s",
+    by: Sequence[str] = ("entity",),
+    validate: bool = False,
+) -> DataFrame:
+    """Interval-union coverage per entity — the classic sweep-line
+    "how much wall time do these overlapping intervals actually cover"
+    reduction (gaps-and-islands over ranges): sessions from heartbeats,
+    sensor uptime from report windows, machine-busy time from task spans.
+
+    Intervals are half-open [start, end); rows with end < start are
+    dropped (or raise, with validate=True — that costs one extra scan,
+    so it is opt-in rather than a hidden driver action on the hot path).
+    Returns one row per entity:
+    (by..., n_intervals, n_blocks, covered_s, span_s) — the interval
+    count, the number of merged maximal blocks, the EXACT union length,
+    and max(end) - min(start).
+
+    Plan: one shuffle on the entity keys; a running max(end) window
+    detects block starts (an interval opens a new block iff it starts
+    after everything before it has ended), a running sum numbers the
+    blocks, then two map-combined groupBys fold blocks and entities.
+    Tie order within equal starts cannot change the outcome (a later
+    equal-start interval always lands in the same block), so the result
+    is deterministic under Spark's unstable sort.  Per-entity interval
+    counts bound the window state — the same skew contract as
+    sessionize/asof_join.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("by must name at least one entity column")
+    if validate and df.filter(F.col(end) < F.col(start)).limit(1).count():
+        raise ValueError(f"interval_coverage: rows with {end} < {start}")
+    d = df.select(*by, F.col(start).alias("_s"), F.col(end).alias("_e")).filter(
+        F.col("_e") >= F.col("_s")
+    )
+    w_ord = Window.partitionBy(*by).orderBy("_s", "_e")
+    prev = F.max("_e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    new_blk = F.when(prev.isNull() | (F.col("_s") > prev), 1).otherwise(0)
+    numbered = d.select(
+        *by, "_s", "_e",
+        F.sum(new_blk)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_blk"),
+    )
+    blocks = numbered.groupBy(*by, "_blk").agg(
+        F.min("_s").alias("_bs"),
+        F.max("_e").alias("_be"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return blocks.groupBy(*by).agg(
+        F.sum("_n").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.col("_be") - F.col("_bs")).cast("bigint").alias("covered_s"),
+        (F.max("_be") - F.min("_bs")).cast("bigint").alias("span_s"),
+    )

@@ -257,3 +257,76 @@ class TestAcfStats:
         # one exchange for the window sort, one for the final partial/final
         # agg pair — the three lags must NOT each add an exchange
         assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def _coverage_twin(rows):
+    # rows: (entity, s, e); brute-force union per entity
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ent, s, e in rows:
+        if e >= s:
+            per[ent].append((s, e))
+    out = {}
+    for ent, iv in per.items():
+        iv.sort()
+        blocks = []
+        for s, e in iv:
+            if blocks and s <= blocks[-1][1]:
+                blocks[-1][1] = max(blocks[-1][1], e)
+            else:
+                blocks.append([s, e])
+        out[ent] = (
+            len(iv),
+            len(blocks),
+            sum(e - s for s, e in blocks),
+            max(e for _, e in iv) - min(s for s, _ in iv),
+        )
+    return out
+
+
+class TestIntervalCoverage:
+    def test_matches_bruteforce(self, spark):
+        rows = []
+        for i in range(400):
+            ent = f"u{i % 7}"
+            s = (i * 7919) % 10_000
+            e = s + (i * 104729) % 500
+            rows.append((ent, s, e))
+        df = spark.createDataFrame(rows, "entity string, start_s long, end_s long")
+        got = {
+            r.entity: (r.n_intervals, r.n_blocks, r.covered_s, r.span_s)
+            for r in temporal.interval_coverage(df).collect()
+        }
+        assert got == _coverage_twin(rows)
+        assert any(v[1] > 1 for v in got.values())  # real gaps exist
+        assert any(v[0] > v[1] for v in got.values())  # real merging happened
+
+    def test_hand_cases(self, spark):
+        rows = [
+            ("a", 0, 10), ("a", 5, 20), ("a", 20, 30),  # [0,30) one block (touching merges: s <= max_e)
+            ("a", 40, 50),                                # gap -> second block
+            ("b", 0, 0),                                  # zero-length interval
+            ("b", 10, 12),
+        ]
+        df = spark.createDataFrame(rows, "entity string, start_s long, end_s long")
+        got = {
+            r.entity: (r.n_intervals, r.n_blocks, r.covered_s, r.span_s)
+            for r in temporal.interval_coverage(df).collect()
+        }
+        assert got["a"] == (4, 2, 40, 50)
+        assert got["b"] == (2, 2, 2, 12)
+
+    def test_inverted_rows(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10, 5), ("a", 0, 3)], "entity string, start_s long, end_s long"
+        )
+        got = temporal.interval_coverage(df).collect()
+        assert [(r.entity, r.n_intervals, r.covered_s) for r in got] == [("a", 1, 3)]
+        with pytest.raises(ValueError):
+            temporal.interval_coverage(df, validate=True)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", 1, 2)], "entity string, start_s long, end_s long")
+        with pytest.raises(ValueError):
+            temporal.interval_coverage(df, by=())
