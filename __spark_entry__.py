@@ -1275,6 +1275,14 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_skyline(spark, sf_dir):
+    from gol_tool_spark.operators import stats
+
+    # Pareto front (minimize x AND y) over the synthetic points — the
+    # lower-left staircase of the plane
+    return stats.skyline2d(synth.points_df(spark, sf_dir).select("x", "y"))
+
+
 def q_interval_coverage(spark, sf_dir):
     from gol_tool_spark.operators import temporal
 
@@ -2014,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,  # crossing-graph triangle census (full oracle)
         "lisa": q_lisa,  # local Moran's I quadrants (full oracle)
         "interval_coverage": q_interval_coverage,  # interval-union sweep (full oracle)
+        "skyline": q_skyline,  # 2-D Pareto front (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3492,6 +3501,16 @@ def oracle_sql() -> dict[str, str]:
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "skyline": _with_points(
+            # staircase twin WITHOUT the bucket prune (different
+            # formulation = stronger check): per-x min + global prefix-min
+            ", px AS (SELECT x, MIN(y) AS my FROM pts GROUP BY x), "
+            "pm AS (SELECT x, my, MIN(my) OVER (ORDER BY x "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin FROM px) "
+            "SELECT q.x, q.y, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts q "
+            "JOIN pm ON pm.x = q.x WHERE q.y = pm.my AND (pm.pmin IS NULL OR pm.pmin > q.y) "
+            "GROUP BY q.x, q.y"
         ),
         "interval_coverage": (
             # sweep-line twin: running max(end) block detection + the

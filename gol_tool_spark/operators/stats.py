@@ -207,3 +207,57 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.ceil(F.lit(float(frac)) * F.col("n_total")))
         .select("value", "cnt", "n_total")
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    bucket_shift: int = 24,
+) -> DataFrame:
+    """2-D skyline (Pareto front, Börzsönyi 2001) minimizing both
+    columns: every row no other row strictly dominates (p dominates q
+    when p.x <= q.x, p.y <= q.y and one inequality is strict; exact
+    (x, y) duplicates dominate nobody and survive together).  The
+    "cheapest AND closest" multi-criteria filter of analytics.
+
+    Returns distinct skyline points (x, y, cnt) with their input
+    multiplicity.
+
+    Plan — two phases so no global window ever sees the raw data:
+    1. Bucket prune: min(y) per 2^bucket_shift-wide x-bucket (one
+       map-combined groupBy -> a TINY table, <= x-range / 2^shift rows);
+       a prefix-min window over THAT table (broadcast back) kills every
+       point some strictly-lower bucket already dominates.  Skyline
+       points always survive (a lower-bucket dominator would contradict
+       skyline-ness), and domination chains always end in a skyline
+       point, so pruning never changes the answer.
+    2. Exact finish over survivors: per-x min(y) + prefix-min over the
+       survivor x's.  Survivor count is the candidate staircase
+       (skyline size + at most one bucket's width of stragglers per
+       bucket) — for anti-correlated worst cases the skyline ITSELF is
+       O(n) and no algorithm returns less.
+    """
+    from pyspark.sql import Window
+
+    bkt = F.shiftright(F.col(x).cast("bigint") + F.lit(1 << 31), bucket_shift)
+    bmin = df.groupBy(bkt.alias("_b")).agg(F.min(y).alias("_bmy"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmin.select("_b", F.min("_bmy").over(wb).alias("_bpre"))
+    cand = (
+        df.select(F.col(x).alias("x"), F.col(y).alias("y"), bkt.alias("_b"))
+        .join(F.broadcast(bpre), "_b")
+        .filter(F.col("_bpre").isNull() | (F.col("_bpre") > F.col("y")))
+    )
+    px = cand.groupBy("x").agg(F.min("y").alias("_my"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    pm = px.select("x", "_my", F.min("_my").over(wx).alias("_pmin"))
+    return (
+        cand.join(pm, "x")
+        .filter(
+            (F.col("y") == F.col("_my"))
+            & (F.col("_pmin").isNull() | (F.col("_pmin") > F.col("y")))
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

@@ -61,3 +61,50 @@ def test_value_histogram_grouped_counts(spark):
         b = 0 if v < 0 else 11 if v >= 100 else 1 + int(np.floor(v / 100.0 * 10))
         want[(g, b)] = want.get((g, b), 0) + 1
     assert got == want
+
+
+def _skyline_twin(pts):
+    out = {}
+    for qx, qy in pts:
+        dominated = any(
+            px <= qx and py <= qy and (px < qx or py < qy) for px, py in pts
+        )
+        if not dominated:
+            out[(qx, qy)] = out.get((qx, qy), 0) + 1
+    return out
+
+
+class TestSkyline2d:
+    def test_matches_bruteforce(self, spark):
+        from gol_tool_spark.operators import stats
+
+        pts = [
+            ((i * 7919) % 100_000 - 50_000, (i * 104729) % 100_000 - 50_000)
+            for i in range(500)
+        ]
+        pts += [pts[3], pts[7]]  # exact duplicates
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.x, r.y): r.cnt for r in stats.skyline2d(df, bucket_shift=40).collect()}
+        assert got == _skyline_twin(pts)
+        assert got  # non-vacuous
+        # bucket width must not change the answer
+        fine = {(r.x, r.y): r.cnt for r in stats.skyline2d(df, bucket_shift=28).collect()}
+        assert fine == got
+
+    def test_duplicates_survive_together(self, spark):
+        from gol_tool_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(0, 0), (0, 0), (5, 5), (1, -1)], "x long, y long"
+        )
+        got = {(r.x, r.y): r.cnt for r in stats.skyline2d(df).collect()}
+        # (5,5) dominated by (0,0); (1,-1) and (0,0) incomparable
+        assert got == {(0, 0): 2, (1, -1): 1}
+
+    def test_anticorrelated_staircase(self, spark):
+        from gol_tool_spark.operators import stats
+
+        pts = [(i, 100 - i) for i in range(0, 100, 7)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.x, r.y): r.cnt for r in stats.skyline2d(df, bucket_shift=3).collect()}
+        assert got == {p: 1 for p in pts}  # nothing dominates anything
