@@ -1275,6 +1275,19 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_containment(spark, sf_dir):
+    from gol_tool_spark.operators import dedup
+
+    # directed subset-dup detection: |A∩B|/|A| >= 0.7 over 3-gram
+    # shingles (the asymmetric leak Jaccard misses)
+    return dedup.containment_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.7, max_df=100000
+    ).select(
+        "doc_inner", "doc_outer", "inter", "sz_inner", "sz_outer",
+        F.round("containment", 6).alias("containment_r"),
+    )
+
+
 def q_skyline(spark, sf_dir):
     from gol_tool_spark.operators import stats
 
@@ -2023,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa": q_lisa,  # local Moran's I quadrants (full oracle)
         "interval_coverage": q_interval_coverage,  # interval-union sweep (full oracle)
         "skyline": q_skyline,  # 2-D Pareto front (full oracle)
+        "containment": q_containment,  # directed shingle-containment dups (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3501,6 +3515,25 @@ def oracle_sql() -> dict[str, str]:
             "dn AS (SELECT MAX(n_cells) AS n_cells, SUM(zs * zs) AS den FROM z) "
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
+        ),
+        "containment": (
+            # containment twin: the shared 3-gram chain, intersection once
+            # per unordered pair, both directions derived then filtered
+            "WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS word, "
+            "generate_subscripts(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 1) AS pos FROM documents), "
+            "sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "bo AS (SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b FROM inter i "
+            "JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id), "
+            "dirs AS (SELECT doc_a AS doc_inner, doc_b AS doc_outer, inter, sz_a AS sz_inner, sz_b AS sz_outer FROM bo "
+            "UNION ALL SELECT doc_b, doc_a, inter, sz_b, sz_a FROM bo) "
+            "SELECT doc_inner, doc_outer, inter, sz_inner, sz_outer, "
+            "round(CAST(inter AS DOUBLE) / sz_inner, 6) AS containment_r "
+            "FROM dirs WHERE CAST(inter AS DOUBLE) / sz_inner >= 0.7"
         ),
         "skyline": _with_points(
             # staircase twin WITHOUT the bucket prune (different

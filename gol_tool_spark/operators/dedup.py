@@ -522,3 +522,59 @@ def embedding_neardup_srp_pairs(
             F.round("cos", 6).alias("cos_r"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_df: int = 100000,
+    text_col: str = "text",
+) -> DataFrame:
+    """DIRECTED near-dup pairs by exact n-gram containment
+    |A ∩ B| / |A| >= threshold — the asymmetric complement of
+    ngram_jaccard_pairs: a short document quoted or embedded inside a
+    long one scores near-zero Jaccard (the union is huge) but
+    containment ~1, which is exactly the "this sample is a subset of
+    that sample" leak a training-data dedup pass must catch (Broder
+    1997's containment; the resemblance/containment split).
+
+    Returns (doc_inner, doc_outer, inter, sz_inner, sz_outer,
+    containment) — one row per DIRECTION that clears the threshold, so
+    exact duplicates emit both directions.
+
+    Plan: the shared shingle explode (+ max_df hot-shingle cap bounding
+    fan-out), one shingle equi-join computing |A ∩ B| once per unordered
+    pair, then both directions derive from the same row — no second
+    join, no all-pairs.
+    """
+    sh = shingles(df, n, text_col)
+    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    sh = sh.filter(F.col("df") <= max_df).select("doc_id", "shingle").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("doc_inner"), F.col("doc_b").alias("doc_outer"),
+        "inter",
+        F.col("sz_a").alias("sz_inner"), F.col("sz_b").alias("sz_outer"),
+        (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_inner"), F.col("doc_a").alias("doc_outer"),
+        "inter",
+        F.col("sz_b").alias("sz_inner"), F.col("sz_a").alias("sz_outer"),
+        (F.col("inter").cast("double") / F.col("sz_b").cast("double")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)

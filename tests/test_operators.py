@@ -1177,3 +1177,66 @@ class TestGroupSample:
             "doc_id long, source string, text string")
         out = T.group_sample(df, k=10).groupBy("source").count().collect()
         assert {r.source: r["count"] for r in out} == {"a": 2, "b": 1}
+
+
+def _containment_twin(rows, n, threshold):
+    import re
+
+    def sh(text):
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    shs = {d: sh(t) for d, t in rows}
+    out = {}
+    for di, si in shs.items():
+        for do, so in shs.items():
+            if di == do or not si:
+                continue
+            inter = len(si & so)
+            c = inter / len(si)
+            if c >= threshold:
+                out[(di, do)] = (inter, len(si), len(so))
+    return out
+
+
+class TestContainment:
+    def test_quote_inside_long_doc(self, spark):
+        from gol_tool_spark.operators import dedup
+
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        long_doc = ("filler%d " * 40 % tuple(range(40))) + quote + (" tail%d" * 40 % tuple(range(40)))
+        rows = [(1, quote), (2, long_doc), (3, "utterly unrelated words " * 10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_inner, r.doc_outer): (r.inter, r.sz_inner, r.sz_outer)
+            for r in dedup.containment_pairs(df, n=3, threshold=0.7).collect()
+        }
+        assert got == _containment_twin(rows, 3, 0.7)
+        assert (1, 2) in got          # the quote IS contained
+        assert (2, 1) not in got      # the long doc is NOT contained in the quote
+        # and jaccard would have missed it entirely at the same bar
+        jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.7)
+        assert not {(r.doc_a, r.doc_b) for r in jac.collect()}
+
+    def test_exact_dups_both_directions(self, spark):
+        from gol_tool_spark.operators import dedup
+
+        rows = [(1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee ff")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_inner, r.doc_outer): r.containment for r in dedup.containment_pairs(df, n=3).collect()}
+        assert set(got) == {(1, 2), (2, 1)} and all(v == 1.0 for v in got.values())
+
+    def test_matches_bruteforce(self, spark):
+        from gol_tool_spark.operators import dedup
+
+        rows = []
+        for i in range(30):
+            words = [f"w{(i * 13 + j * (1 + i % 3)) % 40}" for j in range(8 + i % 9)]
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_inner, r.doc_outer): (r.inter, r.sz_inner, r.sz_outer)
+            for r in dedup.containment_pairs(df, n=2, threshold=0.5).collect()
+        }
+        assert got == _containment_twin(rows, 2, 0.5)
+        assert got  # non-vacuous
