@@ -1179,6 +1179,15 @@ def q_image_otsu(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
     return multimodal.otsu_threshold(fixtures.images(spark, 200))
 
 
+def q_image_glcm(spark, sf_dir):  # no oracle: pixel kernels aren't SQL
+    """Exact GLCM texture components (per-pixel python twin +
+    constant/stripe invariants pytest-proven in test_morphology_ssim)."""
+    from gol_tool_spark.operators import multimodal
+    from gol_tool_spark.sources import fixtures
+
+    return multimodal.glcm_stats(fixtures.images(spark, 200))
+
+
 def q_way_diameter(spark, sf_dir):
     from gol_tool_spark.operators import measures
 
@@ -2243,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_rose": q_heading_rose,
         "traj_similarity": q_traj_similarity,
         "image_otsu": q_image_otsu,  # rows-only (pixels aren't SQL)
+        "image_glcm": q_image_glcm,  # rows-only (pixels aren't SQL)
         "grid_distance": q_grid_distance,
         "image_components": q_image_components,  # rows-only (pixels aren't SQL)
         "image_domcolor": q_image_domcolor,  # rows-only (pixels aren't SQL)

@@ -136,3 +136,61 @@ class TestSsim:
             _img_df(spark, [px], fmt="jpg"), fmt="jpg"
         ).collect()[0].ssim
         assert gssim(px, crushed) < spark_ssim
+
+
+def _loop_glcm(px, lv):
+    h, w = px.shape[:2]
+    p = px.astype(np.int64)
+    lum = p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114
+    q = lum * lv // (255_000 + 1)
+    from collections import Counter
+
+    cnt = Counter()
+    contrast = n_equal = 0
+    for r in range(h):
+        for c in range(w - 1):
+            i, j = int(q[r, c]), int(q[r, c + 1])
+            cnt[(i, j)] += 1
+            contrast += (i - j) ** 2
+            n_equal += int(i == j)
+    energy = sum(v * v for v in cnt.values())
+    return h * (w - 1), contrast, n_equal, energy
+
+
+class TestGlcmStats:
+    def test_matches_loop_twin(self, spark):
+        rng = np.random.RandomState(7)
+        arrays = [
+            rng.randint(0, 256, (6, 9, 3), np.uint8),
+            rng.randint(0, 256, (6, 9, 3), np.uint8),
+            rng.randint(0, 256, (5, 4, 3), np.uint8),  # second shape group
+        ]
+        got = {
+            r.image_id: (r.n_pairs, r.contrast, r.n_equal, r.energy)
+            for r in multimodal.glcm_stats(_img_df(spark, arrays), levels=8).collect()
+        }
+        for i, px in enumerate(arrays):
+            assert got[f"img-{i}"] == _loop_glcm(px, 8)
+        assert any(v[1] > 0 for v in got.values())
+
+    def test_constant_image_is_pure_diagonal(self, spark):
+        px = np.full((8, 8, 3), 200, np.uint8)
+        r = multimodal.glcm_stats(_img_df(spark, [px]), levels=8).collect()[0]
+        assert r.n_pairs == 8 * 7
+        assert r.contrast == 0 and r.n_equal == r.n_pairs
+        assert r.energy == r.n_pairs ** 2  # one cell holds everything
+
+    def test_vertical_stripes_max_contrast(self, spark):
+        # alternating black/white columns: every horizontal pair crosses
+        # the full level range
+        px = np.zeros((4, 6, 3), np.uint8)
+        px[:, 1::2, :] = 255
+        r = multimodal.glcm_stats(_img_df(spark, [px]), levels=8).collect()[0]
+        assert r.n_equal == 0
+        assert r.contrast == r.n_pairs * 49  # |0-7|^2 per pair
+        exp = _loop_glcm(px, 8)
+        assert (r.n_pairs, r.contrast, r.n_equal, r.energy) == exp
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            multimodal.glcm_stats(_img_df(spark, [np.zeros((2, 2, 3), np.uint8)]), levels=1)
