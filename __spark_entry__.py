@@ -1284,6 +1284,16 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_kcore(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # 3-core backbone of the crossing network after 4 peel rounds
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return segments.crossing_kcore(
+        segments.synth_segments(pts), k=3, max_rounds=4
+    )
+
+
 def q_containment(spark, sf_dir):
     from gol_tool_spark.operators import dedup
 
@@ -2046,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,  # interval-union sweep (full oracle)
         "skyline": q_skyline,  # 2-D Pareto front (full oracle)
         "containment": q_containment,  # directed shingle-containment dups (full oracle)
+        "kcore": q_kcore,  # bounded k-core peel of the crossing graph (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -2478,6 +2489,26 @@ def _watershed_oracle(doubling_rounds: int) -> str:
         f" SELECT p.cx, p.cy, p.tx AS sink_x, p.ty AS sink_y, p.d AS depth, "
         f"(t.d = 0) AS at_sink FROM p{doubling_rounds} p "
         f"JOIN p0 t ON t.cx = p.tx AND t.cy = p.ty"
+    )
+    return _with_points("".join(parts))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel twin of crossing_kcore over the shared crossing-pair
+    chain: per round a HAVING >= k survivor set + two IN-filters."""
+    parts = [", " + _SEG_PAIRS_SQL]
+    parts.append(
+        ", e0 AS (SELECT seg_a AS u, seg_b AS v FROM p "
+        "UNION ALL SELECT seg_b AS u, seg_a AS v FROM p)"
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", k{i} AS (SELECT u FROM e{i - 1} GROUP BY u HAVING COUNT(*) >= {k})"
+            f", e{i} AS (SELECT a.u, a.v FROM e{i - 1} a "
+            f"WHERE a.u IN (SELECT u FROM k{i}) AND a.v IN (SELECT u FROM k{i}))"
+        )
+    parts.append(
+        f" SELECT u AS seg, CAST(COUNT(*) AS BIGINT) AS deg FROM e{rounds} GROUP BY u"
     )
     return _with_points("".join(parts))
 
@@ -3526,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_cells, w_pairs, CAST(num AS VARCHAR) AS num, "
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
+        "kcore": _kcore_oracle(3, 4),
         "containment": (
             # containment twin: the shared 3-gram chain, intersection once
             # per unordered pair, both directions derived then filtered

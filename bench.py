@@ -180,6 +180,13 @@ def main():
     timed("rolling_outliers_2m", lambda: force(temporal.rolling_outliers(ev2m)))
     # lag-1/2/3 autocorrelation components: one entity exchange, no joins
     timed("acf_2m", lambda: force(temporal.acf_stats(ev2m)))
+    # interval-union sweep: 2M overlapping spans, one entity exchange
+    iv2m = ev2m.select(
+        "user_id",
+        (F.col("event_id") % 100000).alias("start_s"),
+        (F.col("event_id") % 100000 + F.col("event_id") % 900 + 1).alias("end_s"),
+    )
+    timed("interval_coverage_2m", lambda: force(temporal.interval_coverage(iv2m, by=("user_id",))))
 
     # drop caches between sections: cached subplans (catalog, LSH sigs)
     # accumulate over the session and the GC pressure skews later entries
@@ -255,6 +262,9 @@ def main():
     timed("bm25_topk_syn", lambda: force(retrieval.bm25_topk(docs_syn, bm25_q, k=10)))
     # per-doc top-5 keywords: postings + df join + WindowGroupLimit
     timed("distinctive_syn", lambda: force(retrieval.distinctive_terms(docs_syn, k=5)))
+    # directed containment dedup: shared shingle join, both directions
+    timed("containment_syn", lambda: force(dedup.containment_pairs(
+        docs_syn, n=3, threshold=0.5, max_df=100000)))
     # geodesic disc over the tiled points: range prefilter + haversine
     timed("radius_query", lambda: force(spatial_query.radius_query_m(
         pts_tiled.select("id", "x", "y"), -1500000000, -1500000000, 300000.0)),
@@ -419,6 +429,18 @@ def main():
     # network connectivity: crossing pairs + large/small-star CC rounds
     timed("seg_components", lambda: force(_sg.crossing_components(
         _sg.synth_segments(points))))
+    # triangle census: degree-ordered compact-forward over crossing pairs
+    timed("triangles", lambda: force(_sg.crossing_triangles(
+        _sg.synth_segments(points))))
+    # basin labels: total step map + 4 pointer-doubling joins (16 steps)
+    timed("watershed", lambda: force(_gs.watershed(
+        _gs.flow_directions(_pxy, cell_shift=26), doubling_rounds=4)))
+    # local Moran quadrants: pinned lattice + one probe join + LEFT back
+    timed("lisa", lambda: force(_gs.local_morans(_pxy, cell_shift=26)))
+    # Pareto staircase: bucket prune + per-x window over survivors
+    from gol_tool_spark.operators import stats as _st
+
+    timed("skyline", lambda: force(_st.skyline2d(_pxy)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
@@ -428,6 +450,8 @@ def main():
     timed("image_gradient", lambda: force(multimodal.gradient_stats(imgs)))
     # variance-of-Laplacian blur metric (same stacked-int64 discipline)
     timed("image_blur", lambda: force(multimodal.blur_stats(imgs)))
+    # GLCM texture components: one bincount per shape group
+    timed("image_glcm", lambda: force(multimodal.glcm_stats(imgs)))
     # real ITU T.81 bitstream lane (pure-numpy Huffman codec — the interop
     # path, NOT the hot path): re-encode 2k fixtures as JFIF + verify
     from gol_tool_spark.kernels import image as img_kernel

@@ -339,3 +339,53 @@ def crossing_triangles(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> DataFra
     return deg.join(tn, "seg", "left").select(
         "seg", "deg", F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("tri")
     )
+
+
+def crossing_kcore(
+    segs: DataFrame, k: int = 3, max_rounds: int = 4, cell_shift: int = CELL_SHIFT
+) -> DataFrame:
+    """Bounded k-core peeling over the proper-crossing graph (Seidman
+    1983) — iteratively remove segments with fewer than k surviving
+    crossings; what remains after convergence is the k-core, the densely
+    interwoven backbone of the network (the complement of the dangling
+    tendrils CC and triangles both keep).
+
+    Bounded semantics, same contract as flow_accumulation/max_rounds:
+    exactly `max_rounds` peel rounds run; if the peel converges earlier
+    the remaining rounds are no-ops (removing nothing is idempotent),
+    and if it has not converged the result is the exact state after
+    max_rounds peels — oracle-checkable either way.  Returns (seg, deg):
+    surviving segments with their residual crossing degree.
+
+    Plan: the pair chain once, then per round one map-combined degree
+    groupBy + two semi-joins (u-side, v-side) against the >= k survivor
+    set, localCheckpointed to cut lineage.  Work per round is O(live
+    edges) and only shrinks; never all-pairs.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    pairs = segment_intersections(segs, cell_shift)
+    alive = (
+        pairs.select(F.col("seg_a").alias("u"), F.col("seg_b").alias("v"))
+        .unionAll(pairs.select(F.col("seg_b").alias("u"), F.col("seg_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        keep = (
+            alive.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("u")
+        )
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.groupBy(F.col("u").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )

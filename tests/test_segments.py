@@ -272,3 +272,63 @@ class TestCrossingTriangles:
         segs = [(1, 0, 0, 10, 10), (2, 1000, 1000, 1010, 1010)]
         df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
         assert segments.crossing_triangles(df).collect() == []
+
+
+class TestCrossingKcore:
+    @staticmethod
+    def _peel_twin(segs, k, rounds):
+        adj = {s[0]: set() for s in segs}
+        for i, a in enumerate(segs):
+            for b in segs[i + 1:]:
+                if _proper(a[1:], b[1:]):
+                    adj[a[0]].add(b[0])
+                    adj[b[0]].add(a[0])
+        live = {v for v, nb in adj.items() if nb}
+        for _ in range(rounds):
+            keep = {v for v in live if len(adj[v] & live) >= k}
+            live = keep
+        return {v: len(adj[v] & live) for v in live}
+
+    def _dense_fixture(self):
+        segs = list(_synth_segs(200))
+        base = 10_000
+        for i in range(40):
+            a = (i * 48271 + 11) % 400
+            b = (i * 69621 + 137) % 400
+            segs.append(
+                (base + i, -200 + a, -250, -200 + b, 250)
+                if i % 2 == 0
+                else (base + i, -250, -200 + a, 250, -200 + b)
+            )
+        return segs
+
+    def test_matches_peel_twin(self, spark):
+        segs = self._dense_fixture()
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        for k, rounds in ((2, 0), (3, 1), (3, 4), (5, 4)):
+            got = {
+                r.seg: r.deg
+                for r in segments.crossing_kcore(df, k=k, max_rounds=rounds).collect()
+            }
+            assert got == self._peel_twin(segs, k, rounds), (k, rounds)
+        full = self._peel_twin(segs, 3, 4)
+        assert full and all(d >= 3 for d in full.values())  # converged core
+
+    def test_chain_peels_to_nothing(self, spark):
+        # X-shape chain: every node has degree <= 2, so the 3-core is
+        # empty after enough rounds (ends peel first, then inward)
+        segs = [
+            (i, i * 100, -100 if i % 2 == 0 else 100, (i + 2) * 100, 100 if i % 2 == 0 else -100)
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        assert segments.crossing_kcore(df, k=3, max_rounds=2).collect() == []
+        got = {r.seg: r.deg for r in segments.crossing_kcore(df, k=2, max_rounds=4).collect()}
+        assert got == self._peel_twin(segs, 2, 4)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0, 0, 1, 1)], "seg long, x1 long, y1 long, x2 long, y2 long")
+        with pytest.raises(ValueError):
+            segments.crossing_kcore(df, k=0)
+        with pytest.raises(ValueError):
+            segments.crossing_kcore(df, max_rounds=-1)
