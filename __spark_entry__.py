@@ -1284,6 +1284,17 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_seg_hops(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # BFS layers from every 63rd segment (the id%8-never-0 lesson) over
+    # the crossing graph, 3 relax rounds
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    segs = segments.synth_segments(pts)
+    seeds = pts.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg"))
+    return segments.crossing_hops(segs, seeds, max_rounds=3)
+
+
 def q_kcore(spark, sf_dir):
     from gol_tool_spark.operators import segments
 
@@ -2057,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,  # 2-D Pareto front (full oracle)
         "containment": q_containment,  # directed shingle-containment dups (full oracle)
         "kcore": q_kcore,  # bounded k-core peel of the crossing graph (full oracle)
+        "seg_hops": q_seg_hops,  # multi-source BFS layers (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -2490,6 +2502,26 @@ def _watershed_oracle(doubling_rounds: int) -> str:
         f"(t.d = 0) AS at_sink FROM p{doubling_rounds} p "
         f"JOIN p0 t ON t.cx = p.tx AND t.cy = p.ty"
     )
+    return _with_points("".join(parts))
+
+
+def _hops_oracle(seed_mod: int, rounds: int) -> str:
+    """Unrolled BFS min-fold twin of crossing_hops over the shared
+    crossing-pair chain, seeded at id % seed_mod == 0."""
+    parts = [", " + _SEG_PAIRS_SQL]
+    parts.append(
+        ", e AS (SELECT seg_a AS u, seg_b AS v FROM p "
+        "UNION ALL SELECT seg_b AS u, seg_a AS v FROM p)"
+        f", d0 AS (SELECT id AS seg, CAST(0 AS BIGINT) AS hops FROM pts WHERE id % {seed_mod} = 0)"
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS (SELECT seg, MIN(hops) AS hops FROM ("
+            f"SELECT seg, hops FROM d{i - 1} "
+            f"UNION ALL SELECT e.v AS seg, d.hops + 1 AS hops FROM e JOIN d{i - 1} d ON d.seg = e.u"
+            f") GROUP BY seg)"
+        )
+    parts.append(f" SELECT seg, CAST(hops AS BIGINT) AS hops FROM d{rounds}")
     return _with_points("".join(parts))
 
 
@@ -3558,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(den AS VARCHAR) AS den FROM dn, nw"
         ),
         "kcore": _kcore_oracle(3, 4),
+        "seg_hops": _hops_oracle(63, 3),
         "containment": (
             # containment twin: the shared 3-gram chain, intersection once
             # per unordered pair, both directions derived then filtered

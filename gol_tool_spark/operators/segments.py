@@ -389,3 +389,51 @@ def crossing_kcore(
         alive.groupBy(F.col("u").alias("seg"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
+
+
+def crossing_hops(
+    segs: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 3,
+    cell_shift: int = CELL_SHIFT,
+) -> DataFrame:
+    """Multi-source BFS hop distance over the proper-crossing graph —
+    for every segment reachable within max_rounds crossings of a seed
+    set, the exact minimum hop count: "how many network links from the
+    depot" of routing analysis (the graph sibling of the grid
+    grid_distance transform).
+
+    seeds: a DataFrame with a `seg` column; seed rows report hops = 0
+    whether or not they cross anything.  Returns (seg, hops) for
+    reached segments only; unreached segments emit nothing (LEFT-join
+    at the call site to mark infinity).
+
+    Plan: the pair chain once; per round ONE equi-join relaxes the
+    frontier (dist_{r}(v) = min(dist_{r-1}(v), min over crossings u→v
+    of dist_{r-1}(u) + 1)) followed by a map-combined min groupBy,
+    localCheckpointed.  Edge weight is 1, so round r is exactly BFS
+    layer r; work per round is O(edges).  The min-fold needs no
+    anti-join — re-relaxed settled nodes collapse in the same groupBy.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    pairs = segment_intersections(segs, cell_shift)
+    edges = (
+        pairs.select(F.col("seg_a").alias("u"), F.col("seg_b").alias("v"))
+        .unionAll(pairs.select(F.col("seg_b").alias("u"), F.col("seg_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select("seg").distinct().select(
+        "seg", F.lit(0).cast("bigint").alias("hops")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        relax = edges.join(
+            dist.select(F.col("seg").alias("u"), "hops"), "u"
+        ).select(F.col("v").alias("seg"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("seg")
+            .agg(F.min("hops").cast("bigint").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -332,3 +332,66 @@ class TestCrossingKcore:
             segments.crossing_kcore(df, k=0)
         with pytest.raises(ValueError):
             segments.crossing_kcore(df, max_rounds=-1)
+
+
+class TestCrossingHops:
+    @staticmethod
+    def _bfs_twin(segs, seed_ids, rounds):
+        adj = {s[0]: set() for s in segs}
+        for i, a in enumerate(segs):
+            for b in segs[i + 1:]:
+                if _proper(a[1:], b[1:]):
+                    adj[a[0]].add(b[0])
+                    adj[b[0]].add(a[0])
+        dist = {s: 0 for s in seed_ids}
+        frontier = set(seed_ids)
+        for r in range(1, rounds + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = r
+                        nxt.add(v)
+            frontier = nxt
+        return dist
+
+    def test_matches_bfs_twin(self, spark):
+        # the dense chord fixture: the LCG graph alone is too sparse for
+        # seeds to border non-seeds
+        segs = TestCrossingKcore._dense_fixture(TestCrossingKcore())
+        seed_ids = [s[0] for s in segs if s[0] % 9 == 0]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        sdf = spark.createDataFrame([(s,) for s in seed_ids], "seg long")
+        for rounds in (0, 1, 3):
+            got = {
+                r.seg: r.hops
+                for r in segments.crossing_hops(df, sdf, max_rounds=rounds).collect()
+            }
+            assert got == self._bfs_twin(segs, seed_ids, rounds), rounds
+        full = self._bfs_twin(segs, seed_ids, 3)
+        assert any(h > 0 for h in full.values())  # expansion happened
+
+    def test_chain_layers(self, spark):
+        # X-chain: seed at one end, hops grow along the chain and stop
+        # at the round bound
+        segs = [
+            (i, i * 100, -100 if i % 2 == 0 else 100, (i + 2) * 100, 100 if i % 2 == 0 else -100)
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        sdf = spark.createDataFrame([(0,)], "seg long")
+        got = {r.seg: r.hops for r in segments.crossing_hops(df, sdf, max_rounds=2).collect()}
+        assert got == self._bfs_twin(segs, [0], 2)
+        assert got[0] == 0 and max(got.values()) == 2
+
+    def test_isolated_seed_reports_zero(self, spark):
+        segs = [(1, 0, 0, 10, 10), (2, 1000, 1000, 1010, 1010)]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        sdf = spark.createDataFrame([(2,)], "seg long")
+        got = {r.seg: r.hops for r in segments.crossing_hops(df, sdf, max_rounds=3).collect()}
+        assert got == {2: 0}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0, 0, 1, 1)], "seg long, x1 long, y1 long, x2 long, y2 long")
+        with pytest.raises(ValueError):
+            segments.crossing_hops(df, df.select("seg"), max_rounds=-1)
