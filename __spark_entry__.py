@@ -1284,6 +1284,17 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_gini(spark, sf_dir):
+    from gol_tool_spark.operators import stats
+
+    # revenue concentration: exact Gini components of line-item price
+    # cents per return flag
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("price_c")
+    )
+    return stats.gini_concentration(li, ["l_returnflag"], "price_c")
+
+
 def q_seg_hops(spark, sf_dir):
     from gol_tool_spark.operators import segments
 
@@ -2069,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,  # directed shingle-containment dups (full oracle)
         "kcore": q_kcore,  # bounded k-core peel of the crossing graph (full oracle)
         "seg_hops": q_seg_hops,  # multi-source BFS layers (full oracle)
+        "gini": q_gini,  # exact concentration components (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3591,6 +3603,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "gini": (
+            # Gini twin: ROW_NUMBER ranks (tie-invariant by the constant-
+            # block argument), HUGEINT accumulators == DECIMAL(38,0)
+            "WITH v AS (SELECT l_returnflag, "
+            f"CAST({_cents_sql('l_extendedprice')} AS HUGEINT) AS pc, "
+            f"ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY {_cents_sql('l_extendedprice')}) AS i "
+            "FROM lineitem), "
+            "a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, SUM(pc) AS s1, "
+            "SUM(pc * i) AS s2 FROM v GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, CAST(s1 AS VARCHAR) AS total, "
+            "CAST(2 * s2 - (n + 1) * s1 AS VARCHAR) AS gini_num FROM a"
+        ),
         "containment": (
             # containment twin: the shared 3-gram chain, intersection once
             # per unordered pair, both directions derived then filtered

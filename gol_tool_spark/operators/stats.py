@@ -261,3 +261,55 @@ def skyline2d(
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini concentration components per group — the standard
+    inequality/concentration measure (how skewed is revenue across
+    orders, traffic across tiles, tokens across documents).
+
+    For a group's sorted values x_(1) <= ... <= x_(n):
+
+        gini_num = sum_i (2i - n - 1) * x_i  =  2*sum(i*x_i) - (n+1)*sum(x)
+        gini     = gini_num / (n * sum(x))       (caller's division)
+
+    Tie order cannot change the result (within a tie block the values
+    are constant and the rank weights sum to a fixed total), so the
+    statistic is deterministic under Spark's unstable sort.  Values must
+    be non-negative integers (cents, counts) for the exact contract.
+
+    Returns (group_cols..., n, total, gini_num) with the accumulators as
+    DECIMAL strings (they square past int64 at scale).
+
+    Plan: ONE shuffle (the window partition = the groupBy key), a
+    row_number window, one map-combined agg.  No joins.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    d = lambda c: c.cast("decimal(38,0)")
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_i"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("_v"))).cast("decimal(38,0)").alias("_s1"),
+        F.sum(d(F.col("_v")) * d(F.col("_i"))).cast("decimal(38,0)").alias("_s2"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("_s2")
+        - (d(F.col("n")) + F.lit(1)) * F.col("_s1")
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.col("_s1").cast("string").alias("total"),
+        num.cast("decimal(38,0)").cast("string").alias("gini_num"),
+    )

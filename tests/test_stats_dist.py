@@ -108,3 +108,50 @@ class TestSkyline2d:
         df = spark.createDataFrame(pts, "x long, y long")
         got = {(r.x, r.y): r.cnt for r in stats.skyline2d(df, bucket_shift=3).collect()}
         assert got == {p: 1 for p in pts}  # nothing dominates anything
+
+
+def _gini_twin(rows):
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for k, v in rows:
+        per[k].append(v)
+    out = {}
+    for k, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        num = sum((2 * (i + 1) - n - 1) * v for i, v in enumerate(vs))
+        out[k] = (n, str(sum(vs)), str(num))
+    return out
+
+
+class TestGiniConcentration:
+    def test_matches_bruteforce(self, spark):
+        rows = [(f"g{i % 5}", (i * 7919) % 1000) for i in range(400)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        got = {
+            r.k: (r.n, r.total, r.gini_num)
+            for r in stats.gini_concentration(df, ["k"], "v").collect()
+        }
+        assert got == _gini_twin(rows)
+
+    def test_extremes(self, spark):
+        # perfectly equal -> gini_num 0; one-has-everything -> (n-1)*total
+        rows = [("eq", 5)] * 6 + [("one", 0)] * 5 + [("one", 100)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        got = {
+            r.k: (r.n, int(r.total), int(r.gini_num))
+            for r in stats.gini_concentration(df, ["k"], "v").collect()
+        }
+        assert got["eq"] == (6, 30, 0)
+        assert got["one"] == (6, 100, 5 * 100)  # gini = 500/600
+
+    def test_tie_invariance_and_validation(self, spark):
+        import pytest
+
+        rows = [("a", 3), ("a", 3), ("a", 3), ("a", 9)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        r = stats.gini_concentration(df, ["k"], "v").collect()[0]
+        assert (r.n, r.total, r.gini_num) == (4, "18", str((2 * 4 - 5) * 9 + (2 + 4 + 6 - 15) * 3))
+        with pytest.raises(ValueError):
+            stats.gini_concentration(df, [], "v")
