@@ -1284,6 +1284,20 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_fuzzy_vocab(spark, sf_dir):
+    from gol_tool_spark.operators import text as T
+
+    # typo-distance pairs over a mixed vocabulary: part-name words (real
+    # fuzzy pairs like cold/old, red/rod) + customer names (the id grid
+    # gives one-digit-substitution volume)
+    pw = (
+        _read(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+    )
+    cn = _read(spark, sf_dir, "customer").select(F.lower("c_name").alias("word"))
+    return T.fuzzy_pairs(pw.unionAll(cn))
+
+
 def q_gini(spark, sf_dir):
     from gol_tool_spark.operators import stats
 
@@ -2081,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,  # bounded k-core peel of the crossing graph (full oracle)
         "seg_hops": q_seg_hops,  # multi-source BFS layers (full oracle)
         "gini": q_gini,  # exact concentration components (full oracle)
+        "fuzzy_vocab": q_fuzzy_vocab,  # ed<=1 vocabulary pairs (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3603,6 +3618,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "fuzzy_vocab": (
+            # brute-force twin: NO blocking (stronger check than
+            # replaying the deletion neighborhood), |len| prefilter only
+            "WITH v AS (SELECT DISTINCT word FROM ("
+            "SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part "
+            "UNION ALL SELECT lower(c_name) AS word FROM customer) WHERE word <> '') "
+            "SELECT a.word AS word_a, b.word AS word_b FROM v a JOIN v b "
+            "ON a.word < b.word AND abs(length(a.word) - length(b.word)) <= 1 "
+            "AND levenshtein(a.word, b.word) <= 1"
+        ),
         "gini": (
             # Gini twin: ROW_NUMBER ranks (tie-invariant by the constant-
             # block argument), HUGEINT accumulators == DECIMAL(38,0)

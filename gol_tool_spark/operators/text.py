@@ -445,3 +445,52 @@ def group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def fuzzy_pairs(vocab: DataFrame, word_col: str = "word") -> DataFrame:
+    """All distinct vocabulary pairs within edit distance 1 (FastSS /
+    deletion-neighborhood blocking, Bocek 2007) — the fuzzy-join
+    primitive behind typo clustering, entity-name reconciliation and
+    OCR cleanup, built so the exact Levenshtein only ever runs on
+    blocked candidates, never all pairs.
+
+    Two words with ed(a, b) <= 1 always share a key in
+    N(w) = {w} ∪ {w with one character deleted}: substitutions share
+    the deletion at the differing position, insert/delete pairs contain
+    one another's full string.  The converse is false (shared deletions
+    can hide transpositions, e.g. "ab"/"ba"), so candidates are verified
+    with the built-in JVM levenshtein — the expensive check runs on the
+    candidate set only.
+
+    Returns (word_a, word_b) with word_a < word_b, each qualifying pair
+    exactly once.
+
+    Plan: one explode of |w|+1 keys per word (bounded by word length),
+    ONE equi-join on the key, dropDuplicates, codegen levenshtein
+    filter.  A hot key (a deletion shared by many words) is a real skew
+    point — AQE skew-split applies; nothing is ever all-pairs.
+    """
+    w = F.col("w")
+    variants = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(
+            F.substring(w, F.lit(1).cast("int"), (i - 1).cast("int")),
+            w.substr(i + 1, F.length(w)),
+        ),
+    )
+    keys = (
+        vocab.select(F.col(word_col).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .select("w", F.explode(F.array_union(F.array(w), variants)).alias("k"))
+        .dropDuplicates(["w", "k"])
+    )
+    a = keys.select(F.col("k"), F.col("w").alias("word_a"))
+    b = keys.select(F.col("k"), F.col("w").alias("word_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .dropDuplicates(["word_a", "word_b"])
+        .filter(F.levenshtein("word_a", "word_b") <= 1)
+    )

@@ -136,3 +136,52 @@ class TestDistinctiveTerms:
         plan = retrieval.distinctive_terms(docs_df, k=5)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+def _ed1_twin(words):
+    def ed(a, b):
+        # DP levenshtein
+        m, n = len(a), len(b)
+        if abs(m - n) > 1:
+            return 2
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    ws = sorted(set(words))
+    return {
+        (a, b)
+        for i, a in enumerate(ws)
+        for b in ws[i + 1:]
+        if ed(a, b) <= 1
+    }
+
+
+class TestFuzzyPairs:
+    def test_matches_bruteforce(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        words = [
+            "cold", "old", "bold", "bolt", "red", "rod", "rode", "node",
+            "ab", "ba", "abc", "acb", "a", "b", "", "spark", "spars",
+            "w123", "w124", "w12", "w1234",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {(r.word_a, r.word_b) for r in T.fuzzy_pairs(df).collect()}
+        expect = _ed1_twin([w for w in words if w])
+        assert got == expect
+        assert ("ab", "ba") not in got      # transposition verified away
+        assert ("cold", "old") in got       # deletion pair
+        assert ("red", "rod") in got        # substitution pair
+        assert ("w12", "w123") in got       # insertion pair
+
+    def test_duplicates_collapse(self, spark):
+        from gol_tool_spark.operators import text as T
+
+        df = spark.createDataFrame([("cat",), ("cat",), ("car",)], "word string")
+        got = [(r.word_a, r.word_b) for r in T.fuzzy_pairs(df).collect()]
+        assert got == [("car", "cat")]
