@@ -1284,6 +1284,18 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_way_resample(spark, sf_dir):
+    from gol_tool_spark.operators import measures
+
+    # 5 evenly-spaced exact arc-length samples per way (fixed-size
+    # geometry signatures); missing node_refs drop like every way op
+    return measures.way_resample(
+        synth.membership_df(spark, sf_dir),
+        synth.points_df(spark, sf_dir).select("id", "x", "y"),
+        n_samples=5,
+    )
+
+
 def q_fuzzy_vocab(spark, sf_dir):
     from gol_tool_spark.operators import text as T
 
@@ -2096,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_hops": q_seg_hops,  # multi-source BFS layers (full oracle)
         "gini": q_gini,  # exact concentration components (full oracle)
         "fuzzy_vocab": q_fuzzy_vocab,  # ed<=1 vocabulary pairs (full oracle)
+        "way_resample": q_way_resample,  # exact arc-length samples (full oracle)
         # -- new this session: trajectory / packing / crossing-join wave --
         "track_speed": q_track_speed,  # per-entity fix derivatives
         "grid_dwell": q_grid_dwell,  # stay-point islands
@@ -3618,6 +3631,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "way_resample": (
+            # arc-length twin in window SQL: LAG segments, running L1
+            # prefix sums, per-sample segment count, floor-emulated
+            # HUGEINT interpolation (DuckDB // truncates toward zero, so
+            # (prod - pmod) // len restores true floor on negatives)
+            f"WITH pts AS ({_PTS}), mem AS ({_MEM}), "
+            "res AS (SELECT m.way_id, m.seq, p.x, p.y FROM mem m JOIN pts p ON p.id = m.node_ref), "
+            "ord AS (SELECT way_id, x, y, ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY seq) AS rn, "
+            "COUNT(*) OVER (PARTITION BY way_id) AS m FROM res), "
+            "seg AS (SELECT way_id, rn - 1 AS i, m, "
+            "LAG(x) OVER w AS x0, LAG(y) OVER w AS y0, x AS x1, y AS y1, "
+            "CAST(abs(x - LAG(x) OVER w) + abs(y - LAG(y) OVER w) AS BIGINT) AS len "
+            "FROM ord WINDOW w AS (PARTITION BY way_id ORDER BY rn) QUALIFY rn >= 2), "
+            "scum AS (SELECT way_id, i, m, x0, y0, x1, y1, len, "
+            "SUM(len) OVER (PARTITION BY way_id ORDER BY i) - len AS cum0, "
+            "SUM(len) OVER (PARTITION BY way_id ORDER BY i) AS cum1 FROM seg), "
+            "tot AS (SELECT way_id, MAX(cum1) AS L, MAX(m) AS m FROM scum GROUP BY way_id), "
+            "ks AS (SELECT t.way_id, k.k, (k.k * t.L) // 4 AS dk, t.m FROM tot t, "
+            "generate_series(0, 4) AS k(k)), "
+            "cnt AS (SELECT ks.way_id, ks.k, ks.dk, ks.m, "
+            "(CASE WHEN ks.dk > 0 THEN 1 ELSE 0 END) "
+            "+ COALESCE(SUM(CASE WHEN s.cum1 < ks.dk THEN 1 ELSE 0 END), 0) AS c "
+            "FROM ks LEFT JOIN scum s ON s.way_id = ks.way_id GROUP BY 1, 2, 3, 4), "
+            "pick AS (SELECT cnt.way_id, cnt.k, cnt.dk, "
+            "GREATEST(1, LEAST(cnt.m - 1, cnt.c)) AS i FROM cnt) "
+            "SELECT p.way_id, CAST(p.k AS INT) AS k, "
+            "CAST(CASE WHEN s.len = 0 THEN s.x0 ELSE s.x0 + "
+            "(CAST(s.x1 - s.x0 AS HUGEINT) * (p.dk - s.cum0) "
+            "- ((CAST(s.x1 - s.x0 AS HUGEINT) * (p.dk - s.cum0) % s.len + s.len) % s.len)) // s.len "
+            "END AS BIGINT) AS sx, "
+            "CAST(CASE WHEN s.len = 0 THEN s.y0 ELSE s.y0 + "
+            "(CAST(s.y1 - s.y0 AS HUGEINT) * (p.dk - s.cum0) "
+            "- ((CAST(s.y1 - s.y0 AS HUGEINT) * (p.dk - s.cum0) % s.len + s.len) % s.len)) // s.len "
+            "END AS BIGINT) AS sy "
+            "FROM pick p JOIN scum s ON s.way_id = p.way_id AND s.i = p.i"
+        ),
         "fuzzy_vocab": (
             # brute-force twin: NO blocking (stronger check than
             # replaying the deletion neighborhood), |len| prefilter only

@@ -389,3 +389,92 @@ def way_diameter(membership: DataFrame, points: DataFrame) -> DataFrame:
             F.col("_d2").cast("string").alias("diam2"),
         )
     )
+
+
+def _dec_floordiv(a: Column, b: Column) -> Column:
+    """floor(a / b) for DECIMAL(38,0) a and POSITIVE b, exactly: pmod
+    keeps the remainder non-negative, so (a - pmod) is exactly divisible
+    and the decimal division is lossless.  (A plain `a DIV b` on
+    decimals silently truncates through int64 — measured, it corrupts
+    23-digit dividends.)"""
+    d = lambda c: c.cast("decimal(38,0)")
+    return ((d(a) - F.pmod(d(a), d(b))) / d(b)).cast("decimal(38,0)")
+
+
+def way_resample(
+    membership: DataFrame, points: DataFrame, n_samples: int = 8
+) -> DataFrame:
+    """Exact arc-length resampling per way: n_samples points evenly
+    spaced along the polyline's L1 length — the fixed-size geometry
+    signature renderers and trajectory/shape-ML pipelines want (every
+    way becomes the same-length vector regardless of vertex count).
+
+    All integer math: sample k (0..n-1) sits at distance
+    d_k = floor(k * L / (n-1)) along the chain (L = total L1 length);
+    within its segment the coordinate interpolates by exact floor
+    division, so endpoints land on the first/last vertex bit-for-bit.
+    Zero-length segments and L = 0 ways degenerate to the segment start
+    (guarded, no division by zero).  Ways with < 2 resolved nodes emit
+    nothing.
+
+    Returns (way_id, k, sx, sy).
+
+    Plan: the assemble groupBy is the only shuffle; segment lengths,
+    the prefix-sum array, the per-sample segment search (a bounded
+    array filter — way sizes are bounded, same contract as the ring
+    folds) and the interpolation are all whole-stage-codegen array
+    expressions; the k-explode fans out n_samples rows per way.
+    Products reach |dx| * len ~ 2^66, so interpolation runs in
+    DECIMAL(38,0) via the exact pmod floor-division.
+    """
+    if n_samples < 2:
+        raise ValueError("n_samples must be >= 2")
+    K = n_samples - 1
+    coords = assemble_coords(membership, points).filter(F.size("coords") >= 2)
+    C = F.col("coords")
+    seg_idx = F.sequence(F.lit(1), F.size(C) - 1)
+    lens = F.transform(
+        seg_idx,
+        lambda i: (
+            F.abs(
+                F.element_at(C, (i + 1).cast("int"))["x"]
+                - F.element_at(C, i.cast("int"))["x"]
+            )
+            + F.abs(
+                F.element_at(C, (i + 1).cast("int"))["y"]
+                - F.element_at(C, i.cast("int"))["y"]
+            )
+        ).cast("bigint"),
+    )
+    # cums[j] = length before segment j (1-based): [0, len1, len1+len2, ...]
+    cums = F.aggregate(
+        F.col("_lens"),
+        F.array(F.lit(0).cast("bigint")),
+        lambda acc, v: F.concat(acc, F.array(F.element_at(acc, -1) + v)),
+    )
+    d = (
+        coords.withColumn("_lens", lens)
+        .withColumn("_cums", cums)
+        .withColumn("_L", F.element_at("_cums", -1))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(K))))
+    )
+    dk = F.expr(f"(k * _L) DIV {K}")  # k*L <= n_samples * 2^35: int64-safe
+    d = d.withColumn("_dk", dk)
+    # segment pick: count prefix sums strictly below d_k, clamped
+    c = F.size(F.filter(F.col("_cums"), lambda v: v < F.col("_dk")))
+    seg = F.greatest(F.lit(1), F.least(F.size(C) - 1, c))
+    d = d.withColumn("_i", seg.cast("int"))
+    x0 = F.element_at(C, F.col("_i"))["x"]
+    y0 = F.element_at(C, F.col("_i"))["y"]
+    x1 = F.element_at(C, F.col("_i") + 1)["x"]
+    y1 = F.element_at(C, F.col("_i") + 1)["y"]
+    ln = F.element_at(F.col("_lens"), F.col("_i"))
+    off = F.col("_dk") - F.element_at(F.col("_cums"), F.col("_i"))
+    dd = lambda col: col.cast("decimal(38,0)")
+    interp = lambda a0, a1: F.when(ln == 0, a0).otherwise(
+        (dd(a0) + _dec_floordiv(dd(a1 - a0) * dd(off), dd(ln))).cast("bigint")
+    )
+    return d.select(
+        "way_id", F.col("k").cast("int").alias("k"),
+        interp(x0, x1).alias("sx"), interp(y0, y1).alias("sy"),
+    )

@@ -521,3 +521,81 @@ class TestConvexHulls:
             a[0] * b[1] - b[0] * a[1] for a, b in zip(hull, hull[1:] + hull[:1])
         )
         assert area2 > 0
+
+
+def _resample_twin(ways, n_samples):
+    # ways: {way_id: [(x, y), ...]} resolved+ordered; python floor math
+    K = n_samples - 1
+    out = {}
+    for wid, cs in ways.items():
+        if len(cs) < 2:
+            continue
+        lens = [abs(cs[i + 1][0] - cs[i][0]) + abs(cs[i + 1][1] - cs[i][1]) for i in range(len(cs) - 1)]
+        cums = [0]
+        for v in lens:
+            cums.append(cums[-1] + v)
+        L = cums[-1]
+        for k in range(n_samples):
+            dk = (k * L) // K
+            c = sum(1 for v in cums if v < dk)
+            i = max(1, min(len(cs) - 1, c))
+            x0, y0 = cs[i - 1]
+            x1, y1 = cs[i]
+            ln = lens[i - 1]
+            off = dk - cums[i - 1]
+            if ln == 0:
+                sx, sy = x0, y0
+            else:
+                sx = x0 + ((x1 - x0) * off) // ln
+                sy = y0 + ((y1 - y0) * off) // ln
+            out[(wid, k)] = (sx, sy)
+    return out
+
+
+class TestWayResample:
+    def _dfs(self, spark, ways):
+        mem, pts, nid = [], [], 0
+        for wid, cs in ways.items():
+            for seq, (x, y) in enumerate(cs):
+                mem.append((wid, nid, seq))
+                pts.append((nid, x, y))
+                nid += 1
+        return (
+            spark.createDataFrame(mem, "way_id long, node_ref long, seq int"),
+            spark.createDataFrame(pts, "id long, x long, y long"),
+        )
+
+    def test_matches_python_twin(self, spark):
+        ways = {
+            1: [(0, 0), (100, 0), (100, 50)],
+            2: [((1 << 31) - 1, -(1 << 31)), (-(1 << 31), (1 << 31) - 1)],  # full-plane diagonal
+            3: [(5, 5), (5, 5), (7, 5)],      # zero-length first segment
+            4: [(9, 9), (9, 9)],              # L == 0 way
+            5: [(3, 3)],                      # single node: emits nothing
+        }
+        mem, pts = self._dfs(spark, ways)
+        got = {
+            (r.way_id, r.k): (r.sx, r.sy)
+            for r in measures.way_resample(mem, pts, n_samples=5).collect()
+        }
+        assert got == _resample_twin(ways, 5)
+        # endpoints are exact vertices
+        assert got[(1, 0)] == (0, 0) and got[(1, 4)] == (100, 50)
+        assert got[(2, 0)] == ((1 << 31) - 1, -(1 << 31))
+        assert got[(4, 2)] == (9, 9)
+        assert (5, 0) not in got
+
+    def test_even_spacing_on_straight_line(self, spark):
+        ways = {1: [(0, 0), (1000, 0)]}
+        mem, pts = self._dfs(spark, ways)
+        got = {
+            r.k: (r.sx, r.sy) for r in measures.way_resample(mem, pts, n_samples=5).collect()
+        }
+        assert got == {k: (k * 250, 0) for k in range(5)}
+
+    def test_validation(self, spark):
+        mem, pts = self._dfs(spark, {1: [(0, 0), (1, 1)]})
+        import pytest
+
+        with pytest.raises(ValueError):
+            measures.way_resample(mem, pts, n_samples=1)
