@@ -441,6 +441,24 @@ def main():
     from gol_tool_spark.operators import stats as _st
 
     timed("skyline", lambda: force(_st.skyline2d(_pxy)))
+    # 3-core backbone: 4 peel rounds (degree groupBy + 2 semi-joins each)
+    timed("kcore", lambda: force(_sg.crossing_kcore(
+        _sg.synth_segments(points), k=3, max_rounds=4)))
+    # BFS layers from every 63rd segment: 3 relax+min rounds
+    timed("seg_hops", lambda: force(_sg.crossing_hops(
+        _sg.synth_segments(points),
+        points.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg")),
+        max_rounds=3)))
+    # exact Gini components: one window shuffle + one agg
+    _li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+    )
+    timed("gini", lambda: force(_st.gini_concentration(_li, ["l_returnflag"], "pc")))
+    # arc-length resampling: assemble shuffle + codegen array interpolation
+    from gol_tool_spark.operators import measures as _ms2
+
+    timed("way_resample", lambda: force(_ms2.way_resample(mem, points, n_samples=5)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
