@@ -1284,6 +1284,34 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+# literal polygon layer for the polygon_join gate (shared between the
+# Spark query and the DuckDB oracle): a center diamond, an L-shape and a
+# concave chevron over two hot clusters — the notch proves even-odd
+_POLY_LAYER = [
+    (1, [(300000000, 0), (0, 300000000), (-300000000, 0), (0, -300000000)]),
+    (2, [(-1600000000, -1600000000), (-1300000000, -1600000000),
+         (-1300000000, -1500000000), (-1450000000, -1500000000),
+         (-1450000000, -1350000000), (-1600000000, -1350000000)]),
+    (3, [(1350000000, 1350000000), (1650000000, 1350000000),
+         (1650000000, 1650000000), (1500000000, 1500000000),
+         (1350000000, 1650000000)]),
+]
+
+
+def q_polygon_join(spark, sf_dir):
+    from pyspark.sql import Row
+
+    from gol_tool_spark.operators import spatial_query
+
+    polys = spark.createDataFrame(
+        [Row(poly_id=pid, ring=[Row(x=x, y=y) for x, y in ring]) for pid, ring in _POLY_LAYER],
+        "poly_id long, ring array<struct<x: bigint, y: bigint>>",
+    )
+    return spatial_query.polygon_join(
+        synth.points_df(spark, sf_dir).select("id", "x", "y"), polys
+    )
+
+
 def q_way_resample(spark, sf_dir):
     from gol_tool_spark.operators import measures
 
@@ -2216,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,  # exact concentration components (full oracle)
         "fuzzy_vocab": q_fuzzy_vocab,  # ed<=1 vocabulary pairs (full oracle)
         "way_resample": q_way_resample,  # exact arc-length samples (full oracle)
+        "polygon_join": q_polygon_join,  # point x polygon-layer join (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3648,6 +3677,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "polygon_join": _with_points(
+            # layer twin: vertex VALUES from the SAME literal, wrap-edge
+            # join, per-(poly, point) crossing sum in HUGEINT, parity
+            ", v(poly_id, i, x, y) AS (VALUES "
+            + ", ".join(
+                f"({pid}, {i + 1}, {x}, {y})"
+                for pid, ring in _POLY_LAYER
+                for i, (x, y) in enumerate(ring)
+            )
+            + "), "
+            "mx AS (SELECT poly_id, MAX(i) AS m FROM v GROUP BY poly_id), "
+            "e AS (SELECT a.poly_id, a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj "
+            "FROM v a JOIN mx ON mx.poly_id = a.poly_id "
+            "JOIN v b ON b.poly_id = a.poly_id AND b.i = CASE WHEN a.i = 1 THEN mx.m ELSE a.i - 1 END), "
+            "c AS (SELECT e.poly_id, p.id, p.x, p.y, "
+            "SUM(CASE WHEN (e.yi > p.y) <> (e.yj > p.y) AND ("
+            "((e.yj - e.yi) > 0 AND CAST(p.x - e.xi AS HUGEINT) * (e.yj - e.yi) < CAST(p.y - e.yi AS HUGEINT) * (e.xj - e.xi)) "
+            "OR ((e.yj - e.yi) < 0 AND CAST(p.x - e.xi AS HUGEINT) * (e.yj - e.yi) > CAST(p.y - e.yi AS HUGEINT) * (e.xj - e.xi))"
+            ") THEN 1 ELSE 0 END) AS cr "
+            "FROM pts p CROSS JOIN e GROUP BY 1, 2, 3, 4) "
+            "SELECT poly_id, id, x, y FROM c WHERE cr % 2 = 1"
+        ),
         "way_resample": (
             # arc-length twin in window SQL: LAG segments, running L1
             # prefix sums, per-sample segment count, floor-emulated

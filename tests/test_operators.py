@@ -1240,3 +1240,102 @@ class TestContainment:
         }
         assert got == _containment_twin(rows, 2, 0.5)
         assert got  # non-vacuous
+
+
+def _pip_exact_twin(px, py, ring):
+    # exact integer even-odd crossing rule (python big ints)
+    m = len(ring)
+    cross = 0
+    for i in range(m):
+        xi, yi = ring[i]
+        xj, yj = ring[i - 1]
+        if (yi > py) != (yj > py):
+            dy = yj - yi
+            dx = xj - xi
+            lhs = (px - xi) * dy
+            rhs = (py - yi) * dx
+            if (dy > 0 and lhs < rhs) or (dy < 0 and lhs > rhs):
+                cross += 1
+    return cross % 2 == 1
+
+
+class TestPolygonJoin:
+    POLYS = [
+        (1, [(0, 200), (200, 0), (0, -200), (-200, 0)]),                     # diamond
+        (2, [(1000, 1000), (1400, 1000), (1400, 1100), (1100, 1100),
+             (1100, 1400), (1000, 1400)]),                                   # L-shape
+        (3, [(-1000, -1000), (-600, -1000), (-980, -820), (-800, -600),
+             (-1160, -820)]),                                                # concave star-ish
+        (4, [(5000, 5000), (5010, 5000), (5010, 5010), (5000, 5010), (5000, 5000)]),  # explicitly closed
+    ]
+
+    def _polys_df(self, spark):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(poly_id=pid, ring=[Row(x=x, y=y) for x, y in ring])
+            for pid, ring in self.POLYS
+        ]
+        return spark.createDataFrame(
+            rows, "poly_id long, ring array<struct<x: bigint, y: bigint>>"
+        )
+
+    def test_matches_exact_twin(self, spark):
+        from gol_tool_spark.operators import spatial_query
+
+        pts = [
+            (i, (i * 7919) % 3000 - 1500, (i * 104729) % 3000 - 1500)
+            for i in range(500)
+        ]
+        pts += [(9000 + i, 990 + i * 7, 990 + (i * 13) % 450) for i in range(80)]  # around the L
+        pts += [(9900, 5005, 5005), (9901, 5000, 5005), (9902, 4999, 5005)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        got = {
+            (r.poly_id, r.id)
+            for r in spatial_query.polygon_join(df, self._polys_df(spark), cell_shift=8).collect()
+        }
+        expect = {
+            (pid, i)
+            for pid, ring in self.POLYS
+            for i, x, y in pts
+            if _pip_exact_twin(x, y, ring)
+        }
+        assert got == expect
+        assert {p for p, _ in got} >= {1, 2, 4}  # non-vacuous across polygons
+        # concave L: the notch is excluded
+        assert all(
+            not (x > 1100 and y > 1100)
+            for pid, i in got if pid == 2
+            for _, x, y in [pts[[p[0] for p in pts].index(i)]]
+        )
+
+    def test_shift_invariance(self, spark):
+        from gol_tool_spark.operators import spatial_query
+
+        pts = [(i, (i * 7919) % 3000 - 1500, (i * 104729) % 3000 - 1500) for i in range(300)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        a = {(r.poly_id, r.id) for r in spatial_query.polygon_join(df, self._polys_df(spark), cell_shift=6).collect()}
+        b = {(r.poly_id, r.id) for r in spatial_query.polygon_join(df, self._polys_df(spark), cell_shift=12).collect()}
+        assert a == b
+
+    def test_agrees_with_single_polygon_op_interior(self, spark):
+        from gol_tool_spark.operators import spatial_query
+
+        # strictly interior / exterior points (no boundary): the float
+        # kernel and the exact lane must agree
+        diamond = [(300000007, 0), (0, 300000007), (-300000007, 0), (0, -300000007)]
+        pts = [
+            (i, (i * 2654435761) % 500000000 - 250000000,
+             (i * 2246822519 + 1013904223) % 500000000 - 250000000)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        from pyspark.sql import Row
+
+        pdf = spark.createDataFrame(
+            [Row(poly_id=1, ring=[Row(x=x, y=y) for x, y in diamond])],
+            "poly_id long, ring array<struct<x: bigint, y: bigint>>",
+        )
+        a = {r.id for r in spatial_query.polygon_join(df, pdf).collect()}
+        b = {r.id for r in spatial_query.points_in_polygon(df, diamond).collect()}
+        assert a == b and a
