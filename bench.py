@@ -459,6 +459,26 @@ def main():
     from gol_tool_spark.operators import measures as _ms2
 
     timed("way_resample", lambda: force(_ms2.way_resample(mem, points, n_samples=5)))
+    # polygon-layer join: broadcast cover-cell layer + codegen ray cast
+    import __spark_entry__ as _entry
+    from pyspark.sql import Row as _Row
+
+    _polys = spark.createDataFrame(
+        [_Row(poly_id=pid, ring=[_Row(x=x, y=y) for x, y in ring])
+         for pid, ring in _entry._POLY_LAYER],
+        "poly_id long, ring array<struct<x: bigint, y: bigint>>",
+    )
+    timed("polygon_join", lambda: force(spatial_query.polygon_join(_pxy, _polys)))
+    # ed<=1 vocabulary pairs: deletion-key join + levenshtein verify
+    from gol_tool_spark.operators import text as _tx
+
+    _vocab = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+        .unionAll(spark.read.parquet(f"{SF_DIR}/customer.parquet")
+                  .select(F.lower("c_name").alias("word")))
+    )
+    timed("fuzzy_vocab", lambda: force(_tx.fuzzy_pairs(_vocab)))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
