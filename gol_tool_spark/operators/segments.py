@@ -297,9 +297,14 @@ def crossing_triangles(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> DataFra
     2-3 times downstream).  Never all-pairs.
     """
     pairs = segment_intersections(segs, cell_shift)
-    sym = pairs.select(
-        F.col("seg_a").alias("u"), F.col("seg_b").alias("v")
-    ).unionAll(pairs.select(F.col("seg_b").alias("u"), F.col("seg_a").alias("v")))
+    # pin the symmetric edge list FIRST: deg and ed both derive from it,
+    # and without the pin each downstream checkpoint re-executes the
+    # whole crossing-pair chain while materializing (plan-audit finding)
+    sym = (
+        pairs.select(F.col("seg_a").alias("u"), F.col("seg_b").alias("v"))
+        .unionAll(pairs.select(F.col("seg_b").alias("u"), F.col("seg_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
     deg = (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))

@@ -248,6 +248,11 @@ def skyline2d(
         df.select(F.col(x).alias("x"), F.col(y).alias("y"), bkt.alias("_b"))
         .join(F.broadcast(bpre), "_b")
         .filter(F.col("_bpre").isNull() | (F.col("_bpre") > F.col("y")))
+        # pin (lazy, the geostats._pin discipline): the survivor set
+        # (staircase band, small after the prune) feeds BOTH the per-x
+        # aggregate and the final join — without the pin the full input
+        # scan + prune runs twice (plan-audit finding)
+        .localCheckpoint(eager=False)
     )
     px = cand.groupBy("x").agg(F.min("y").alias("_my"))
     wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
