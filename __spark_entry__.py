@@ -1284,6 +1284,16 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_time_weighted(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # LOCF integration of a synthetic signed reading per user
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", (F.col("event_id") % 997 - 400).alias("value")
+    )
+    return temporal.time_weighted(ev, by=("user_id",))
+
+
 # literal polygon layer for the polygon_join gate (shared between the
 # Spark query and the DuckDB oracle): a center diamond, an L-shape and a
 # concave chevron over two hot clusters — the notch proves even-odd
@@ -2245,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_vocab": q_fuzzy_vocab,  # ed<=1 vocabulary pairs (full oracle)
         "way_resample": q_way_resample,  # exact arc-length samples (full oracle)
         "polygon_join": q_polygon_join,  # point x polygon-layer join (full oracle)
+        "time_weighted": q_time_weighted,  # exact LOCF integration (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3677,6 +3688,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "time_weighted": (
+            # LOCF twin: LEAD over (epoch, v) — tie width is zero so the
+            # order inside a tie cannot change the integral
+            "WITH s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, "
+            "CAST(event_id % 997 - 400 AS BIGINT) AS v FROM events), "
+            "l AS (SELECT user_id, t, v, LEAD(t) OVER (PARTITION BY user_id ORDER BY t, v) - t AS dt FROM s) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+            "CAST(MAX(t) - MIN(t) AS BIGINT) AS span_s, "
+            "CAST(COALESCE(SUM(CAST(v AS HUGEINT) * dt), 0) AS VARCHAR) AS twa_num "
+            "FROM l GROUP BY user_id"
+        ),
         "polygon_join": _with_points(
             # layer twin: vertex VALUES from the SAME literal, wrap-edge
             # join, per-(poly, point) crossing sum in HUGEINT, parity

@@ -561,3 +561,46 @@ def interval_coverage(
         F.sum(F.col("_be") - F.col("_bs")).cast("bigint").alias("covered_s"),
         (F.max("_be") - F.min("_bs")).cast("bigint").alias("span_s"),
     )
+
+
+def time_weighted(
+    df: DataFrame,
+    on: str = "ts",
+    value: str = "value",
+    by: Sequence[str] = ("entity",),
+) -> DataFrame:
+    """Exact time-weighted (LOCF) integration per entity — the sensor
+    statistic sample-mean gets wrong: a reading holds until the next one
+    arrives, so its weight is the seconds it was current, not 1.
+
+    twa_num = sum over consecutive samples of value_i * (t_{i+1} - t_i)
+    (integer seconds x integer values, exact in DECIMAL(38,0));
+    twa = twa_num / span_s is the caller's division.  The last sample
+    carries no weight (nothing follows it); single-sample entities
+    report span 0 / num 0.  Tied timestamps contribute zero-width
+    intervals, so tie order cannot change the sum.
+
+    Returns (by..., n_samples, span_s, twa_num) with twa_num as a
+    DECIMAL string.
+
+    Plan: one shuffle on the entity keys, a LEAD window, one
+    map-combined agg.  No joins.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("by must name at least one entity column")
+    t = _wall_secs(on)
+    d = df.select(*by, t.alias("_t"), F.col(value).alias("_v"))
+    w = Window.partitionBy(*by).orderBy("_t", "_v")
+    led = d.select(
+        *by, "_t", "_v", (F.lead("_t").over(w) - F.col("_t")).alias("_dt")
+    )
+    dd = lambda c: c.cast("decimal(38,0)")
+    return led.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        (F.max("_t") - F.min("_t")).cast("bigint").alias("span_s"),
+        F.coalesce(
+            F.sum(dd(F.col("_v")) * dd(F.col("_dt"))).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("string").alias("twa_num"),
+    )

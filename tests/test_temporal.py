@@ -330,3 +330,68 @@ class TestIntervalCoverage:
         df = spark.createDataFrame([("a", 1, 2)], "entity string, start_s long, end_s long")
         with pytest.raises(ValueError):
             temporal.interval_coverage(df, by=())
+
+
+class TestTimeWeighted:
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+        from collections import defaultdict
+
+        rows = []
+        for i in range(300):
+            ent = f"u{i % 5}"
+            t = 1_700_000_000 + (i * 7919) % 10_000
+            v = (i * 104729) % 500 - 100
+            rows.append((ent, dt.datetime.utcfromtimestamp(t), t, v))
+        df = spark.createDataFrame(
+            [(e, ts, v) for e, ts, _, v in rows], "entity string, ts timestamp, value long"
+        )
+        got = {
+            r.entity: (r.n_samples, r.span_s, r.twa_num)
+            for r in temporal.time_weighted(df).collect()
+        }
+        per = defaultdict(list)
+        for e, _, t, v in rows:
+            per[e].append((t, v))
+        expect = {}
+        for e, sv in per.items():
+            sv.sort()
+            num = sum(v * (sv[i + 1][0] - t) for i, (t, v) in enumerate(sv[:-1]))
+            expect[e] = (len(sv), sv[-1][0] - sv[0][0], str(num))
+        assert got == expect
+        assert any(int(v[2]) != 0 for v in got.values())
+
+    def test_constant_value_integrates_to_span(self, spark):
+        import datetime as dt
+
+        rows = [("a", dt.datetime.utcfromtimestamp(1_700_000_000 + t), 7) for t in (0, 10, 25, 100)]
+        df = spark.createDataFrame(rows, "entity string, ts timestamp, value long")
+        r = temporal.time_weighted(df).collect()[0]
+        assert (r.n_samples, r.span_s, r.twa_num) == (4, 100, "700")
+
+    def test_single_sample_and_ties(self, spark):
+        import datetime as dt
+
+        ts = dt.datetime.utcfromtimestamp(1_700_000_000)
+        df = spark.createDataFrame(
+            [("one", ts, 42), ("tie", ts, 1), ("tie", ts, 99),
+             ("tie", dt.datetime.utcfromtimestamp(1_700_000_010), 5)],
+            "entity string, ts timestamp, value long",
+        )
+        got = {
+            r.entity: (r.n_samples, r.span_s, r.twa_num)
+            for r in temporal.time_weighted(df).collect()
+        }
+        assert got["one"] == (1, 0, "0")
+        # tied samples carry zero width; the later of the tie (99) holds
+        # for the 10 s interval under (t, v) ordering
+        assert got["tie"] == (3, 10, "990")
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime.now(), 1)], "entity string, ts timestamp, value long"
+        )
+        with pytest.raises(ValueError):
+            temporal.time_weighted(df, by=())
