@@ -811,6 +811,13 @@ def q_od_matrix(spark, sf_dir):
     return trajectory.od_matrix(_events_xy(spark, sf_dir))
 
 
+def q_od_compose(spark, sf_dir):
+    from gol_tool_spark.operators import trajectory
+
+    # two-leg trip chains: the transition matrix squared
+    return trajectory.od_compose(trajectory.od_matrix(_events_xy(spark, sf_dir)))
+
+
 def q_gridhash_density(spark, sf_dir):
     from gol_tool_spark.operators import geocode
 
@@ -2256,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_resample": q_way_resample,  # exact arc-length samples (full oracle)
         "polygon_join": q_polygon_join,  # point x polygon-layer join (full oracle)
         "time_weighted": q_time_weighted,  # exact LOCF integration (full oracle)
+        "od_compose": q_od_compose,  # transition-matrix square (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -2620,6 +2628,26 @@ def _hops_oracle(seed_mod: int, rounds: int) -> str:
         )
     parts.append(f" SELECT seg, CAST(hops AS BIGINT) AS hops FROM d{rounds}")
     return _with_points("".join(parts))
+
+
+# origin-destination twin: visit collapse via the same rn-difference
+# islands, visit order = min fix row-number — shared by the od_matrix
+# and od_compose oracles
+_OD_SQL = (
+    f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
+    "g AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+    "(x + 2147483648) // 536870912 AS cx, (y + 2147483648) // 536870912 AS cy FROM exy), "
+    "r AS (SELECT user_id, cx, cy, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ws, event_id) AS rn, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, cx, cy ORDER BY ws, event_id) AS rnc FROM g), "
+    "v AS (SELECT user_id, cx, cy, MIN(rn) AS seq FROM r GROUP BY user_id, cx, cy, rn - rnc), "
+    "t AS (SELECT user_id, cx, cy, LAG(cx) OVER w AS fcx, LAG(cy) OVER w AS fcy FROM v "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY seq)) "
+    "SELECT fcx AS from_cx, fcy AS from_cy, cx AS to_cx, cy AS to_cy, "
+    "CAST(COUNT(*) AS BIGINT) AS n_trips, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities "
+    "FROM t WHERE fcx IS NOT NULL GROUP BY 1, 2, 3, 4"
+)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -3477,22 +3505,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
             "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
         ),
-        "od_matrix": (
-            # origin-destination twin: visit collapse via the same
-            # rn-difference islands, visit order = min fix row-number
-            f"WITH exy AS ({synth.EVENTS_XY_CTE}), "
-            "g AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
-            "(x + 2147483648) // 536870912 AS cx, (y + 2147483648) // 536870912 AS cy FROM exy), "
-            "r AS (SELECT user_id, cx, cy, "
-            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ws, event_id) AS rn, "
-            "ROW_NUMBER() OVER (PARTITION BY user_id, cx, cy ORDER BY ws, event_id) AS rnc FROM g), "
-            "v AS (SELECT user_id, cx, cy, MIN(rn) AS seq FROM r GROUP BY user_id, cx, cy, rn - rnc), "
-            "t AS (SELECT user_id, cx, cy, LAG(cx) OVER w AS fcx, LAG(cy) OVER w AS fcy FROM v "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY seq)) "
-            "SELECT fcx AS from_cx, fcy AS from_cy, cx AS to_cx, cy AS to_cy, "
-            "CAST(COUNT(*) AS BIGINT) AS n_trips, "
-            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities "
-            "FROM t WHERE fcx IS NOT NULL GROUP BY 1, 2, 3, 4"
+        "od_matrix": _OD_SQL,
+        "od_compose": (
+            # sparse matrix-square twin wrapping the od_matrix CTE:
+            # join on the intermediate cell, HUGEINT products
+            f"WITH od AS ({_OD_SQL}) "
+            "SELECT a.from_cx, a.from_cy, b.to_cx, b.to_cy, "
+            "CAST(SUM(CAST(a.n_trips AS HUGEINT) * b.n_trips) AS VARCHAR) AS n_paths "
+            "FROM od a JOIN od b ON b.from_cx = a.to_cx AND b.from_cy = a.to_cy "
+            "GROUP BY 1, 2, 3, 4"
         ),
         "gridhash_density": _with_points(
             # base32 Morton twin: the same mask-ladder bit spread in

@@ -807,3 +807,44 @@ def hmm_match(
         )
 
     return rows.groupBy("user_id").applyInPandas(per_entity, HMM_SCHEMA)
+
+
+def od_compose(od: DataFrame) -> DataFrame:
+    """Two-leg composition of an od_matrix() result — the Markov-chain
+    step of mobility analysis: how many trip CHAINS lead from cell a
+    through any intermediate to cell c,
+
+        n_paths(a, c) = sum over b of n_trips(a, b) * n_trips(b, c),
+
+    the (A @ A) entry of the aggregate transition matrix.  Self-returns
+    (a == c through any b) are real chains and stay in.  Exact integers;
+    counts square, so the accumulator ships as a DECIMAL string.
+
+    Returns (from_cx, from_cy, to_cx, to_cy, n_paths).
+
+    Plan: ONE equi-join on the intermediate cell + one map-combined
+    groupBy — sparse matrix multiply in two operators.  The join key is
+    the cell, so a mega-hub cell is a genuine skew point: AQE skew-split
+    applies, and the matrix is the AGGREGATE (|cells|^2 bounded), never
+    the trip log.
+    """
+    d = lambda c: c.cast("decimal(38,0)")
+    a = od.select(
+        F.col("from_cx"), F.col("from_cy"),
+        F.col("to_cx").alias("_mx"), F.col("to_cy").alias("_my"),
+        F.col("n_trips").alias("_na"),
+    )
+    b = od.select(
+        F.col("from_cx").alias("_mx"), F.col("from_cy").alias("_my"),
+        F.col("to_cx"), F.col("to_cy"), F.col("n_trips").alias("_nb"),
+    )
+    return (
+        a.join(b, ["_mx", "_my"])
+        .groupBy("from_cx", "from_cy", "to_cx", "to_cy")
+        .agg(
+            F.sum(d(F.col("_na")) * d(F.col("_nb")))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("n_paths")
+        )
+    )

@@ -771,3 +771,57 @@ class TestTrajEditdist:
         r2 = trajectory.traj_editdist(
             df, cell_shift=26, max_users_per_cell=8, min_shared=2, max_syms=2).first()
         assert (r2.editdist, r2.len_a, r2.len_b) == (0, 2, 2)
+
+
+class TestOdCompose:
+    def test_matrix_square_bruteforce(self, spark):
+        # literal OD matrix -> compose must equal the brute-force A @ A
+        od_rows = [
+            (0, 0, 1, 0, 3, 2),
+            (1, 0, 0, 0, 2, 1),
+            (1, 0, 2, 2, 5, 3),
+            (2, 2, 0, 0, 7, 2),
+            (4, 4, 4, 5, 1, 1),  # isolated leg: composes only with itself if chained
+        ]
+        od = spark.createDataFrame(
+            od_rows,
+            "from_cx long, from_cy long, to_cx long, to_cy long, n_trips long, n_entities long",
+        )
+        got = {
+            (r.from_cx, r.from_cy, r.to_cx, r.to_cy): int(r.n_paths)
+            for r in trajectory.od_compose(od).collect()
+        }
+        expect = {}
+        for fa_x, fa_y, ta_x, ta_y, na, _ in od_rows:
+            for fb_x, fb_y, tb_x, tb_y, nb, _ in od_rows:
+                if (ta_x, ta_y) == (fb_x, fb_y):
+                    k = (fa_x, fa_y, tb_x, tb_y)
+                    expect[k] = expect.get(k, 0) + na * nb
+        assert got == expect
+        assert got[(0, 0, 0, 0)] == 3 * 2       # 0->1->0 self-return
+        assert got[(0, 0, 2, 2)] == 3 * 5       # 0->1->2 chain
+        assert (4, 4, 4, 5) not in got          # no second leg from (4,5)
+
+    def test_consistent_with_od_matrix(self, spark):
+        # row sums: total 2-leg chains == sum over mid of in*out
+        import datetime as dt
+
+        ev = spark.createDataFrame(
+            [
+                (1, i, dt.datetime.utcfromtimestamp(1_700_000_000 + i * 60),
+                 (i % 4) * (1 << 30) - (1 << 31), ((i * 7) % 4) * (1 << 30) - (1 << 31))
+                for i in range(40)
+            ],
+            "user_id long, event_id long, ts timestamp, x long, y long",
+        )
+        od = trajectory.od_matrix(ev, cell_shift=30)
+        comp = trajectory.od_compose(od)
+        rows = od.collect()
+        total_expected = 0
+        ins, outs = {}, {}
+        for r in rows:
+            outs[(r.from_cx, r.from_cy)] = outs.get((r.from_cx, r.from_cy), 0) + r.n_trips
+            ins[(r.to_cx, r.to_cy)] = ins.get((r.to_cx, r.to_cy), 0) + r.n_trips
+        for mid in set(ins) & set(outs):
+            total_expected += ins[mid] * outs[mid]
+        assert sum(int(r.n_paths) for r in comp.collect()) == total_expected
