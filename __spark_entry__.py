@@ -1291,6 +1291,15 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_cell_components(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # whole-raster blob labeling (queen) over the z6 density lattice
+    return geostats.cell_components(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26, connectivity=8
+    )
+
+
 def q_time_weighted(spark, sf_dir):
     from gol_tool_spark.operators import temporal
 
@@ -2264,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_join": q_polygon_join,  # point x polygon-layer join (full oracle)
         "time_weighted": q_time_weighted,  # exact LOCF integration (full oracle)
         "od_compose": q_od_compose,  # transition-matrix square (full oracle)
+        "cell_components": q_cell_components,  # raster blob labeling (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3709,6 +3719,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "cell_components": (
+            # queen-lattice CC twin: positive-offset adjacency + the
+            # min-label reachability closure (the dbscan/seg_components
+            # recursive pattern); isolated cells coalesce to themselves
+            f"WITH RECURSIVE pts AS ({_PTS}), "
+            "cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "ids AS (SELECT cx, cy, c, CAST(cx * 4294967296 + cy AS BIGINT) AS id FROM cells), "
+            "pr AS (SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON "
+            "(b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx AND b.cy = a.cy + 1) "
+            "OR (b.cx = a.cx + 1 AND b.cy = a.cy + 1) OR (b.cx = a.cx + 1 AND b.cy = a.cy - 1)), "
+            "sym AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr), "
+            "reach AS (SELECT id, id AS lbl FROM ids "
+            "UNION SELECT s.v AS id, reach.lbl FROM reach JOIN sym s ON s.u = reach.id) "
+            "SELECT i.cx, i.cy, i.c, CAST(MIN(r.lbl) AS BIGINT) AS comp "
+            "FROM ids i JOIN reach r ON r.id = i.id GROUP BY 1, 2, 3"
+        ),
         "time_weighted": (
             # LOCF twin: LEAD over (epoch, v) — tie width is zero so the
             # order inside a tie cannot change the integral

@@ -1705,3 +1705,75 @@ def local_morans(
         (F.col("zs") * F.col("lag")).cast("decimal(38,0)").cast("string").alias("num"),
         quad.alias("quad"),
     )
+
+
+def cell_components(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+    connectivity: int = 8,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over the OCCUPIED cell lattice — whole-raster
+    blob labeling ("which cells form one contiguous settled area"), the
+    distributed sibling of the per-image mask_components: the lattice
+    here is the full density surface, not one image, so the union-find
+    must be a shuffle algorithm, not a per-row Python pass.
+
+    connectivity 4 (rook) or 8 (queen).  Returns (cx, cy, c, comp) for
+    every occupied cell; comp is the smallest packed cell id reachable,
+    so isolated cells are their own singleton (LEFT join + coalesce).
+
+    Plan: the pinned lattice probes only the POSITIVE half-plane offsets
+    (E, N, NE, SE for queen) so each unordered adjacency emits exactly
+    once from one side; ONE equi-join finds occupied neighbors, then the
+    dedup.dup_clusters alternating large/small-star engine contracts the
+    edges in O(log n) rounds.  Cell ids pack as cx * 2^32 + cy (shifted
+    coords are non-negative; cell_shift >= 8 keeps the pack in int64).
+    """
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
+    if cell_shift < 8:
+        raise ValueError("cell_shift must be >= 8 (packed ids exceed int64)")
+    from gol_tool_spark.operators.dedup import dup_clusters
+
+    cxc = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cyc = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cxc.alias("cx"), cyc.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = _pin(cells)
+    pack = lambda cx, cy: (cx * F.lit(1 << 32).cast("bigint") + cy).cast("bigint")
+    offsets = [(1, 0), (0, 1)] if connectivity == 4 else [(1, 0), (0, 1), (1, 1), (1, -1)]
+    probe = cells.select(
+        pack(F.col("cx"), F.col("cy")).alias("id_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("_nb"),
+    ).select("id_a", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    pairs = probe.join(
+        cells.select("cx", "cy", pack(F.col("cx"), F.col("cy")).alias("id_b")),
+        ["cx", "cy"],
+    ).select("id_a", "id_b")
+    comp = dup_clusters(pairs, a_col="id_a", b_col="id_b", max_rounds=max_rounds)
+    comp = comp.select(F.col("doc_id").alias("_id"), "comp")
+    return (
+        cells.select(
+            "cx", "cy", "c", pack(F.col("cx"), F.col("cy")).alias("_id")
+        )
+        .join(comp, "_id", "left")
+        .select(
+            "cx", "cy", "c",
+            F.coalesce(F.col("comp"), F.col("_id")).cast("bigint").alias("comp"),
+        )
+    )

@@ -453,3 +453,79 @@ class TestWatershed:
         flow = geostats.flow_directions(_pts_for_cells(spark, [(0, 0, 1)], 8), cell_shift=8)
         with pytest.raises(ValueError):
             geostats.watershed(flow, doubling_rounds=-1)
+
+
+def _cc_twin(cells, connectivity):
+    occ = {(x, y) for x, y, _ in cells}
+    offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    if connectivity == 8:
+        offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    pack = lambda c: c[0] * (1 << 32) + c[1]
+    parent = {c: c for c in occ}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for c in occ:
+        for dx, dy in offs:
+            nb = (c[0] + dx, c[1] + dy)
+            if nb in occ:
+                ra, rb = find(c), find(nb)
+                if ra != rb:
+                    if pack(ra) < pack(rb):
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+    cnt = {(x, y): n for x, y, n in cells}
+    return {c: (cnt[c], pack(find(c))) for c in occ}
+
+
+class TestCellComponents:
+    def test_matches_union_find_twin(self, spark):
+        cells = [
+            (x, y, 1 + (x * 13 + y * 7) % 5)
+            for x in range(12)
+            for y in range(12)
+            if (x * 29 + y * 17) % 3 != 0  # punch holes -> several blobs
+        ]
+        for conn in (4, 8):
+            got = {
+                (r.cx, r.cy): (r.c, r.comp)
+                for r in geostats.cell_components(
+                    _pts_for_cells(spark, cells, 8), cell_shift=8, connectivity=conn
+                ).collect()
+            }
+            assert got == _cc_twin(cells, conn), conn
+        # queen merges at least as much as rook
+        rook = {v[1] for v in _cc_twin(cells, 4).values()}
+        queen = {v[1] for v in _cc_twin(cells, 8).values()}
+        assert len(queen) <= len(rook)
+
+    def test_diagonal_blobs(self, spark):
+        # two cells touching only diagonally: one component under queen,
+        # two under rook
+        cells = [(0, 0, 1), (1, 1, 1), (5, 5, 2)]
+        q = {
+            (r.cx, r.cy): r.comp
+            for r in geostats.cell_components(
+                _pts_for_cells(spark, cells, 8), cell_shift=8, connectivity=8
+            ).collect()
+        }
+        assert q[(0, 0)] == q[(1, 1)] and q[(5, 5)] != q[(0, 0)]
+        r4 = {
+            (r.cx, r.cy): r.comp
+            for r in geostats.cell_components(
+                _pts_for_cells(spark, cells, 8), cell_shift=8, connectivity=4
+            ).collect()
+        }
+        assert len({*r4.values()}) == 3
+
+    def test_validation(self, spark):
+        df = _pts_for_cells(spark, [(0, 0, 1)], 8)
+        with pytest.raises(ValueError):
+            geostats.cell_components(df, connectivity=6)
+        with pytest.raises(ValueError):
+            geostats.cell_components(df, cell_shift=4)
