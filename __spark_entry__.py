@@ -1291,6 +1291,16 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_stream_order(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # Strahler channel hierarchy over the D8 forest (4 bounded rounds)
+    flow = geostats.flow_directions(
+        synth.points_df(spark, sf_dir).select("x", "y"), cell_shift=26
+    )
+    return geostats.stream_order(flow, max_rounds=4)
+
+
 def q_cell_components(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2274,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted": q_time_weighted,  # exact LOCF integration (full oracle)
         "od_compose": q_od_compose,  # transition-matrix square (full oracle)
         "cell_components": q_cell_components,  # raster blob labeling (full oracle)
+        "stream_order": q_stream_order,  # Strahler hierarchy (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -2658,6 +2669,26 @@ _OD_SQL = (
     "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities "
     "FROM t WHERE fcx IS NOT NULL GROUP BY 1, 2, 3, 4"
 )
+
+
+def _strahler_oracle(rounds: int) -> str:
+    """Unrolled simultaneous-update Strahler twin over the shared
+    flow_dir winner chain: per round an ordered child list per parent,
+    confluence rule on its top two entries."""
+    parts = [_FLOW_W_CTE]
+    parts.append(", o0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS sorder FROM cells)")
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", g{i} AS (SELECT e.tx AS cx, e.ty AS cy, "
+            f"list(o.sorder ORDER BY o.sorder DESC) AS l "
+            f"FROM e JOIN o{i - 1} o ON o.cx = e.fx AND o.cy = e.fy GROUP BY 1, 2)"
+            f", o{i} AS (SELECT c.cx, c.cy, CAST(COALESCE("
+            f"CASE WHEN len(g.l) >= 2 AND g.l[1] = g.l[2] THEN g.l[1] + 1 ELSE g.l[1] END, 1) "
+            f"AS BIGINT) AS sorder FROM cells c LEFT JOIN g{i} g "
+            f"ON g.cx = c.cx AND g.cy = c.cy)"
+        )
+    parts.append(f" SELECT cx, cy, sorder FROM o{rounds}")
+    return _with_points("".join(parts))
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -3719,6 +3750,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "stream_order": _strahler_oracle(4),
         "cell_components": (
             # queen-lattice CC twin: positive-offset adjacency + the
             # min-label reachability closure (the dbscan/seg_components

@@ -1777,3 +1777,80 @@ def cell_components(
             F.coalesce(F.col("comp"), F.col("_id")).cast("bigint").alias("comp"),
         )
     )
+
+
+def stream_order(flow: DataFrame, max_rounds: int = 4) -> DataFrame:
+    """Bounded Strahler stream order over the D8 forest (Strahler 1957)
+    — the channel-hierarchy classification of hydrology: order 1 =
+    headwater cells, and a cell's order rises only where two
+    equal-order tributaries CONFLUENCE (max child order, +1 iff that
+    max is achieved by >= 2 children).  Applied to the density surface
+    it ranks drainage spines of the point mass.
+
+    Bounded semantics (the flow_accumulation contract): every cell
+    starts at order 1 and `max_rounds` simultaneous update rounds run;
+    orders only grow, and a cell whose tributary tree is shallower than
+    the bound is exact (order k needs 2^(k-1) leaves, so 4 rounds
+    already resolves order 5 — continental basins top out around 12).
+
+    Returns (cx, cy, sorder).
+
+    Plan: per round ONE equi-join (children orders -> parent) + a
+    map-combined collect_list fold — D8 in-degree is <= 8, so the list
+    is bounded and the confluence rule is a codegen array expression;
+    localCheckpoint per round cuts lineage.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    step_dx = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _D8_STEP.items() for v in (kv[0], kv[1][0])]),
+        F.col("d8"),
+    )
+    step_dy = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _D8_STEP.items() for v in (kv[0], kv[1][1])]),
+        F.col("d8"),
+    )
+    cells = flow.select("cx", "cy").localCheckpoint(eager=True)
+    edges = (
+        flow.filter(F.col("d8") != 0)
+        .select(
+            F.col("cx").alias("fx"), F.col("cy").alias("fy"),
+            (F.col("cx") + step_dx).alias("cx"),
+            (F.col("cy") + step_dy).alias("cy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    order = cells.withColumn("sorder", F.lit(1).cast("bigint"))
+    for _ in range(max_rounds):
+        child = edges.join(
+            order.select(
+                F.col("cx").alias("fx"), F.col("cy").alias("fy"),
+                F.col("sorder").alias("_co"),
+            ),
+            ["fx", "fy"],
+        )
+        folded = (
+            child.groupBy("cx", "cy")
+            .agg(F.sort_array(F.collect_list("_co"), asc=False).alias("_os"))
+            .select(
+                "cx", "cy",
+                F.when(
+                    (F.size("_os") >= 2)
+                    & (F.element_at("_os", 1) == F.element_at("_os", 2)),
+                    F.element_at("_os", 1) + 1,
+                )
+                .otherwise(F.element_at("_os", 1))
+                .alias("_up"),
+            )
+        )
+        order = (
+            cells.join(folded, ["cx", "cy"], "left")
+            .select(
+                "cx", "cy",
+                F.greatest(
+                    F.lit(1).cast("bigint"), F.coalesce(F.col("_up"), F.lit(1))
+                ).cast("bigint").alias("sorder"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return order
