@@ -1291,6 +1291,13 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+def q_term_drift(spark, sf_dir):
+    from gol_tool_spark.operators import text as T
+
+    # per-term df contrast between the two content-hash halves
+    return T.term_drift(_read(spark, sf_dir, "documents"))
+
+
 def q_stream_order(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2285,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_compose": q_od_compose,  # transition-matrix square (full oracle)
         "cell_components": q_cell_components,  # raster blob labeling (full oracle)
         "stream_order": q_stream_order,  # Strahler hierarchy (full oracle)
+        "term_drift": q_term_drift,  # corpus-half df contrast (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3751,6 +3759,21 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
         "stream_order": _strahler_oracle(4),
+        "term_drift": (
+            # drift twin: identical md5-threshold halves, distinct words
+            # per doc, HUGEINT cross-multiplied contrast
+            "WITH s AS (SELECT doc_id, text, CASE WHEN substr(md5(text), 1, 8) < '80000000' "
+            "THEN 'a' ELSE 'b' END AS split FROM documents), "
+            "tot AS (SELECT CAST(SUM(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(SUM(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM s), "
+            "w AS (SELECT DISTINCT doc_id, split, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term FROM s), "
+            "p AS (SELECT term, CAST(SUM(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS df_a, "
+            "CAST(SUM(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS df_b "
+            "FROM w WHERE term <> '' GROUP BY term) "
+            "SELECT term, df_a, df_b, n_a, n_b, "
+            "CAST(CAST(df_a AS HUGEINT) * n_b - CAST(df_b AS HUGEINT) * n_a AS VARCHAR) AS delta "
+            "FROM p, tot"
+        ),
         "cell_components": (
             # queen-lattice CC twin: positive-offset adjacency + the
             # min-label reachability closure (the dbscan/seg_components

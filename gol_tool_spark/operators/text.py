@@ -494,3 +494,47 @@ def fuzzy_pairs(vocab: DataFrame, word_col: str = "word") -> DataFrame:
         .dropDuplicates(["word_a", "word_b"])
         .filter(F.levenshtein("word_a", "word_b") <= 1)
     )
+
+
+def term_drift(df: DataFrame, text_col: str = "text", salt: str = "") -> DataFrame:
+    """Per-term distribution drift between two deterministic halves of a
+    corpus — the domain-shift / contamination-drift check a training-data
+    pipeline runs before mixing sources: a term whose document frequency
+    differs wildly between the content-hash halves marks a skewed or
+    duplicated slice (on an i.i.d. corpus the halves agree).
+
+    Per distinct term:  df_a, df_b (document frequencies), the half
+    sizes n_a, n_b, and the EXACT cross-multiplied rate contrast
+    delta = df_a * n_b - df_b * n_a  (zero iff the rates match exactly;
+    its square over the margins is the chi-square numerator — the
+    caller's rational).  DECIMAL string, counts multiply past int64 at
+    corpus scale.
+
+    Plan: the hash_split JVM expressions assign halves (zero shuffle),
+    one distinct-word explode, ONE map-combined groupBy with two
+    conditional sums, a broadcast of the 2-row totals.  Never all-pairs.
+    """
+    from gol_tool_spark.operators.dedup import normalized
+
+    halves = hash_split(df, weights={"a": 0.5, "b": 0.5}, text_col=text_col, salt=salt)
+    d = df.join(halves.select("doc_id", "split"), "doc_id")
+    words = d.select(
+        "split",
+        F.explode(
+            F.array_distinct(F.split(F.trim(normalized(text_col)), " "))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tot = halves.groupBy().agg(
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    per = words.groupBy("term").agg(
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).cast("bigint").alias("df_a"),
+        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).cast("bigint").alias("df_b"),
+    )
+    dd = lambda c: c.cast("decimal(38,0)")
+    return per.join(F.broadcast(tot)).select(
+        "term", "df_a", "df_b", "n_a", "n_b",
+        (dd(F.col("df_a")) * dd(F.col("n_b")) - dd(F.col("df_b")) * dd(F.col("n_a")))
+        .cast("decimal(38,0)").cast("string").alias("delta"),
+    )

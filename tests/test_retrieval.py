@@ -185,3 +185,48 @@ class TestFuzzyPairs:
         df = spark.createDataFrame([("cat",), ("cat",), ("car",)], "word string")
         got = [(r.word_a, r.word_b) for r in T.fuzzy_pairs(df).collect()]
         assert got == [("car", "cat")]
+
+
+class TestTermDrift:
+    def test_matches_bruteforce(self, spark):
+        import hashlib
+        import re
+        from collections import defaultdict
+
+        rows = [(i, f"alpha beta w{i % 7} gamma" if i % 3 else f"alpha delta w{i % 5}")
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from gol_tool_spark.operators import text as T
+
+        got = {
+            r.term: (r.df_a, r.df_b, r.n_a, r.n_b, r.delta)
+            for r in T.term_drift(df).collect()
+        }
+        split = {
+            d: ("a" if hashlib.md5(t.encode()).hexdigest()[:8] < "80000000" else "b")
+            for d, t in rows
+        }
+        n_a = sum(1 for v in split.values() if v == "a")
+        n_b = len(rows) - n_a
+        dfc = defaultdict(lambda: [0, 0])
+        for d, t in rows:
+            for w in set(re.sub(r"\s+", " ", t.lower()).strip().split(" ")):
+                dfc[w][0 if split[d] == "a" else 1] += 1
+        expect = {
+            w: (a, b, n_a, n_b, str(a * n_b - b * n_a)) for w, (a, b) in dfc.items()
+        }
+        assert got == expect
+        assert got["alpha"][0] + got["alpha"][1] == 60  # every doc has alpha
+
+    def test_balanced_term_has_small_delta(self, spark):
+        # a term in EVERY doc has delta exactly 0 regardless of split
+        rows = [(i, f"common unique{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from gol_tool_spark.operators import text as T
+
+        got = {r.term: int(r.delta) for r in T.term_drift(df).collect()}
+        assert got["common"] == 0
+        # each unique term appears in exactly one doc: |delta| = n_other
+        n_a = [r for r in T.term_drift(df).collect() if r.term == "common"][0].n_a
+        n_b = 40 - n_a
+        assert {abs(v) for t, v in got.items() if t != "common"} <= {n_a, n_b}
