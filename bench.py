@@ -479,6 +479,20 @@ def main():
                   .select(F.lower("c_name").alias("word")))
     )
     timed("fuzzy_vocab", lambda: force(_tx.fuzzy_pairs(_vocab)))
+    # whole-raster blob labeling: positive-offset adjacency + star CC
+    timed("cell_components", lambda: force(_gs.cell_components(_pxy, cell_shift=26)))
+    # Strahler hierarchy: 4 bounded confluence rounds over the D8 forest
+    timed("stream_order", lambda: force(_gs.stream_order(
+        _gs.flow_directions(_pxy, cell_shift=26), max_rounds=4)))
+    # transition-matrix square over the event OD flows
+    from gol_tool_spark.operators import trajectory as _tj2
+
+    timed("od_compose_2m", lambda: force(_tj2.od_compose(
+        _tj2.od_matrix(fixes, cell_shift=24))))
+    # exact LOCF integration over the 2M fleet
+    timed("time_weighted_2m", lambda: force(temporal.time_weighted(
+        ev2m.select("user_id", "ts", (F.col("event_id") % 997 - 400).alias("value")),
+        by=("user_id",))))
 
     # -- image payload pipeline (generate -> place -> verify)
     spark.catalog.clearCache()
