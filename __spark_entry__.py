@@ -1291,6 +1291,24 @@ def q_flow_acc(spark, sf_dir):
     return geostats.flow_accumulation(flow, max_rounds=4)
 
 
+_PHASH_MUL, _PHASH_ADD, _PHASH_MOD = 2654435761, 1013904223, 1 << 56
+_PHASH_QIDS = (1001, 2002, 4000)
+
+
+def q_phash_topk(spark, sf_dir):
+    from gol_tool_spark.operators import ann
+
+    # Hamming top-5 lookup over a synthetic 56-bit phash column (the
+    # BASELINE input-table shape); query hashes are the same formula at
+    # three fixed ids, so hamming 0 self-hits prove the metric
+    ph = (F.col("id") * _PHASH_MUL + _PHASH_ADD) % _PHASH_MOD
+    pts = synth.points_df(spark, sf_dir).select(
+        F.col("id").alias("image_id"), ph.alias("phash")
+    )
+    qs = [(q, (q * _PHASH_MUL + _PHASH_ADD) % _PHASH_MOD) for q in _PHASH_QIDS]
+    return ann.phash_topk(pts, qs, k=5)
+
+
 def q_term_drift(spark, sf_dir):
     from gol_tool_spark.operators import text as T
 
@@ -2293,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_components": q_cell_components,  # raster blob labeling (full oracle)
         "stream_order": q_stream_order,  # Strahler hierarchy (full oracle)
         "term_drift": q_term_drift,  # corpus-half df contrast (full oracle)
+        "phash_topk": q_phash_topk,  # exact Hamming top-k lookup (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3759,6 +3778,21 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
         "stream_order": _strahler_oracle(4),
+        "phash_topk": _with_points(
+            # Hamming twin: same LCG phash synthesis, xor + bit_count,
+            # ROW_NUMBER ties by id
+            ", ph AS (SELECT id, (id * 2654435761 + 1013904223) % 72057594037927936 AS phash FROM pts), "
+            "q(qid, qhash) AS (VALUES "
+            + ", ".join(
+                f"({q}, {(q * _PHASH_MUL + _PHASH_ADD) % _PHASH_MOD})"
+                for q in _PHASH_QIDS
+            )
+            + "), "
+            "r AS (SELECT q.qid, ph.id, CAST(bit_count(xor(ph.phash, q.qhash)) AS INT) AS hamming, "
+            "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY bit_count(xor(ph.phash, q.qhash)), ph.id) AS rank "
+            "FROM ph CROSS JOIN q) "
+            "SELECT qid, CAST(rank AS INT) AS rank, id, hamming FROM r WHERE rank <= 5"
+        ),
         "term_drift": (
             # drift twin: identical md5-threshold halves, distinct words
             # per doc, HUGEINT cross-multiplied contrast

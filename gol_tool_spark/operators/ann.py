@@ -352,3 +352,43 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("vec_id").alias("nid"), "rank", F.round("l2", 6).alias("l2_r"))
     )
+
+
+def phash_topk(
+    df: DataFrame,
+    queries: list[tuple[int, int]],
+    k: int = 5,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Exact Hamming top-k retrieval over a 64-bit perceptual-hash
+    column — the image-similarity lookup the BASELINE input schema
+    (image_id, ..., phash int64) exists for: "find the k most visually
+    similar images to this one" without touching a pixel.
+
+    queries: small literal batch [(qid, qhash), ...] (the broadcast-
+    small-side pattern; for bulk all-vs-all near-dup use the banded
+    dedup.phash_near_dups instead — this is the LOOKUP shape).
+    Distance = bit_count(a XOR b), ties by id ascending.  Exact — the
+    oracle path; the banded variant is the recall-bounded scale path.
+
+    Returns (qid, rank, id, hamming).
+
+    Plan: broadcast crossJoin against the tiny query batch, XOR +
+    bit_count in codegen, one window rank per qid — the knn_bruteforce
+    discipline applied to Hamming space.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    q = spark.createDataFrame(queries, "qid long, qhash long")
+    ham = F.bit_count(F.col(hash_col).bitwiseXOR(F.col("qhash")))
+    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("id").asc())
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(hash_col))
+        .crossJoin(F.broadcast(q))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "hamming")
+    )

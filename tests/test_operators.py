@@ -1339,3 +1339,24 @@ class TestPolygonJoin:
         a = {r.id for r in spatial_query.polygon_join(df, pdf).collect()}
         b = {r.id for r in spatial_query.points_in_polygon(df, diamond).collect()}
         assert a == b and a
+
+
+class TestPhashTopk:
+    def test_matches_bruteforce(self, spark):
+        from gol_tool_spark.operators import ann
+
+        rows = [(f"i{n}", (n * 2654435761 + 99) % (1 << 56)) for n in range(200)]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        qs = [(1, rows[7][1]), (2, 12345)]
+        got = {}
+        for r in ann.phash_topk(df, qs, k=4).collect():
+            got.setdefault(r.qid, []).append((r.rank, r.id, r.hamming))
+        for qid, qh in qs:
+            scored = sorted(
+                ((bin(h ^ qh).count("1"), i) for i, h in rows)
+            )[:4]
+            assert sorted(got[qid]) == [
+                (rk + 1, i, d) for rk, (d, i) in enumerate(scored)
+            ]
+        # self-hit: the query built from row 7 finds it at hamming 0
+        assert got[1][0][1:] == ("i7", 0)
