@@ -198,6 +198,49 @@ def main():
         "round is localCheckpointed so plan depth stays O(1) per round.",
         mode="simple")
 
+    # round-5 continuation wave
+    from pyspark.sql import Row
+
+    from gol_tool_spark.operators import geostats, measures, segments, stats
+
+    _pxy = synth.points_df(spark, sf).select("id", "x", "y")
+    add("Polygon-layer join (broadcast cover cells + codegen ray cast)",
+        spatial_query.polygon_join(
+            _pxy,
+            spark.createDataFrame(
+                [Row(poly_id=1, ring=[Row(x=300000000, y=0), Row(x=0, y=300000000),
+                                      Row(x=-300000000, y=0), Row(x=0, y=-300000000)])],
+                "poly_id long, ring array<struct<x: bigint, y: bigint>>")),
+        "The layer explodes to its bbox cover cells and BROADCASTS; points "
+        "compute one cell key — a single BroadcastHashJoin, then the exact "
+        "DECIMAL even-odd crossing fold runs inside WholeStageCodegen (no "
+        "Python, no float xcross).", mode="simple")
+    add("2-D skyline (bucket prune -> pinned survivor staircase)",
+        stats.skyline2d(_pxy.select("x", "y")),
+        "The per-bucket prefix-min table is tiny and broadcast back; the only "
+        "window over data rows runs on the PINNED survivor set (staircase "
+        "band), never the raw input — the global-window trap avoided.",
+        mode="simple")
+    add("Triangle census (degree-ordered compact-forward)",
+        segments.crossing_triangles(segments.synth_segments(_pxy)),
+        "sym/deg/ed are localCheckpointed once (plan shows ExistingRDD scans, "
+        "not re-executed crossing chains); the wedge join and the closing "
+        "equi-join shuffle only (id, id, deg) triples.", mode="simple")
+    add("Watershed pointer doubling (one round shown)",
+        geostats.watershed(
+            geostats.flow_directions(_pxy.select("x", "y"), cell_shift=26),
+            doubling_rounds=1),
+        "Each doubling round is ONE equi-join on the moving target key over "
+        "checkpointed state — log2(depth) rounds total, the relations.py "
+        "fixed-point discipline.", mode="simple")
+    add("Arc-length way resampling (codegen array interpolation)",
+        measures.way_resample(mem, synth.points_df(spark, sf).select("id", "x", "y"),
+                              n_samples=5),
+        "The assemble groupBy is the only exchange; prefix sums, segment "
+        "search and the exact pmod floor-division interpolation are array "
+        "expressions inside WholeStageCodegen — no Python anywhere.",
+        mode="simple")
+
     # store-scan pushdown proof
     with tempfile.TemporaryDirectory(prefix="plan_audit_") as td:
         cfg = BP.BuildConfig(out_dir=os.path.join(td, "g"), sf_dir=sf, max_tiles=30, min_density=20)
