@@ -1421,6 +1421,17 @@ def q_seg_hops(spark, sf_dir):
     return segments.crossing_hops(segs, seeds, max_rounds=3)
 
 
+def q_seg_sssp(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # weighted network cost from the same depot set: cheapest <=3-crossing
+    # path where entering a segment costs its exact L1 length
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    segs = segments.synth_segments(pts)
+    seeds = pts.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg"))
+    return segments.crossing_sssp(segs, seeds, max_rounds=3)
+
+
 def q_kcore(spark, sf_dir):
     from gol_tool_spark.operators import segments
 
@@ -2312,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_order": q_stream_order,  # Strahler hierarchy (full oracle)
         "term_drift": q_term_drift,  # corpus-half df contrast (full oracle)
         "phash_topk": q_phash_topk,  # exact Hamming top-k lookup (full oracle)
+        "seg_sssp": q_seg_sssp,  # weighted network cost, L1 edge weights (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -2675,6 +2687,28 @@ def _hops_oracle(seed_mod: int, rounds: int) -> str:
             f") GROUP BY seg)"
         )
     parts.append(f" SELECT seg, CAST(hops AS BIGINT) AS hops FROM d{rounds}")
+    return _with_points("".join(parts))
+
+
+def _sssp_oracle(seed_mod: int, rounds: int) -> str:
+    """Unrolled round-bounded Bellman–Ford twin of crossing_sssp over the
+    shared crossing-pair chain: edge weight = the DESTINATION segment's
+    exact L1 length, seeds at id % seed_mod == 0 cost 0."""
+    parts = [", " + _SEG_PAIRS_SQL]
+    parts.append(
+        ", wt AS (SELECT seg, CAST(abs(x2 - x1) + abs(y2 - y1) AS BIGINT) AS wt FROM sg)"
+        ", e AS (SELECT p.seg_a AS u, p.seg_b AS v, w.wt FROM p JOIN wt w ON w.seg = p.seg_b "
+        "UNION ALL SELECT p.seg_b AS u, p.seg_a AS v, w.wt FROM p JOIN wt w ON w.seg = p.seg_a)"
+        f", d0 AS (SELECT id AS seg, CAST(0 AS BIGINT) AS dist FROM pts WHERE id % {seed_mod} = 0)"
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS (SELECT seg, MIN(dist) AS dist FROM ("
+            f"SELECT seg, dist FROM d{i - 1} "
+            f"UNION ALL SELECT e.v AS seg, d.dist + e.wt AS dist FROM e JOIN d{i - 1} d ON d.seg = e.u"
+            f") GROUP BY seg)"
+        )
+    parts.append(f" SELECT seg, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
     return _with_points("".join(parts))
 
 
@@ -3777,6 +3811,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
+        "seg_sssp": _sssp_oracle(63, 3),
         "stream_order": _strahler_oracle(4),
         "phash_topk": _with_points(
             # Hamming twin: same LCG phash synthesis, xor + bit_count,

@@ -449,6 +449,11 @@ def main():
         _sg.synth_segments(points),
         points.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg")),
         max_rounds=3)))
+    # weighted depot cost (L1 edge weights): same relax shape as seg_hops
+    timed("seg_sssp", lambda: force(_sg.crossing_sssp(
+        _sg.synth_segments(points),
+        points.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg")),
+        max_rounds=3)))
     # exact Gini components: one window shuffle + one agg
     _li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_returnflag",

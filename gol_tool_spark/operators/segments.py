@@ -442,3 +442,64 @@ def crossing_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def crossing_sssp(
+    segs: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 3,
+    cell_shift: int = CELL_SHIFT,
+) -> DataFrame:
+    """Round-bounded weighted shortest paths over the proper-crossing
+    graph — the weighted sibling of crossing_hops: network *cost* from a
+    depot set, where entering segment v costs its exact L1 length
+    |x2-x1| + |y2-y1| (integer metres on the int-Mercator plane; the
+    reference measures way lengths the same exact-integer way,
+    geom/Measure.java semantics).
+
+    Bellman–Ford min-fold with the standard round-bounded contract:
+    after r rounds dist(v) is EXACTLY the cheapest path from any seed
+    using <= r crossings — oracle-checkable whether or not the graph has
+    converged.  Seed rows cost 0 (the depot itself is free).
+
+    Plan: the pair chain once; edge list carries (u, v, wt_v) where wt_v
+    is the destination's traversal cost (joined once, up front, so the
+    per-round relax is ONE equi-join + a map-combined min groupBy,
+    localCheckpointed — identical shape to crossing_hops; weights add no
+    extra shuffle).  Costs are bounded by rounds * 2^16 so bigint never
+    saturates.  Returns (seg, dist) for reached segments only.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    pairs = segment_intersections(segs, cell_shift)
+    wt = segs.select(
+        F.col("seg"),
+        (
+            F.abs(F.col("x2") - F.col("x1")) + F.abs(F.col("y2") - F.col("y1"))
+        ).cast("bigint").alias("wt"),
+    )
+    half = pairs.select(F.col("seg_a").alias("u"), F.col("seg_b").alias("v")).unionAll(
+        pairs.select(F.col("seg_b").alias("u"), F.col("seg_a").alias("v"))
+    )
+    edges = (
+        half.join(wt.withColumnRenamed("seg", "v"), "v")
+        .select("u", "v", "wt")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("seg")
+        .distinct()
+        .select("seg", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relax = edges.join(
+            dist.select(F.col("seg").alias("u"), "dist"), "u"
+        ).select(F.col("v").alias("seg"), (F.col("dist") + F.col("wt")).alias("dist"))
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("seg")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -395,3 +395,75 @@ class TestCrossingHops:
         df = spark.createDataFrame([(1, 0, 0, 1, 1)], "seg long, x1 long, y1 long, x2 long, y2 long")
         with pytest.raises(ValueError):
             segments.crossing_hops(df, df.select("seg"), max_rounds=-1)
+
+
+class TestCrossingSssp:
+    @staticmethod
+    def _bf_twin(segs, seed_ids, rounds):
+        # round-bounded Bellman-Ford: d_r(v) = cheapest path from any
+        # seed using <= r crossings; entering v costs v's L1 length
+        wt = {s[0]: abs(s[3] - s[1]) + abs(s[4] - s[2]) for s in segs}
+        adj = {s[0]: set() for s in segs}
+        for i, a in enumerate(segs):
+            for b in segs[i + 1:]:
+                if _proper(a[1:], b[1:]):
+                    adj[a[0]].add(b[0])
+                    adj[b[0]].add(a[0])
+        dist = {s: 0 for s in seed_ids}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for u, du in dist.items():
+                for v in adj.get(u, ()):
+                    c = du + wt[v]
+                    if v not in nxt or c < nxt[v]:
+                        nxt[v] = c
+            dist = nxt
+        return dist
+
+    def test_matches_bellman_ford_twin(self, spark):
+        segs = TestCrossingKcore._dense_fixture(TestCrossingKcore())
+        seed_ids = [s[0] for s in segs if s[0] % 9 == 0]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        sdf = spark.createDataFrame([(s,) for s in seed_ids], "seg long")
+        for rounds in (0, 1, 3):
+            got = {
+                r.seg: r.dist
+                for r in segments.crossing_sssp(df, sdf, max_rounds=rounds).collect()
+            }
+            assert got == self._bf_twin(segs, seed_ids, rounds), rounds
+        full = self._bf_twin(segs, seed_ids, 3)
+        assert any(d > 0 for d in full.values())  # expansion happened
+
+    def test_cheaper_long_way_beats_direct_hop(self, spark):
+        # hub H is crossed directly by an EXPENSIVE segment and also
+        # reachable via two cheap ones: round 1 pays the expensive entry,
+        # round 2 must undercut it — the case plain BFS cannot express
+        segs = [
+            (0, 0, 0, 0, 1000),        # seed, vertical
+            (1, -10, 500, 4000, 500),  # expensive horizontal, crosses seed & hub
+            (2, -10, 100, 30, 100),    # cheap horizontal, crosses seed
+            (3, 20, 90, 20, 610),      # cheap vertical, crosses 2 and 4
+            (4, -10, 600, 4000, 600),  # "hub": expensive but entered cheaply via 3
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        sdf = spark.createDataFrame([(0,)], "seg long")
+        r1 = {r.seg: r.dist for r in segments.crossing_sssp(df, sdf, max_rounds=1).collect()}
+        r3 = {r.seg: r.dist for r in segments.crossing_sssp(df, sdf, max_rounds=3).collect()}
+        assert r1 == self._bf_twin(segs, [0], 1)
+        assert r3 == self._bf_twin(segs, [0], 3)
+        assert r3[4] == r1[4]  # both reach 4; entry cost is 4's own length either way
+        assert r3[1] == r1[1] and r1[1] == abs(4000 - (-10))  # direct expensive entry
+        # monotone: more rounds never increase any distance
+        assert all(r3[k] <= v for k, v in r1.items())
+
+    def test_isolated_seed_reports_zero(self, spark):
+        segs = [(1, 0, 0, 10, 10), (2, 1000, 1000, 1010, 1010)]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        sdf = spark.createDataFrame([(2,)], "seg long")
+        got = {r.seg: r.dist for r in segments.crossing_sssp(df, sdf, max_rounds=3).collect()}
+        assert got == {2: 0}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0, 0, 1, 1)], "seg long, x1 long, y1 long, x2 long, y2 long")
+        with pytest.raises(ValueError):
+            segments.crossing_sssp(df, df.select("seg"), max_rounds=-1)
