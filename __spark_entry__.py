@@ -1065,6 +1065,20 @@ def q_cusum(spark, sf_dir):
     return temporal.cusum_stats(ev)
 
 
+def q_mann_kendall(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # per-entity nonparametric monotone-trend statistic (exact pair signs)
+    return temporal.mann_kendall(_read(spark, sf_dir, "events"))
+
+
+def q_ols_trend(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # per-entity exact least-squares trend components (single pass)
+    return temporal.ols_trend(_read(spark, sf_dir, "events"))
+
+
 def q_kde_peaks(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2324,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift": q_term_drift,  # corpus-half df contrast (full oracle)
         "phash_topk": q_phash_topk,  # exact Hamming top-k lookup (full oracle)
         "seg_sssp": q_seg_sssp,  # weighted network cost, L1 edge weights (full oracle)
+        "mann_kendall": q_mann_kendall,  # monotone-trend pair signs (full oracle)
+        "ols_trend": q_ols_trend,  # exact least-squares trend components (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4503,6 +4519,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(-MAX({'s': s, 'nk': -k}).nk AS INT) AS k_max, "
             "CAST(MIN({'s': s, 'k': k}).k AS INT) AS k_min "
             "FROM s GROUP BY 1"
+        ),
+        "mann_kendall": (
+            # MK twin: identical quantization + rank window, pair join
+            # with a.k < b.k, LEFT back onto counts so n=1 entities stay
+            "WITH b AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vq FROM events), "
+            "r AS (SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ws, event_id) AS k, vq FROM b), "
+            "p AS (SELECT a.user_id, "
+            "SUM(CASE WHEN bb.vq > a.vq THEN 1 ELSE 0 END) AS np, "
+            "SUM(CASE WHEN bb.vq < a.vq THEN 1 ELSE 0 END) AS nn, "
+            "SUM(CASE WHEN bb.vq = a.vq THEN 1 ELSE 0 END) AS nt "
+            "FROM r a JOIN r bb ON bb.user_id = a.user_id AND a.k < bb.k GROUP BY 1), "
+            "c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1) "
+            "SELECT c.user_id, c.n, "
+            "CAST(COALESCE(p.np, 0) - COALESCE(p.nn, 0) AS BIGINT) AS s, "
+            "CAST(COALESCE(p.np, 0) AS BIGINT) AS n_pos, "
+            "CAST(COALESCE(p.nn, 0) AS BIGINT) AS n_neg, "
+            "CAST(COALESCE(p.nt, 0) AS BIGINT) AS n_tie "
+            "FROM c LEFT JOIN p ON p.user_id = c.user_id"
+        ),
+        "ols_trend": (
+            # OLS twin: same rank axis, HUGEINT cross-moments == Spark's
+            # DECIMAL(38,0) lane, shipped as strings
+            "WITH b AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vq FROM events), "
+            "r AS (SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ws, event_id) AS k, vq FROM b) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(vq) AS BIGINT) AS t_q, "
+            "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * vq) - "
+            "CAST(SUM(k) AS HUGEINT) * CAST(SUM(vq) AS HUGEINT) AS VARCHAR) AS sxy_n, "
+            "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
+            "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
+            "FROM r GROUP BY 1"
         ),
         "kde_peaks": _with_points(
             # NMS twin: kde surface (identical to the kde_raster oracle)

@@ -180,6 +180,13 @@ def main():
     timed("rolling_outliers_2m", lambda: force(temporal.rolling_outliers(ev2m)))
     # lag-1/2/3 autocorrelation components: one entity exchange, no joins
     timed("acf_2m", lambda: force(temporal.acf_stats(ev2m)))
+    # exact OLS trend components: one entity exchange, no pair fan-out
+    timed("ols_trend_2m", lambda: force(temporal.ols_trend(ev2m)))
+    # Mann-Kendall pair signs on the documented bounded-series shape:
+    # every 16th event -> 125k rows / 1000 entities = 125-row series,
+    # ~7.8M exact pair signs through one ReusedExchange self-join
+    timed("mann_kendall_125k", lambda: force(
+        temporal.mann_kendall(ev2m.filter(F.col("event_id") % 16 == 0))))
     # interval-union sweep: 2M overlapping spans, one entity exchange
     iv2m = ev2m.select(
         "user_id",

@@ -604,3 +604,117 @@ def time_weighted(
             F.lit(0).cast("decimal(38,0)"),
         ).cast("string").alias("twa_num"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-entity Mann–Kendall trend statistic (Mann 1945, Kendall 1975)
+    — "is this series monotonically drifting": S = sum over ordered pairs
+    i < j of sign(v_j - v_i), the nonparametric complement of cusum_stats
+    (CUSUM finds a level shift; MK detects monotone trend regardless of
+    shape).
+
+    EXACT shape: values quantized once per element (round(v * quant), the
+    cusum_stats discipline), pair order fixed by (timestamp, id) row
+    number, sign in {-1, 0, 1} as integers — S, n_pos, n_neg, n_tie are
+    exact BIGINTs, bit-reproducible.  Ties contribute 0 and are counted.
+
+    Plan: ONE entity exchange for the ordering window; the windowed rank
+    table is PINNED (eager localCheckpoint, the geostats._pin
+    discipline) so the self equi-join's two sides read the same
+    materialized partitions instead of re-running the window subtree
+    twice — measured: the unpinned plan ran 3 exchanges and the window
+    twice; pinned, the window runs once and 2 exchanges remain.  Then
+    rn_i < rn_j pair signs through one map-combined groupBy, and a LEFT
+    join back onto per-entity counts so single-row entities report
+    S = 0 instead of vanishing.
+
+    Scale: pair fan-out is O(n_e^2) per entity — the exact statistic's
+    intrinsic cost, same contract as acf_stats/ripley_k: bounded
+    per-entity series (sessions, sensors, SLA windows), not unbounded
+    clickstreams; cap upstream with a window filter when in doubt.
+    Returns (by, n, s, n_pos, n_neg, n_tie).
+    """
+    vq = F.round(F.col(value) * F.lit(float(quant))).cast("bigint")
+    base = df.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"), vq.alias("_vq")
+    )
+    w_ord = Window.partitionBy(by).orderBy("_ws", id_col)
+    r = base.select(
+        F.col(by), F.row_number().over(w_ord).alias("_k"), "_vq"
+    ).localCheckpoint(eager=True)
+    a = r.select(F.col(by), F.col("_k").alias("_ka"), F.col("_vq").alias("_va"))
+    b = r.select(F.col(by), F.col("_k").alias("_kb"), F.col("_vq").alias("_vb"))
+    pairs = a.join(b, [by]).filter(F.col("_ka") < F.col("_kb"))
+    pagg = pairs.groupBy(by).agg(
+        F.sum(F.when(F.col("_vb") > F.col("_va"), 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(F.col("_vb") < F.col("_va"), 1).otherwise(0)).alias("_nn"),
+        F.sum(F.when(F.col("_vb") == F.col("_va"), 1).otherwise(0)).alias("_nt"),
+    )
+    counts = r.groupBy(by).agg(F.count(F.lit(1)).alias("n"))
+    out = counts.join(pagg, [by], "left")
+    z = F.lit(0).cast("bigint")
+    np_, nn_, nt_ = (F.coalesce(F.col(c), z) for c in ("_np", "_nn", "_nt"))
+    return out.select(
+        F.col(by),
+        F.col("n").cast("bigint").alias("n"),
+        (np_ - nn_).cast("bigint").alias("s"),
+        np_.cast("bigint").alias("n_pos"),
+        nn_.cast("bigint").alias("n_neg"),
+        nt_.cast("bigint").alias("n_tie"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-entity exact least-squares trend components over the
+    (time, id)-ordered rank axis — the parametric sibling of
+    mann_kendall at SINGLE-PASS cost: with x = row rank k (1..n) and y
+    the quantized value, the slope is sxy_n / sxx_n where
+
+        sxy_n = n * sum(k * y) - sum(k) * sum(y)
+        sxx_n = n * sum(k^2)   - sum(k)^2
+
+    both EXACT integers in DECIMAL(38,0) (shipped as strings — the
+    cusum_stats discipline; the only float step is the per-element
+    quantization).  The caller divides; the engine never does.
+
+    Plan: ONE entity exchange (the rank window), then one map-combined
+    groupBy — no joins, no pair fan-out, safe for unbounded per-entity
+    series.  Returns (by, n, t_q, sxy_n, sxx_n).
+    """
+    d = lambda c: c.cast("decimal(38,0)")
+    vq = F.round(F.col(value) * F.lit(float(quant))).cast("bigint")
+    base = df.select(
+        F.col(by), F.col(id_col), _wall_secs(ts).alias("_ws"), vq.alias("_vq")
+    )
+    w_ord = Window.partitionBy(by).orderBy("_ws", id_col)
+    r = base.select(F.col(by), F.row_number().over(w_ord).alias("_k"), "_vq")
+    agg = r.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_vq").alias("_t"),
+        F.sum(d(F.col("_k")) * d(F.col("_vq"))).alias("_sky"),
+        F.sum(F.col("_k").cast("bigint")).alias("_sk"),
+        F.sum(d(F.col("_k")) * d(F.col("_k"))).alias("_skk"),
+    )
+    return agg.select(
+        F.col(by),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("_t").cast("bigint").alias("t_q"),
+        (d(F.col("n")) * F.col("_sky") - d(F.col("_sk")) * d(F.col("_t")))
+        .cast("string").alias("sxy_n"),
+        (d(F.col("n")) * F.col("_skk") - d(F.col("_sk")) * d(F.col("_sk")))
+        .cast("string").alias("sxx_n"),
+    )

@@ -395,3 +395,95 @@ class TestTimeWeighted:
         )
         with pytest.raises(ValueError):
             temporal.time_weighted(df, by=())
+
+
+class TestMannKendall:
+    @staticmethod
+    def _rows():
+        # user 0: rising with noise + a planted tie run; user 1: falling;
+        # user 2: constant (all ties); user 3: single row (no pairs)
+        rows = []
+        for i in range(60):
+            u = i % 3
+            s = 1_700_000_000 + i
+            if u == 0:
+                v = i * 0.5 + (0.0 if i % 10 else 3.0)
+            elif u == 1:
+                v = 100.0 - i * 0.25
+            else:
+                v = 7.0
+            rows.append((u, i, s, v))
+        rows.append((3, 1000, 1_700_000_000, 5.0))
+        return rows
+
+    @staticmethod
+    def _twin(rows, quant=1_000_000):
+        by_u: dict = {}
+        for u, i, s, v in rows:
+            by_u.setdefault(u, []).append((s, i, round(v * quant)))
+        out = {}
+        for u, fx in by_u.items():
+            fx.sort()
+            vs = [v for _, _, v in fx]
+            np_ = nn_ = nt_ = 0
+            for a in range(len(vs)):
+                for b in range(a + 1, len(vs)):
+                    if vs[b] > vs[a]:
+                        np_ += 1
+                    elif vs[b] < vs[a]:
+                        nn_ += 1
+                    else:
+                        nt_ += 1
+            out[u] = (len(vs), np_ - nn_, np_, nn_, nt_)
+        return out
+
+    def test_matches_pair_twin(self, spark):
+        import datetime as dt
+
+        rows = self._rows()
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), v)
+             for u, i, s, v in rows],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+        got = {r.user_id: (r.n, r.s, r.n_pos, r.n_neg, r.n_tie)
+               for r in temporal.mann_kendall(df).collect()}
+        assert got == self._twin(rows)
+        # signs and edge shapes behave: rising, falling, all-tie, singleton
+        assert got[0][1] > 0 and got[1][1] < 0
+        assert got[2][1] == 0 and got[2][4] == got[2][0] * (got[2][0] - 1) // 2
+        assert got[3] == (1, 0, 0, 0, 0)
+
+
+class TestOlsTrend:
+    @staticmethod
+    def _twin(rows, quant=1_000_000):
+        by_u: dict = {}
+        for u, i, s, v in rows:
+            by_u.setdefault(u, []).append((s, i, round(v * quant)))
+        out = {}
+        for u, fx in by_u.items():
+            fx.sort()
+            vs = [v for _, _, v in fx]
+            n = len(vs)
+            t = sum(vs)
+            sky = sum((k + 1) * v for k, v in enumerate(vs))
+            sk = n * (n + 1) // 2
+            skk = sum((k + 1) ** 2 for k in range(n))
+            out[u] = (n, t, str(n * sky - sk * t), str(n * skk - sk * sk))
+        return out
+
+    def test_matches_python_twin(self, spark):
+        import datetime as dt
+
+        rows = TestMannKendall._rows()
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), v)
+             for u, i, s, v in rows],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+        got = {r.user_id: (r.n, r.t_q, r.sxy_n, r.sxx_n)
+               for r in temporal.ols_trend(df).collect()}
+        assert got == self._twin(rows)
+        # slope signs agree with the MK verdicts on the same fixture
+        assert int(got[0][2]) > 0 and int(got[1][2]) < 0 and int(got[2][2]) == 0
+        # singleton: zero variance axis, zero numerator
+        assert got[3][2] == "0" and got[3][3] == "0"
