@@ -1079,6 +1079,16 @@ def q_ols_trend(spark, sf_dir):
     return temporal.ols_trend(_read(spark, sf_dir, "events"))
 
 
+def q_collocations(spark, sf_dir):
+    from gol_tool_spark.operators import retrieval
+
+    # exact PMI/lift components for co-occurring term pairs (phrase
+    # mining); max_df tuned to the synthetic corpus's 31-term vocab
+    return retrieval.collocations(
+        _read(spark, sf_dir, "documents"), max_df=450, min_pair=2
+    )
+
+
 def q_kde_peaks(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2340,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_sssp": q_seg_sssp,  # weighted network cost, L1 edge weights (full oracle)
         "mann_kendall": q_mann_kendall,  # monotone-trend pair signs (full oracle)
         "ols_trend": q_ols_trend,  # exact least-squares trend components (full oracle)
+        "collocations": q_collocations,  # exact PMI/lift pair components (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4556,6 +4567,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
             "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
             "FROM r GROUP BY 1"
+        ),
+        "collocations": (
+            # collocation twin: term_drift tokenization, df filter before
+            # pairing, df rides through the pair groupBy via MAX
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term "
+            "FROM documents), "
+            "w2 AS (SELECT doc_id, term FROM w WHERE term <> ''), "
+            "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM w2 GROUP BY term), "
+            "nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w2), "
+            "k AS (SELECT w2.doc_id, w2.term, d.df FROM w2 JOIN d ON d.term = w2.term "
+            "AND d.df <= 450), "
+            "p AS (SELECT a.term AS term_a, b.term AS term_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_ab, MAX(a.df) AS df_a, MAX(b.df) AS df_b "
+            "FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2) "
+            "SELECT term_a, term_b, n_ab, df_a, df_b, nd.n_docs, "
+            "CAST(CAST(n_ab AS HUGEINT) * nd.n_docs - CAST(df_a AS HUGEINT) * df_b AS VARCHAR) AS lift_delta "
+            "FROM p, nd WHERE n_ab >= 2"
         ),
         "kde_peaks": _with_points(
             # NMS twin: kde surface (identical to the kde_raster oracle)

@@ -269,6 +269,9 @@ def main():
     timed("bm25_topk_syn", lambda: force(retrieval.bm25_topk(docs_syn, bm25_q, k=10)))
     # per-doc top-5 keywords: postings + df join + WindowGroupLimit
     timed("distinctive_syn", lambda: force(retrieval.distinctive_terms(docs_syn, k=5)))
+    # phrase mining: df-capped pair join + one pair groupBy, exact lift
+    timed("collocations_syn", lambda: force(retrieval.collocations(
+        docs_syn, max_df=n_corpus, min_pair=2)))
     # directed containment dedup: shared shingle join, both directions
     timed("containment_syn", lambda: force(dedup.containment_pairs(
         docs_syn, n=3, threshold=0.5, max_df=100000)))

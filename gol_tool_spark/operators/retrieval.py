@@ -159,3 +159,81 @@ def distinctive_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Corpus collocation components — for every pair of terms that
+    co-occur in >= min_pair documents, the EXACT integer inputs of
+    PMI/lift: (n_ab, df_a, df_b, n_docs) plus the cross-multiplied lift
+    numerator n_ab * n_docs - df_a * df_b (DECIMAL string; its sign IS
+    the sign of PMI, so thresholding needs no float).  The phrase-mining
+    / compound-term step of a training-data pipeline, float-free so the
+    selection is bit-reproducible; the caller computes log-PMI from the
+    returned integers where an actual score is wanted.
+
+    Co-occurrence is presence-based (distinct terms per doc, the
+    term_drift tokenization).  `max_df` drops corpus-hot terms BEFORE
+    pairing — the ngram_jaccard hot-shingle discipline: it bounds the
+    per-doc pair fan-out away from stopword blowup and is statistically
+    right for PMI (pairs with near-ubiquitous terms carry no signal).
+    n_docs counts documents with >= 1 nonempty term.
+
+    Plan: distinct-term explode -> term-keyed df aggregate joined back
+    (AQE handles hot terms) -> the kept postings PINNED (eager
+    localCheckpoint) so the per-doc self-join reads materialized
+    partitions instead of re-running the explode+join chain twice ->
+    doc-keyed pair join (term_a < term_b; df rides along, no re-join)
+    -> ONE map-combined pair groupBy -> broadcast 1-row total.
+    Per-doc fan-out is (kept terms)^2 — bounded by max_df against
+    stopwords; at 100 TB also cap kept terms per doc upstream.
+    """
+    if max_df < 1 or min_pair < 1:
+        raise ValueError("max_df and min_pair must be >= 1")
+    from gol_tool_spark.operators.dedup import normalized
+
+    d38 = lambda c: c.cast("decimal(38,0)")
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(normalized(text_col)), " "))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dfs = words.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    kept = words.join(dfs.filter(F.col("df") <= max_df), "term").localCheckpoint(
+        eager=True
+    )
+    n_docs = words.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    a = kept.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("_dfa")
+    )
+    b = kept.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("_dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.max("_dfa").alias("df_a"),
+            F.max("_dfb").alias("df_b"),
+        )
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "term_a", "term_b", "n_ab", "df_a", "df_b", "n_docs",
+        (d38(F.col("n_ab")) * d38(F.col("n_docs"))
+         - d38(F.col("df_a")) * d38(F.col("df_b")))
+        .cast("string").alias("lift_delta"),
+    )

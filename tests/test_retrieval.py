@@ -230,3 +230,64 @@ class TestTermDrift:
         n_a = [r for r in T.term_drift(df).collect() if r.term == "common"][0].n_a
         n_b = 40 - n_a
         assert {abs(v) for t, v in got.items() if t != "common"} <= {n_a, n_b}
+
+
+class TestCollocations:
+    @staticmethod
+    def _twin(docs, max_df, min_pair):
+        import itertools, re
+        toks = {
+            i: sorted(set(t for t in re.sub(r"\s+", " ", s.lower()).strip().split(" ") if t))
+            for i, s in docs
+        }
+        df: dict = {}
+        for ts in toks.values():
+            for t in ts:
+                df[t] = df.get(t, 0) + 1
+        n_docs = sum(1 for ts in toks.values() if ts)
+        pairs: dict = {}
+        for ts in toks.values():
+            kept = [t for t in ts if df[t] <= max_df]
+            for a, b in itertools.combinations(kept, 2):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        return {
+            (a, b): (n, df[a], df[b], n_docs, str(n * n_docs - df[a] * df[b]))
+            for (a, b), n in pairs.items() if n >= min_pair
+        }
+
+    def test_matches_twin_and_lift_sign(self, spark):
+        from gol_tool_spark.operators import retrieval
+
+        docs = [
+            (1, "spark shuffle join  JOIN broadcast"),   # dup token collapses
+            (2, "spark shuffle agg"),
+            (3, "spark broadcast join"),
+            (4, "duck  duck goose"),
+            (5, "goose join duck"),
+            (6, "   "),                                   # empty after trim
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for max_df, min_pair in ((10, 1), (10, 2), (2, 1)):
+            got = {
+                (r.term_a, r.term_b): (r.n_ab, r.df_a, r.df_b, r.n_docs, r.lift_delta)
+                for r in retrieval.collocations(
+                    df, max_df=max_df, min_pair=min_pair
+                ).collect()
+            }
+            assert got == self._twin(docs, max_df, min_pair), (max_df, min_pair)
+        full = self._twin(docs, 10, 1)
+        # duck+goose attract (positive lift), spark+duck never co-occur
+        assert int(full[("duck", "goose")][4]) > 0
+        assert ("duck", "spark") not in full
+        # n_docs excludes the whitespace-only doc
+        assert next(iter(full.values()))[3] == 5
+
+    def test_validation(self, spark):
+        from gol_tool_spark.operators import retrieval
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            retrieval.collocations(df, max_df=0)
+        with _pt.raises(ValueError):
+            retrieval.collocations(df, min_pair=0)
