@@ -1089,6 +1089,18 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_sector(spark, sf_dir):
+    from gol_tool_spark.operators import spatial_query
+
+    # NE-quadrant visibility cone from an off-center observer, clipped
+    # to a 1.2e9-unit radius — exact integer half-plane + disc tests
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return spatial_query.sector_query(
+        pts, ox=-300_000_000, oy=200_000_000,
+        ux=1, uy=0, vx=0, vy=1, radius=1_200_000_000,
+    )
+
+
 def q_kde_peaks(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2351,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,  # monotone-trend pair signs (full oracle)
         "ols_trend": q_ols_trend,  # exact least-squares trend components (full oracle)
         "collocations": q_collocations,  # exact PMI/lift pair components (full oracle)
+        "sector": q_sector,  # bearing-sector visibility cone (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4567,6 +4580,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
             "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
             "FROM r GROUP BY 1"
+        ),
+        "sector": _with_points(
+            # sector twin: same observer/direction/radius literals, HUGEINT
+            # cross products and squared-distance clip, boundary inclusive
+            ", d AS (SELECT id, x, y, CAST(x AS HUGEINT) - (-300000000) AS dx, "
+            "CAST(y AS HUGEINT) - 200000000 AS dy FROM pts "
+            "WHERE x >= -300000000 - 1200000000 AND x <= -300000000 + 1200000000 "
+            "AND y >= 200000000 - 1200000000 AND y <= 200000000 + 1200000000) "
+            "SELECT id, x, y FROM d "
+            "WHERE dx * dx + dy * dy <= CAST(1200000000 AS HUGEINT) * 1200000000 "
+            "AND 1 * dy - 0 * dx >= 0 AND dx * 1 - dy * 0 >= 0"
         ),
         "collocations": (
             # collocation twin: term_drift tokenization, df filter before

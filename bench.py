@@ -275,6 +275,10 @@ def main():
     # directed containment dedup: shared shingle join, both directions
     timed("containment_syn", lambda: force(dedup.containment_pairs(
         docs_syn, n=3, threshold=0.5, max_df=100000)))
+    # bearing-sector cone: exact half-plane + disc tests, pure codegen
+    timed("sector_query", lambda: force(spatial_query.sector_query(
+        pts_tiled.select("id", "x", "y"), ox=-300_000_000, oy=200_000_000,
+        ux=1, uy=0, vx=0, vy=1, radius=1_200_000_000)))
     # geodesic disc over the tiled points: range prefilter + haversine
     timed("radius_query", lambda: force(spatial_query.radius_query_m(
         pts_tiled.select("id", "x", "y"), -1500000000, -1500000000, 300000.0)),

@@ -772,3 +772,62 @@ def polygon_join(
         cand.filter(crossings % 2 == 1)
         .select("poly_id", "id", "x", "y")
     )
+
+
+def sector_query(
+    points: DataFrame,
+    ox: int,
+    oy: int,
+    ux: int,
+    uy: int,
+    vx: int,
+    vy: int,
+    radius: int | None = None,
+) -> DataFrame:
+    """All points inside the bearing sector anchored at observer
+    (ox, oy), swept COUNTERCLOCKWISE from direction vector u = (ux, uy)
+    to v = (vx, vy), optionally clipped to a map-unit radius — the
+    visibility-cone / azimuth scope (antenna coverage, sensor field of
+    view) the bbox/disc scopes don't express.
+
+    EXACT integer predicate, zero trig: with d = p - o and
+    cross(a, b) = ax*by - ay*bx,
+
+        convex sector (cross(u, v) >= 0):  cross(u, d) >= 0 AND cross(d, v) >= 0
+        reflex sector (cross(u, v) <  0):  cross(u, d) >= 0 OR  cross(d, v) >= 0
+
+    — the standard half-plane decomposition; boundary rays are inclusive,
+    the observer itself (d = 0) is included.  Cross products run in
+    DECIMAL(38,0) (|d| < 2^32, direction components caller-scale:
+    exact at any magnitude, the segments._cross discipline).  The radius
+    clip is an exact integer dx*dx + dy*dy <= r*r — no sqrt.
+
+    Plan: with a radius, a conservative x/y range prefilter (plain
+    column compares -> PushedFilters on a stored scan, the bbox_query /
+    radius_query_m path) ahead of the exact tests; without one, the
+    half-plane tests alone are whole-stage-codegen column math over the
+    scan — no join, no shuffle, no Python either way.
+    """
+    if (ux, uy) == (0, 0) or (vx, vy) == (0, 0):
+        raise ValueError("direction vectors must be nonzero")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    dx = F.col("x").cast("bigint") - F.lit(ox)
+    dy = F.col("y").cast("bigint") - F.lit(oy)
+    cross_u_d = F.lit(ux) * d38(dy) - F.lit(uy) * d38(dx)
+    cross_d_v = d38(dx) * F.lit(vy) - d38(dy) * F.lit(vx)
+    if ux * vy - uy * vx >= 0:
+        in_sector = (cross_u_d >= 0) & (cross_d_v >= 0)
+    else:
+        in_sector = (cross_u_d >= 0) | (cross_d_v >= 0)
+    out = points
+    if radius is not None:
+        if radius < 0:
+            raise ValueError("radius must be >= 0")
+        out = out.filter(
+            (F.col("x") >= ox - radius) & (F.col("x") <= ox + radius)
+            & (F.col("y") >= oy - radius) & (F.col("y") <= oy + radius)
+        ).filter(
+            d38(dx) * d38(dx) + d38(dy) * d38(dy)
+            <= d38(F.lit(radius)) * d38(F.lit(radius))
+        )
+    return out.filter(in_sector)

@@ -1360,3 +1360,60 @@ class TestPhashTopk:
             ]
         # self-hit: the query built from row 7 finds it at hamming 0
         assert got[1][0][1:] == ("i7", 0)
+
+
+class TestSectorQuery:
+    @staticmethod
+    def _twin(pts, ox, oy, ux, uy, vx, vy, radius):
+        out = []
+        for pid, x, y in pts:
+            dx, dy = x - ox, y - oy
+            if radius is not None and dx * dx + dy * dy > radius * radius:
+                continue
+            cu = ux * dy - uy * dx
+            cv = dx * vy - dy * vx
+            if (ux * vy - uy * vx >= 0 and cu >= 0 and cv >= 0) or (
+                ux * vy - uy * vx < 0 and (cu >= 0 or cv >= 0)
+            ):
+                out.append(pid)
+        return sorted(out)
+
+    @pytest.fixture(scope="class")
+    def ring(self, spark):
+        # 16 points on a ring + the observer itself + boundary-ray points
+        import math
+        pts = [(i, round(1000 * math.cos(i * math.pi / 8)),
+                round(1000 * math.sin(i * math.pi / 8))) for i in range(16)]
+        pts += [(100, 0, 0), (101, 500, 0), (102, 0, 500), (103, 2000, 2000)]
+        return pts, spark.createDataFrame(pts, "id long, x long, y long")
+
+    def test_convex_reflex_radius(self, ring):
+        pts, df = ring
+        cases = [
+            (0, 0, 1, 0, 0, 1, None),       # NE quadrant, convex
+            (0, 0, 1, 0, 0, 1, 1200),       # same, radius clips (103,)
+            (0, 0, 0, 1, 1, 0, None),       # reflex complement (270 deg)
+            (0, 0, 1, 1, -1, 1, None),      # diagonal 90-deg cone
+            (10, -5, -2, -3, 4, 1, None),   # shifted observer, odd vectors
+        ]
+        for ox, oy, ux, uy, vx, vy, r in cases:
+            got = sorted(
+                r_.id for r_ in spatial_query.sector_query(
+                    df, ox=ox, oy=oy, ux=ux, uy=uy, vx=vx, vy=vy, radius=r
+                ).collect()
+            )
+            assert got == self._twin(pts, ox, oy, ux, uy, vx, vy, r), (ox, oy, ux, uy, vx, vy, r)
+
+    def test_boundary_and_observer_inclusive(self, ring):
+        pts, df = ring
+        got = {r_.id for r_ in spatial_query.sector_query(
+            df, ox=0, oy=0, ux=1, uy=0, vx=0, vy=1).collect()}
+        # boundary rays (id 0 on +x, id 4 on +y, 101/102) and observer (100)
+        assert {0, 4, 100, 101, 102} <= got
+
+    def test_validation(self, ring):
+        _, df = ring
+        with pytest.raises(ValueError):
+            spatial_query.sector_query(df, 0, 0, 0, 0, 1, 0)
+        with pytest.raises(ValueError):
+            spatial_query.sector_query(df, 0, 0, 1, 0, 0, 1, radius=-1)

@@ -233,6 +233,40 @@ def main():
         "Each doubling round is ONE equi-join on the moving target key over "
         "checkpointed state — log2(depth) rounds total, the relations.py "
         "fixed-point discipline.", mode="simple")
+    add("Weighted SSSP round (edge weights pre-joined)",
+        segments.crossing_sssp(
+            segments.synth_segments(_pxy),
+            _pxy.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg")),
+            max_rounds=1),
+        "The L1 entry costs are joined onto the edge list ONCE before the "
+        "rounds; each relax round is one equi-join + map-combined min "
+        "groupBy over checkpointed state — byte-identical shuffle shape to "
+        "crossing_hops, weights ride along.", mode="simple")
+    add("Mann-Kendall pair signs (pinned rank table)",
+        temporal.mann_kendall(ev),
+        "The windowed rank table is localCheckpointed, so BOTH pair-join "
+        "sides and the count lane read ExistingRDD scans — the window "
+        "subtree executes once, not three times; pair signs fold in one "
+        "map-combined groupBy.", mode="simple")
+    add("OLS trend components (single entity exchange)",
+        temporal.ols_trend(ev),
+        "One exchange for the rank window; the DECIMAL cross-moments are "
+        "five aggregates in ONE map-combined groupBy — no joins, no pair "
+        "fan-out, safe for unbounded series.", mode="simple")
+    add("Term collocations (df-capped pair join)",
+        retrieval.collocations(docs, max_df=450, min_pair=2),
+        "df filtering happens BEFORE pairing (hot terms never reach the "
+        "pair join); the kept postings are pinned (ExistingRDD on both "
+        "sides), df rides through the pair groupBy via MAX so there is no "
+        "second term join; the 1-row doc total is broadcast.", mode="simple")
+    add("Bearing-sector query (pure codegen, no shuffle)",
+        spatial_query.sector_query(
+            _pxy, ox=-300_000_000, oy=200_000_000,
+            ux=1, uy=0, vx=0, vy=1, radius=1_200_000_000),
+        "The x/y range prefilter is plain column compares (pushable on a "
+        "stored scan, the bbox_query path); the exact half-plane and "
+        "squared-distance tests are DECIMAL column math inside one "
+        "WholeStageCodegen span — no join, no exchange.", mode="simple")
     add("Arc-length way resampling (codegen array interpolation)",
         measures.way_resample(mem, synth.points_df(spark, sf).select("id", "x", "y"),
                               n_samples=5),
