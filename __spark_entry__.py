@@ -1101,6 +1101,19 @@ def q_sector(spark, sf_dir):
     )
 
 
+def q_kendall(spark, sf_dir):
+    from gol_tool_spark.operators import stats
+
+    # per-order rank correlation between quantity and price (bounded
+    # groups: <= 7 line items per order)
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return stats.kendall_tau(
+        li, ["l_orderkey"], "l_quantity", "l_extendedprice", "l_linenumber"
+    )
+
+
 def q_kde_peaks(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2364,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,  # exact least-squares trend components (full oracle)
         "collocations": q_collocations,  # exact PMI/lift pair components (full oracle)
         "sector": q_sector,  # bearing-sector visibility cone (full oracle)
+        "kendall": q_kendall,  # exact rank-correlation components (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4580,6 +4594,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
             "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
             "FROM r GROUP BY 1"
+        ),
+        "kendall": (
+            # Kendall twin: identical quantization, pair join with a.i < b.i,
+            # LEFT back onto counts so single-line orders stay
+            "WITH b AS (SELECT l_orderkey AS g, l_linenumber AS i, "
+            "CAST(round(l_quantity * 1000000) AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 1000000) AS BIGINT) AS y FROM lineitem), "
+            "s AS (SELECT a.g, "
+            "(CASE WHEN bb.x > a.x THEN 1 WHEN bb.x < a.x THEN -1 ELSE 0 END) AS sx, "
+            "(CASE WHEN bb.y > a.y THEN 1 WHEN bb.y < a.y THEN -1 ELSE 0 END) AS sy "
+            "FROM b a JOIN b bb ON bb.g = a.g AND a.i < bb.i), "
+            "p AS (SELECT g, SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS nc, "
+            "SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS nd, "
+            "SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS tx, "
+            "SUM(CASE WHEN sx <> 0 AND sy = 0 THEN 1 ELSE 0 END) AS ty, "
+            "SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS tb FROM s GROUP BY 1), "
+            "c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1) "
+            "SELECT c.g AS l_orderkey, c.n, "
+            "CAST(COALESCE(p.nc, 0) AS BIGINT) AS concordant, "
+            "CAST(COALESCE(p.nd, 0) AS BIGINT) AS discordant, "
+            "CAST(COALESCE(p.tx, 0) AS BIGINT) AS tie_x, "
+            "CAST(COALESCE(p.ty, 0) AS BIGINT) AS tie_y, "
+            "CAST(COALESCE(p.tb, 0) AS BIGINT) AS tie_both "
+            "FROM c LEFT JOIN p ON p.g = c.g"
         ),
         "sector": _with_points(
             # sector twin: same observer/direction/radius literals, HUGEINT

@@ -474,6 +474,11 @@ def main():
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
     )
     timed("gini", lambda: force(_st.gini_concentration(_li, ["l_returnflag"], "pc")))
+    # per-order rank correlation: bounded pair join (<= 7 lines/order)
+    _lik = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    timed("kendall_tau", lambda: force(_st.kendall_tau(
+        _lik, ["l_orderkey"], "l_quantity", "l_extendedprice", "l_linenumber")))
     # arc-length resampling: assemble shuffle + codegen array interpolation
     from gol_tool_spark.operators import measures as _ms2
 

@@ -318,3 +318,81 @@ def gini_concentration(
         F.col("_s1").cast("string").alias("total"),
         num.cast("decimal(38,0)").cast("string").alias("gini_num"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Exact Kendall rank-correlation components per group — "do these
+    two variables move together" without any distributional assumption:
+    over all unordered row pairs within a group,
+
+        concordant  sign(x_j - x_i) * sign(y_j - y_i) = +1
+        discordant  sign(x_j - x_i) * sign(y_j - y_i) = -1
+        tie_x / tie_y / tie_both   the zero-sign cases
+
+    All five counts are exact BIGINTs; tau_a = (nc - nd) / (n(n-1)/2)
+    and tau_b's tie-adjusted denominator are the caller's one division —
+    the engine ships only integers (the mann_kendall discipline; MK's S
+    is exactly this operator with y = time order).
+
+    Values are quantized once per element (round(v * quant)); the pair
+    key is a deterministic (id_col) total order so each unordered pair
+    counts exactly once regardless of partitioning.
+
+    Plan: the quantized projection is PINNED (eager localCheckpoint) so
+    the pair self-join's sides read the same materialized partitions;
+    ONE equi-join on the group key with id_i < id_j, one map-combined
+    groupBy, LEFT join back onto group counts so n<=1 groups report
+    zeros.  Pair fan-out is O(per-group n^2) — the exact statistic's
+    nature; same bounded-group contract as mann_kendall/acf_stats.
+    """
+    vq = lambda c: F.round(F.col(c) * F.lit(float(quant))).cast("bigint")
+    base = df.select(
+        *group_cols, F.col(id_col).alias("_i"),
+        vq(x_col).alias("_x"), vq(y_col).alias("_y"),
+    ).localCheckpoint(eager=True)
+    a = base.select(
+        *group_cols, F.col("_i").alias("_ia"),
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+    )
+    b = base.select(
+        *group_cols, F.col("_i").alias("_ib"),
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+    )
+    sx = F.when(F.col("_xb") > F.col("_xa"), 1).when(
+        F.col("_xb") < F.col("_xa"), -1
+    ).otherwise(0)
+    sy = F.when(F.col("_yb") > F.col("_ya"), 1).when(
+        F.col("_yb") < F.col("_ya"), -1
+    ).otherwise(0)
+    pairs = (
+        a.join(b, group_cols)
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(*group_cols, sx.alias("_sx"), sy.alias("_sy"))
+    )
+    pagg = pairs.groupBy(*group_cols).agg(
+        F.sum(F.when((F.col("_sx") * F.col("_sy")) == 1, 1).otherwise(0)).alias("_nc"),
+        F.sum(F.when((F.col("_sx") * F.col("_sy")) == -1, 1).otherwise(0)).alias("_nd"),
+        F.sum(F.when((F.col("_sx") == 0) & (F.col("_sy") != 0), 1).otherwise(0)).alias("_tx"),
+        F.sum(F.when((F.col("_sx") != 0) & (F.col("_sy") == 0), 1).otherwise(0)).alias("_ty"),
+        F.sum(F.when((F.col("_sx") == 0) & (F.col("_sy") == 0), 1).otherwise(0)).alias("_tb"),
+    )
+    counts = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    out = counts.join(pagg, group_cols, "left")
+    z = F.lit(0).cast("bigint")
+    col = lambda c: F.coalesce(F.col(c), z).cast("bigint")
+    return out.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        col("_nc").alias("concordant"),
+        col("_nd").alias("discordant"),
+        col("_tx").alias("tie_x"),
+        col("_ty").alias("tie_y"),
+        col("_tb").alias("tie_both"),
+    )

@@ -155,3 +155,71 @@ class TestGiniConcentration:
         assert (r.n, r.total, r.gini_num) == (4, "18", str((2 * 4 - 5) * 9 + (2 + 4 + 6 - 15) * 3))
         with pytest.raises(ValueError):
             stats.gini_concentration(df, [], "v")
+
+
+class TestKendallTau:
+    @staticmethod
+    def _twin(rows, quant=1_000_000):
+        # rows: (group, id, x, y)
+        by_g: dict = {}
+        for g, i, x, y in rows:
+            by_g.setdefault(g, []).append((i, round(x * quant), round(y * quant)))
+        out = {}
+        for g, fx in by_g.items():
+            nc = nd = tx = ty = tb = 0
+            for a in range(len(fx)):
+                for b in range(a + 1, len(fx)):
+                    lo, hi = (fx[a], fx[b]) if fx[a][0] < fx[b][0] else (fx[b], fx[a])
+                    sx = (hi[1] > lo[1]) - (hi[1] < lo[1])
+                    sy = (hi[2] > lo[2]) - (hi[2] < lo[2])
+                    if sx * sy == 1:
+                        nc += 1
+                    elif sx * sy == -1:
+                        nd += 1
+                    elif sx == 0 and sy == 0:
+                        tb += 1
+                    elif sx == 0:
+                        tx += 1
+                    else:
+                        ty += 1
+            out[g] = (len(fx), nc, nd, tx, ty, tb)
+        return out
+
+    def test_matches_pair_twin(self, spark):
+        from gol_tool_spark.operators import stats as ST
+
+        rows = []
+        # g0 perfectly concordant, g1 perfectly discordant, g2 mixed with
+        # ties in x, y and both, g3 singleton
+        for i in range(8):
+            rows.append((0, i, float(i), float(i * 2)))
+            rows.append((1, i, float(i), float(-i)))
+        rows += [
+            (2, 0, 1.0, 5.0), (2, 1, 1.0, 7.0),   # tie_x
+            (2, 2, 3.0, 7.0),                     # vs 1: tie_y
+            (2, 3, 3.0, 7.0),                     # vs 2: tie_both
+            (2, 4, 2.0, 6.0),
+        ]
+        rows.append((3, 0, 9.0, 9.0))
+        df = spark.createDataFrame(rows, "g int, i long, x double, y double")
+        got = {
+            r.g: (r.n, r.concordant, r.discordant, r.tie_x, r.tie_y, r.tie_both)
+            for r in ST.kendall_tau(df, ["g"], "x", "y", "i").collect()
+        }
+        assert got == self._twin(rows)
+        n0 = got[0][0]
+        assert got[0][1] == n0 * (n0 - 1) // 2 and got[0][2] == 0  # tau = +1
+        assert got[1][2] == n0 * (n0 - 1) // 2 and got[1][1] == 0  # tau = -1
+        assert got[3] == (1, 0, 0, 0, 0, 0)
+
+    def test_pair_order_invariance(self, spark):
+        # shuffling input rows never changes the counts (the id_col total
+        # order fixes each unordered pair exactly once)
+        from gol_tool_spark.operators import stats as ST
+
+        rows = [(0, i, float((i * 7) % 5), float((i * 3) % 4)) for i in range(12)]
+        df1 = spark.createDataFrame(rows, "g int, i long, x double, y double")
+        df2 = spark.createDataFrame(rows[::-1], "g int, i long, x double, y double")
+        r1 = sorted(map(tuple, ST.kendall_tau(df1, ["g"], "x", "y", "i").collect()))
+        r2 = sorted(map(tuple, ST.kendall_tau(df2, ["g"], "x", "y", "i").collect()))
+        assert r1 == r2
