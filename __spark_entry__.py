@@ -1114,6 +1114,15 @@ def q_kendall(spark, sf_dir):
     )
 
 
+def q_contingency(spark, sf_dir):
+    from gol_tool_spark.operators import stats
+
+    # lang x source independence components over the document corpus
+    return stats.contingency_components(
+        _read(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def q_kde_peaks(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2378,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,  # exact PMI/lift pair components (full oracle)
         "sector": q_sector,  # bearing-sector visibility cone (full oracle)
         "kendall": q_kendall,  # exact rank-correlation components (full oracle)
+        "contingency": q_contingency,  # chi-square cell components (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4594,6 +4604,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
             "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
             "FROM r GROUP BY 1"
+        ),
+        "contingency": (
+            # contingency twin: margins from the observed cells, full
+            # cross product via margin CROSS JOIN, HUGEINT delta
+            "WITH cells AS (SELECT lang AS rv, source AS cv, "
+            "CAST(COUNT(*) AS BIGINT) AS n_ij FROM documents GROUP BY 1, 2), "
+            "rm AS (SELECT rv, CAST(SUM(n_ij) AS BIGINT) AS r_i FROM cells GROUP BY 1), "
+            "cm AS (SELECT cv, CAST(SUM(n_ij) AS BIGINT) AS c_j FROM cells GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n FROM cells) "
+            "SELECT rm.rv AS lang, cm.cv AS source, "
+            "CAST(COALESCE(cells.n_ij, 0) AS BIGINT) AS n_ij, rm.r_i, cm.c_j, t.n, "
+            "CAST(CAST(COALESCE(cells.n_ij, 0) AS HUGEINT) * t.n "
+            "- CAST(rm.r_i AS HUGEINT) * cm.c_j AS VARCHAR) AS delta "
+            "FROM rm CROSS JOIN cm CROSS JOIN t "
+            "LEFT JOIN cells ON cells.rv = rm.rv AND cells.cv = cm.cv"
         ),
         "kendall": (
             # Kendall twin: identical quantization, pair join with a.i < b.i,

@@ -479,6 +479,10 @@ def main():
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     timed("kendall_tau", lambda: force(_st.kendall_tau(
         _lik, ["l_orderkey"], "l_quantity", "l_extendedprice", "l_linenumber")))
+    # chi-square cell components: one fact groupBy + broadcast margins
+    timed("contingency", lambda: force(_st.contingency_components(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        "l_returnflag", "l_linestatus")))
     # arc-length resampling: assemble shuffle + codegen array interpolation
     from gol_tool_spark.operators import measures as _ms2
 

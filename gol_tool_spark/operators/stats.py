@@ -396,3 +396,51 @@ def kendall_tau(
         col("_ty").alias("tie_y"),
         col("_tb").alias("tie_both"),
     )
+
+
+def contingency_components(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Exact contingency-table components for two CATEGORICAL columns —
+    the independence-test workhorse (is `source` independent of `lang`,
+    device of outcome): for EVERY cell of the full r x c cross product
+    (including never-observed combinations, which chi-square needs),
+
+        n_ij   observed count          r_i, c_j   margins     n  total
+        delta  n_ij * n - r_i * c_j    (DECIMAL string, exact)
+
+    delta is the cross-multiplied independence deviation: zero iff the
+    cell sits exactly at its expected rate; delta^2 / (r_i * c_j * n) is
+    the cell's chi-square term — the caller's one float division (the
+    term_drift discipline, generalized from 2 x k to r x c).
+
+    Plan: ONE map-combined groupBy for the observed cells; margins are
+    two more tiny aggregates of it; the full cross product is a
+    crossJoin of the two BROADCAST margin tables (bounded by the
+    categorical contract — this operator is for enum-like columns, not
+    high-cardinality ids) LEFT-joined onto observed cells; the 1-row
+    total broadcasts.  The fact table is read once.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")
+    cells = (
+        df.select(F.col(row_col).alias("rv"), F.col(col_col).alias("cv"))
+        .groupBy("rv", "cv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    rmar = cells.groupBy("rv").agg(F.sum("n_ij").cast("bigint").alias("r_i"))
+    cmar = cells.groupBy("cv").agg(F.sum("n_ij").cast("bigint").alias("c_j"))
+    tot = cells.agg(F.sum("n_ij").cast("bigint").alias("n"))
+    grid = F.broadcast(rmar).crossJoin(F.broadcast(cmar)).crossJoin(F.broadcast(tot))
+    out = grid.join(cells, ["rv", "cv"], "left").withColumn(
+        "n_ij", F.coalesce(F.col("n_ij"), F.lit(0).cast("bigint"))
+    )
+    return out.select(
+        F.col("rv").alias(row_col),
+        F.col("cv").alias(col_col),
+        "n_ij", "r_i", "c_j", "n",
+        (d38(F.col("n_ij")) * d38(F.col("n"))
+         - d38(F.col("r_i")) * d38(F.col("c_j"))).cast("string").alias("delta"),
+    )

@@ -223,3 +223,38 @@ class TestKendallTau:
         r1 = sorted(map(tuple, ST.kendall_tau(df1, ["g"], "x", "y", "i").collect()))
         r2 = sorted(map(tuple, ST.kendall_tau(df2, ["g"], "x", "y", "i").collect()))
         assert r1 == r2
+
+
+class TestContingency:
+    def test_matches_twin_and_zero_cells(self, spark):
+        from collections import Counter
+        from gol_tool_spark.operators import stats as ST
+
+        rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "y"),
+                ("b", "y"), ("c", "x")]  # (c, y) never observed
+        df = spark.createDataFrame(rows, "r string, c string")
+        got = {
+            (row.r, row.c): (row.n_ij, row.r_i, row.c_j, row.n, int(row.delta))
+            for row in ST.contingency_components(df, "r", "c").collect()
+        }
+        cnt = Counter(rows)
+        rm = Counter(r for r, _ in rows)
+        cm = Counter(c for _, c in rows)
+        n = len(rows)
+        want = {
+            (r, c): (cnt[(r, c)], rm[r], cm[c], n, cnt[(r, c)] * n - rm[r] * cm[c])
+            for r in rm for c in cm
+        }
+        assert got == want
+        assert got[("c", "y")][0] == 0 and got[("c", "y")][4] < 0  # empty cell present
+        # deltas sum to zero over the full table (margin identity)
+        assert sum(v[4] for v in got.values()) == 0
+
+    def test_independent_columns_all_zero_delta(self, spark):
+        from gol_tool_spark.operators import stats as ST
+
+        # perfectly independent 2x2: every cell at expected rate
+        rows = [("a", "x")] * 4 + [("a", "y")] * 2 + [("b", "x")] * 2 + [("b", "y")]
+        df = spark.createDataFrame(rows, "r string, c string")
+        deltas = [int(r.delta) for r in ST.contingency_components(df, "r", "c").collect()]
+        assert deltas == [0, 0, 0, 0]
