@@ -1123,6 +1123,13 @@ def q_contingency(spark, sf_dir):
     )
 
 
+def q_streaks(spark, sf_dir):
+    from gol_tool_spark.operators import temporal
+
+    # longest nondecreasing run per entity (gaps-and-islands, one exchange)
+    return temporal.streaks(_read(spark, sf_dir, "events"))
+
+
 def q_kde_peaks(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2388,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sector": q_sector,  # bearing-sector visibility cone (full oracle)
         "kendall": q_kendall,  # exact rank-correlation components (full oracle)
         "contingency": q_contingency,  # chi-square cell components (full oracle)
+        "streaks": q_streaks,  # longest monotone run per entity (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4604,6 +4612,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
             "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
             "FROM r GROUP BY 1"
+        ),
+        "streaks": (
+            # streaks twin: same quantization/order, break at strict drop
+            # or series start, running break-count = run id, ROW()-max
+            # with the cusum (len, -start) tie-break
+            "WITH b AS (SELECT user_id, event_id AS i, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ws, "
+            "CAST(round(value * 1000000) AS BIGINT) AS vq FROM events), "
+            "r AS (SELECT user_id, ROW_NUMBER() OVER w AS k, "
+            "CASE WHEN LAG(vq) OVER w IS NULL OR vq < LAG(vq) OVER w "
+            "THEN 1 ELSE 0 END AS brk FROM b "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ws, i)), "
+            "r2 AS (SELECT user_id, k, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM r), "
+            "runs AS (SELECT user_id, run, COUNT(*) AS len, MIN(k) AS strt "
+            "FROM r2 GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n, "
+            "CAST(MAX(run) AS BIGINT) AS n_runs, "
+            "CAST(MAX({'len': len, 'ns': -strt}).len AS BIGINT) AS max_run, "
+            "CAST(-MAX({'len': len, 'ns': -strt}).ns AS BIGINT) AS max_run_start "
+            "FROM runs GROUP BY 1"
         ),
         "contingency": (
             # contingency twin: margins from the observed cells, full

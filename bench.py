@@ -182,6 +182,8 @@ def main():
     timed("acf_2m", lambda: force(temporal.acf_stats(ev2m)))
     # exact OLS trend components: one entity exchange, no pair fan-out
     timed("ols_trend_2m", lambda: force(temporal.ols_trend(ev2m)))
+    # gaps-and-islands monotone streaks: same single entity exchange
+    timed("streaks_2m", lambda: force(temporal.streaks(ev2m)))
     # Mann-Kendall pair signs on the documented bounded-series shape:
     # every 16th event -> 125k rows / 1000 entities = 125-row series,
     # ~7.8M exact pair signs through one ReusedExchange self-join

@@ -718,3 +718,60 @@ def ols_trend(
         (d(F.col("n")) * F.col("_skk") - d(F.col("_sk")) * d(F.col("_sk")))
         .cast("string").alias("sxx_n"),
     )
+
+
+def streaks(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-entity monotone-streak components — "how long does this series
+    keep rising": maximal NONDECREASING runs over the (time, id)-ordered
+    values (ties extend a run; a strict drop breaks it).  The
+    stuck-sensor / winning-streak / monotone-burn-in check that
+    complements mann_kendall (MK scores global trend; this finds the
+    longest locally sustained one).
+
+    Returns (by, n, n_runs, max_run, max_run_start): total rows, number
+    of maximal runs, the longest run's length, and its 1-based start
+    position (ties on length -> smallest start).  Exact BIGINTs via the
+    cusum_stats one-shot quantization.
+
+    Plan: classic gaps-and-islands — ONE entity exchange shared by the
+    ordering window, the lag-compare, and the running break-count
+    (run id); then two map-combined groupBys (run extents, entity
+    rollup).  No joins, no pair fan-out, safe for unbounded series.
+    """
+    vq = F.round(F.col(value) * F.lit(float(quant))).cast("bigint")
+    base = df.select(
+        F.col(by), F.col(id_col).alias("_i"), _wall_secs(ts).alias("_ws"),
+        vq.alias("_vq"),
+    )
+    w_ord = Window.partitionBy(by).orderBy("_ws", "_i")
+    prev = F.lag("_vq").over(w_ord)
+    brk = F.when(prev.isNull() | (F.col("_vq") < prev), 1).otherwise(0)
+    rows = base.select(
+        F.col(by),
+        F.row_number().over(w_ord).alias("_k"),
+        F.sum(brk).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_run"),
+    )
+    runs = rows.groupBy(by, "_run").agg(
+        F.count(F.lit(1)).alias("_len"), F.min("_k").alias("_start")
+    )
+    agg = runs.groupBy(by).agg(
+        F.sum("_len").alias("n"),
+        F.max("_run").alias("n_runs"),
+        F.max(F.struct(F.col("_len"), (-F.col("_start")).alias("_ns"))).alias("_mx"),
+    )
+    return agg.select(
+        F.col(by),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.col("_mx._len").cast("bigint").alias("max_run"),
+        (-F.col("_mx._ns")).cast("bigint").alias("max_run_start"),
+    )

@@ -487,3 +487,66 @@ class TestOlsTrend:
         assert int(got[0][2]) > 0 and int(got[1][2]) < 0 and int(got[2][2]) == 0
         # singleton: zero variance axis, zero numerator
         assert got[3][2] == "0" and got[3][3] == "0"
+
+
+class TestStreaks:
+    @staticmethod
+    def _twin(rows, quant=1_000_000):
+        by_u: dict = {}
+        for u, i, s, v in rows:
+            by_u.setdefault(u, []).append((s, i, round(v * quant)))
+        out = {}
+        for u, fx in by_u.items():
+            fx.sort()
+            vs = [v for _, _, v in fx]
+            runs = []  # (len, start_k)
+            for k, v in enumerate(vs, start=1):
+                if k == 1 or v < vs[k - 2]:
+                    runs.append([1, k])
+                else:
+                    runs[-1][0] += 1
+            best = max(runs, key=lambda r: (r[0], -r[1]))
+            out[u] = (len(vs), len(runs), best[0], best[1])
+        return out
+
+    def test_matches_python_twin(self, spark):
+        import datetime as dt
+
+        rows = []
+        for i in range(120):
+            u = i % 4
+            s = 1_700_000_000 + i
+            if u == 0:
+                v = float(i)                     # one run of 30
+            elif u == 1:
+                v = float(-i)                    # 30 runs of 1
+            elif u == 2:
+                v = float((i // 4) % 3)          # ties extend, drops break
+            else:
+                v = 5.0                          # all ties: one run
+            rows.append((u, i, s, v))
+        rows.append((9, 0, 1_700_000_000, 1.0))  # singleton entity
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), v)
+             for u, i, s, v in rows],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+        got = {r.user_id: (r.n, r.n_runs, r.max_run, r.max_run_start)
+               for r in temporal.streaks(df).collect()}
+        assert got == self._twin(rows)
+        assert got[0] == (30, 1, 30, 1)      # monotone: one full-length run
+        assert got[1] == (30, 30, 1, 1)      # strictly falling: all singleton runs
+        assert got[3] == (30, 1, 30, 1)      # constant: ties never break
+        assert got[9] == (1, 1, 1, 1)
+
+    def test_tie_on_length_takes_earliest_start(self, spark):
+        import datetime as dt
+
+        # two equal-length runs: 1,2,3 | 0,1,2 -> earliest start wins
+        vals = [1.0, 2.0, 3.0, 0.0, 1.0, 2.0]
+        rows = [(0, i, 1_700_000_000 + i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            [(u, i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None), v)
+             for u, i, s, v in rows],
+            "user_id int, event_id long, ts timestamp_ntz, value double")
+        r = temporal.streaks(df).collect()[0]
+        assert (r.n, r.n_runs, r.max_run, r.max_run_start) == (6, 2, 3, 1)
