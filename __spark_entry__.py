@@ -1123,6 +1123,14 @@ def q_contingency(spark, sf_dir):
     )
 
 
+def q_curvature(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # second-derivative stencil over the density lattice (peaks/pits)
+    pts = synth.points_df(spark, sf_dir)
+    return geostats.curvature_components(pts, cell_shift=26)
+
+
 def q_streaks(spark, sf_dir):
     from gol_tool_spark.operators import temporal
 
@@ -2396,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall": q_kendall,  # exact rank-correlation components (full oracle)
         "contingency": q_contingency,  # chi-square cell components (full oracle)
         "streaks": q_streaks,  # longest monotone run per entity (full oracle)
+        "curvature": q_curvature,  # Laplacian/second-derivative stencil (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4171,6 +4180,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.cx, c.cy, c.c, COALESCE(g.gx, 0) AS gx, COALESCE(g.gy, 0) AS gy, "
             "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
+            "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
+        ),
+        "curvature": _with_points(
+            # curvature twin: same lattice, 8 offsets with 3 weight slots,
+            # center term applied after the join, LEFT back for isolated
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "pr AS (SELECT c AS c_j, cx - o.dx AS cx, cy - o.dy AS cy, "
+            "o.wxx, o.wyy, o.wxy FROM cells, (VALUES "
+            "(1, 0, 1, 0, 0), (-1, 0, 1, 0, 0), (0, 1, 0, 1, 0), (0, -1, 0, 1, 0), "
+            "(1, 1, 0, 0, 1), (-1, -1, 0, 0, 1), (-1, 1, 0, 0, -1), (1, -1, 0, 0, -1)"
+            ") AS o(dx, dy, wxx, wyy, wxy)), "
+            "g AS (SELECT p.cx, p.cy, SUM(p.wxx * p.c_j) AS sxx, "
+            "SUM(p.wyy * p.c_j) AS syy, SUM(p.wxy * p.c_j) AS sxy FROM pr p "
+            "JOIN cells t ON p.cx = t.cx AND p.cy = t.cy GROUP BY 1, 2) "
+            "SELECT c.cx, c.cy, c.c, "
+            "CAST(COALESCE(g.sxx, 0) - 2 * c.c AS BIGINT) AS dxx, "
+            "CAST(COALESCE(g.syy, 0) - 2 * c.c AS BIGINT) AS dyy, "
+            "CAST(COALESCE(g.sxy, 0) AS BIGINT) AS dxy4, "
+            "CAST(COALESCE(g.sxx, 0) + COALESCE(g.syy, 0) - 4 * c.c AS BIGINT) AS lap "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
         ),
         "flow_acc": _flow_acc_oracle(4),

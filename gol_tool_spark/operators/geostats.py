@@ -1854,3 +1854,88 @@ def stream_order(flow: DataFrame, max_rounds: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return order
+
+
+def curvature_components(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Second-derivative stencil components over the density surface —
+    the curvature step of the terrain suite (slope_components gives the
+    gradient; this gives convexity/concavity: peaks, pits, ridges and
+    saddles of the count raster):
+
+        dxx  = c_E + c_W - 2c          dyy  = c_N + c_S - 2c
+        dxy4 = c_NE + c_SW - c_NW - c_SE       (4x the mixed derivative)
+        lap  = dxx + dyy               (the discrete Laplacian)
+
+    per occupied cell, absent neighbors ZERO (the sparse-lattice
+    convention shared with slope_components / flow_directions).  All
+    outputs are exact BIGINTs; Gaussian/profile curvature floats are the
+    caller's division.  lap < 0 marks local convexity (peak-like), the
+    exact-integer sibling of the kde_peaks NMS test.
+
+    Plan: identical shape to slope_components — cells groupBy (pinned),
+    ONE 8-offset probe explode carrying per-component weights, ONE
+    equi-join, a map-combined groupBy, LEFT join back so isolated cells
+    report the flat stencil (-2c, -2c, 0).  Never all-pairs.
+    """
+    cxc = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
+    cyc = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
+    cells = (
+        df.select(cxc.alias("cx"), cyc.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = _pin(cells)
+    # (dx, dy) -> (wxx, wyy, wxy) as seen FROM the target cell
+    weights = {
+        (1, 0): (1, 0, 0), (-1, 0): (1, 0, 0),
+        (0, 1): (0, 1, 0), (0, -1): (0, 1, 0),
+        (1, 1): (0, 0, 1), (-1, -1): (0, 0, 1),
+        (-1, 1): (0, 0, -1), (1, -1): (0, 0, -1),
+    }
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(-dx).alias("dx"), F.lit(-dy).alias("dy"),
+                F.lit(wxx).alias("wxx"), F.lit(wyy).alias("wyy"),
+                F.lit(wxy).alias("wxy"),
+            )
+            for (dx, dy), (wxx, wyy, wxy) in weights.items()
+        ]
+    )
+    probe = cells.select(
+        "cx", "cy", F.col("c").alias("c_j"), F.explode(offs).alias("_o")
+    ).select(
+        "c_j",
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+        F.col("_o.wxx").alias("wxx"),
+        F.col("_o.wyy").alias("wyy"),
+        F.col("_o.wxy").alias("wxy"),
+    )
+    sums = (
+        probe.join(cells.select("cx", "cy"), ["cx", "cy"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(F.col("wxx") * F.col("c_j")).alias("_sxx"),
+            F.sum(F.col("wyy") * F.col("c_j")).alias("_syy"),
+            F.sum(F.col("wxy") * F.col("c_j")).alias("_sxy"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    sxx = F.coalesce(F.col("_sxx"), z)
+    syy = F.coalesce(F.col("_syy"), z)
+    sxy = F.coalesce(F.col("_sxy"), z)
+    dxx = (sxx - 2 * F.col("c")).cast("bigint")
+    dyy = (syy - 2 * F.col("c")).cast("bigint")
+    return cells.join(sums, ["cx", "cy"], "left").select(
+        "cx", "cy", "c",
+        dxx.alias("dxx"),
+        dyy.alias("dyy"),
+        sxy.cast("bigint").alias("dxy4"),
+        (dxx + dyy).cast("bigint").alias("lap"),
+    )

@@ -391,3 +391,56 @@ class TestSlopeComponents:
                geostats.slope_components(df, cell_shift=self.SHIFT).collect()}
         assert out[(2, 2)].g2 == "0" and out[(1, 3)].g2 == "0"
         assert int(out[(0, 0)].g2) > 0  # corner sees the falloff
+
+
+class TestCurvatureComponents:
+    SHIFT = 30
+
+    def test_loop_twin(self, spark):
+        counts = {(1, 1): 5, (2, 1): 3, (0, 1): 7, (1, 2): 2,
+                  (1, 0): 6, (2, 2): 1, (0, 0): 4, (9, 9): 8}
+        pts = []
+        k = 0
+        for (cx, cy), n in counts.items():
+            for _ in range(n):
+                pts.append((k, (cx << self.SHIFT) - HALF + 1, (cy << self.SHIFT) - HALF + 1))
+                k += 1
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {
+            (r.cx, r.cy): r
+            for r in geostats.curvature_components(df, cell_shift=self.SHIFT).collect()
+        }
+        get = lambda cx, cy: counts.get((cx, cy), 0)
+        for (cx, cy), c in counts.items():
+            dxx = get(cx + 1, cy) + get(cx - 1, cy) - 2 * c
+            dyy = get(cx, cy + 1) + get(cx, cy - 1) - 2 * c
+            dxy4 = (get(cx + 1, cy + 1) + get(cx - 1, cy - 1)
+                    - get(cx - 1, cy + 1) - get(cx + 1, cy - 1))
+            r = out[(cx, cy)]
+            assert (r.c, r.dxx, r.dyy, r.dxy4, r.lap) == (
+                c, dxx, dyy, dxy4, dxx + dyy), (cx, cy)
+
+    def test_isolated_cell_stencil(self, spark):
+        df = spark.createDataFrame(
+            [(i, (9 << self.SHIFT) - HALF + i, (9 << self.SHIFT) - HALF) for i in range(3)],
+            "id long, x long, y long",
+        )
+        r = geostats.curvature_components(df, cell_shift=self.SHIFT).collect()[0]
+        assert (r.dxx, r.dyy, r.dxy4, r.lap) == (-6, -6, 0, -12)  # -2c each axis
+
+    def test_uniform_interior_flat_and_peak_negative(self, spark):
+        pts = []
+        k = 0
+        for i in range(5):
+            for j in range(5):
+                n = 3 + (3 if (i, j) == (2, 2) else 0)  # planted peak
+                for _ in range(n):
+                    pts.append((k, (i << self.SHIFT) - HALF + 2, (j << self.SHIFT) - HALF + 2))
+                    k += 1
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {(r.cx, r.cy): r for r in
+               geostats.curvature_components(df, cell_shift=self.SHIFT).collect()}
+        assert out[(1, 3)].lap == 0          # flat interior away from the peak
+        assert out[(2, 2)].lap == -12        # peak: strictly concave
+        # peak neighbor: only the axis toward the peak bumps (dyy = 6+3-6)
+        assert (out[(2, 1)].dxx, out[(2, 1)].dyy, out[(2, 1)].lap) == (0, 3, 3)
