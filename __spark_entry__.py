@@ -1123,6 +1123,14 @@ def q_contingency(spark, sf_dir):
     )
 
 
+def q_walk_counts(spark, sf_dir):
+    from gol_tool_spark.operators import segments
+
+    # 3-step walk counts over the crossing graph (exact Katz-style rank)
+    pts = synth.points_df(spark, sf_dir).select("id", "x", "y")
+    return segments.crossing_walk_counts(segments.synth_segments(pts), k=3)
+
+
 def q_curvature(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2405,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency": q_contingency,  # chi-square cell components (full oracle)
         "streaks": q_streaks,  # longest monotone run per entity (full oracle)
         "curvature": q_curvature,  # Laplacian/second-derivative stencil (full oracle)
+        "walk_counts": q_walk_counts,  # exact k-step walk centrality (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -3893,6 +3902,19 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(3, 4),
         "seg_hops": _hops_oracle(63, 3),
         "seg_sssp": _sssp_oracle(63, 3),
+        "walk_counts": _with_points(
+            # walk twin: unrolled sparse A^k over the shared pair chain,
+            # LEFT back so isolated segments report zero
+            ", " + _SEG_PAIRS_SQL
+            + ", e AS (SELECT seg_a AS u, seg_b AS v FROM p "
+            "UNION ALL SELECT seg_b AS u, seg_a AS v FROM p), "
+            "w0 AS (SELECT id AS seg, CAST(1 AS BIGINT) AS cnt FROM pts), "
+            "w1 AS (SELECT e.v AS seg, SUM(w.cnt) AS cnt FROM e JOIN w0 w ON w.seg = e.u GROUP BY 1), "
+            "w2 AS (SELECT e.v AS seg, SUM(w.cnt) AS cnt FROM e JOIN w1 w ON w.seg = e.u GROUP BY 1), "
+            "w3 AS (SELECT e.v AS seg, SUM(w.cnt) AS cnt FROM e JOIN w2 w ON w.seg = e.u GROUP BY 1) "
+            "SELECT q.id AS seg, CAST(COALESCE(w3.cnt, 0) AS BIGINT) AS walks "
+            "FROM pts q LEFT JOIN w3 ON w3.seg = q.id"
+        ),
         "stream_order": _strahler_oracle(4),
         "phash_topk": _with_points(
             # Hamming twin: same LCG phash synthesis, xor + bit_count,

@@ -472,6 +472,9 @@ def main():
         _sg.synth_segments(points),
         points.filter(F.col("id") % 63 == 0).select(F.col("id").alias("seg")),
         max_rounds=3)))
+    # exact A^k walk centrality: 3 sparse matvec rounds (join + sum)
+    timed("walk_counts", lambda: force(_sg.crossing_walk_counts(
+        _sg.synth_segments(points), k=3)))
     # exact Gini components: one window shuffle + one agg
     _li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_returnflag",

@@ -467,3 +467,49 @@ class TestCrossingSssp:
         df = spark.createDataFrame([(1, 0, 0, 1, 1)], "seg long, x1 long, y1 long, x2 long, y2 long")
         with pytest.raises(ValueError):
             segments.crossing_sssp(df, df.select("seg"), max_rounds=-1)
+
+
+class TestWalkCounts:
+    @staticmethod
+    def _twin(segs, k):
+        adj = {s[0]: set() for s in segs}
+        for i, a in enumerate(segs):
+            for b in segs[i + 1:]:
+                if _proper(a[1:], b[1:]):
+                    adj[a[0]].add(b[0])
+                    adj[b[0]].add(a[0])
+        w = {s[0]: 1 for s in segs}
+        for _ in range(k):
+            w = {v: sum(w[u] for u in adj[v]) for v in adj}
+        return w
+
+    def test_matches_matvec_twin(self, spark):
+        segs = TestCrossingKcore._dense_fixture(TestCrossingKcore())
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        for k in (0, 1, 3):
+            got = {
+                r.seg: r.walks
+                for r in segments.crossing_walk_counts(df, k=k).collect()
+            }
+            assert got == self._twin(segs, k), k
+        w3 = self._twin(segs, 3)
+        assert max(w3.values()) > 1  # walks actually multiply
+
+    def test_isolated_zero_and_path_counts(self, spark):
+        # path graph a-b-c (+ isolated d): length-2 walks ending at an
+        # end are a->b->a and c->b->a (2 each), at the middle b->a->b and
+        # b->c->b (2); the isolated segment reports 0
+        segs = [
+            (0, 0, 0, 0, 200), (1, -10, 100, 210, 100), (2, 200, 0, 200, 200),
+            (3, 5000, 5000, 5100, 5100),
+        ]
+        df = spark.createDataFrame(segs, "seg long, x1 long, y1 long, x2 long, y2 long")
+        got = {r.seg: r.walks for r in segments.crossing_walk_counts(df, k=2).collect()}
+        assert got == {0: 2, 1: 2, 2: 2, 3: 0}
+        got1 = {r.seg: r.walks for r in segments.crossing_walk_counts(df, k=1).collect()}
+        assert got1 == {0: 1, 1: 2, 2: 1, 3: 0}  # k=1 is plain degree
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0, 0, 1, 1)], "seg long, x1 long, y1 long, x2 long, y2 long")
+        with pytest.raises(ValueError):
+            segments.crossing_walk_counts(df, k=-1)
