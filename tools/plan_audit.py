@@ -267,6 +267,36 @@ def main():
         "stored scan, the bbox_query path); the exact half-plane and "
         "squared-distance tests are DECIMAL column math inside one "
         "WholeStageCodegen span — no join, no exchange.", mode="simple")
+    add("Kendall tau pair signs (pinned projection, bounded groups)",
+        __import__("gol_tool_spark.operators.stats", fromlist=["x"]).kendall_tau(
+            spark.read.parquet(f"{sf}/lineitem.parquet").select(
+                "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+            ["l_orderkey"], "l_quantity", "l_extendedprice", "l_linenumber"),
+        "The quantized projection is localCheckpointed (ExistingRDD on both "
+        "pair-join sides); signs fold in one map-combined groupBy; the LEFT "
+        "join back onto counts shares the group-key partitioning.",
+        mode="simple")
+    add("Contingency grid (broadcast margin cross product)",
+        __import__("gol_tool_spark.operators.stats", fromlist=["x"]).contingency_components(
+            spark.read.parquet(f"{sf}/lineitem.parquet"), "l_returnflag", "l_linestatus"),
+        "ONE fact groupBy; the full r x c grid (incl. empty cells) comes "
+        "from crossJoins of BROADCAST margin tables — the fact table is "
+        "never re-read.", mode="simple")
+    add("Monotone streaks (gaps-and-islands, one exchange)",
+        temporal.streaks(ev),
+        "The ordering window, the lag-compare break flags and the running "
+        "break-count run ids all share ONE entity exchange; the run-extent "
+        "and entity rollup groupBys are map-combined.", mode="simple")
+    add("Terrain curvature stencil (pinned probe join)",
+        geostats.curvature_components(_pxy.select("x", "y"), cell_shift=26),
+        "slope_components' shape with three weight slots: pinned cells, one "
+        "8-offset probe explode, one equi-join, one map-combined groupBy, "
+        "LEFT back for isolated cells.", mode="simple")
+    add("Walk-count round (sparse matvec as a join)",
+        segments.crossing_walk_counts(segments.synth_segments(_pxy), k=1),
+        "Each A^k round is one equi-join on the checkpointed edge list + a "
+        "map-combined sum — the flow_acc round discipline; the final LEFT "
+        "join restores isolated segments as zeros.", mode="simple")
     add("Arc-length way resampling (codegen array interpolation)",
         measures.way_resample(mem, synth.points_df(spark, sf).select("id", "x", "y"),
                               n_samples=5),
