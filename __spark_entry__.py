@@ -1131,6 +1131,17 @@ def q_walk_counts(spark, sf_dir):
     return segments.crossing_walk_counts(segments.synth_segments(pts), k=3)
 
 
+def q_benford(spark, sf_dir):
+    from gol_tool_spark.operators import stats
+
+    # Benford screen over price cents per return flag (integer input for
+    # canonical digit strings)
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("price_c")
+    )
+    return stats.digit_distribution(li, ["l_returnflag"], "price_c")
+
+
 def q_curvature(spark, sf_dir):
     from gol_tool_spark.operators import geostats
 
@@ -2414,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaks": q_streaks,  # longest monotone run per entity (full oracle)
         "curvature": q_curvature,  # Laplacian/second-derivative stencil (full oracle)
         "walk_counts": q_walk_counts,  # exact k-step walk centrality (full oracle)
+        "benford": q_benford,  # leading-digit distribution screen (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4664,6 +4676,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) * SUM(CAST(k AS HUGEINT) * k) - "
             "CAST(SUM(k) AS HUGEINT) * CAST(SUM(k) AS HUGEINT) AS VARCHAR) AS sxx_n "
             "FROM r GROUP BY 1"
+        ),
+        "benford": (
+            # Benford twin: same cents quantization, first [1-9] of the
+            # bigint's canonical string, totals joined back per group
+            "WITH b AS (SELECT l_returnflag, regexp_extract("
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '[1-9]', 0) AS digit "
+            "FROM lineitem), "
+            "f AS (SELECT l_returnflag, digit FROM b WHERE digit <> ''), "
+            "c AS (SELECT l_returnflag, digit, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM f GROUP BY 1, 2), "
+            "t AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS total FROM f GROUP BY 1) "
+            "SELECT c.l_returnflag, CAST(c.digit AS INT) AS digit, c.n, t.total "
+            "FROM c JOIN t ON t.l_returnflag = c.l_returnflag"
         ),
         "streaks": (
             # streaks twin: same quantization/order, break at strict drop

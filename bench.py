@@ -490,6 +490,9 @@ def main():
     timed("contingency", lambda: force(_st.contingency_components(
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
         "l_returnflag", "l_linestatus")))
+    # Benford digit screen: one projection + one map-combined groupBy
+    timed("benford", lambda: force(_st.digit_distribution(
+        _li.select("l_returnflag", F.col("pc")), ["l_returnflag"], "pc")))
     # arc-length resampling: assemble shuffle + codegen array interpolation
     from gol_tool_spark.operators import measures as _ms2
 

@@ -444,3 +444,38 @@ def contingency_components(
         (d38(F.col("n_ij")) * d38(F.col("n"))
          - d38(F.col("r_i")) * d38(F.col("c_j"))).cast("string").alias("delta"),
     )
+
+
+def digit_distribution(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Leading-significant-digit distribution per group — the Benford's
+    law data-quality screen (fabricated, synthesized or unit-mangled
+    numeric columns deviate from the log-uniform digit law; Nigrini's
+    audit standard): per (group, digit 1..9) the exact count and the
+    group total, so the caller's Benford chi-square against
+    log10(1 + 1/d) is one float step over exact integers.
+
+    The digit comes from the value's decimal string (first [1-9] match,
+    so 0.05 -> 5 and negatives skip the sign); pass an INTEGER-typed
+    column (cents, counts) for bit-identical cross-engine behavior —
+    integer-to-string rendering is canonical everywhere, float
+    rendering is not.  Zero values (no nonzero digit) are excluded from
+    both counts and totals.
+
+    Plan: one projection + ONE map-combined groupBy; the per-group total
+    is a window-free second aggregate joined back on the group key.
+    """
+    dig = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    base = df.select(*group_cols, dig.alias("digit")).filter(F.col("digit") != "")
+    counts = base.groupBy(*group_cols, "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    return counts.join(totals, group_cols).select(
+        *group_cols, F.col("digit").cast("int").alias("digit"), "n", "total"
+    )

@@ -258,3 +258,33 @@ class TestContingency:
         df = spark.createDataFrame(rows, "r string, c string")
         deltas = [int(r.delta) for r in ST.contingency_components(df, "r", "c").collect()]
         assert deltas == [0, 0, 0, 0]
+
+
+class TestDigitDistribution:
+    def test_matches_twin_and_edge_digits(self, spark):
+        from collections import Counter
+        from gol_tool_spark.operators import stats as ST
+
+        vals = [905, 98, 12345, 1, 9, 100, 777, 0, -205, 3]
+        rows = [("g", v) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {r.digit: (r.n, r.total)
+               for r in ST.digit_distribution(df, ["g"], "v").collect()}
+        lead = Counter(int(next(c for c in str(v) if c in "123456789"))
+                       for v in vals if v != 0)
+        total = sum(lead.values())
+        assert got == {d: (n, total) for d, n in lead.items()}
+        assert 0 not in got          # zero excluded from counts AND totals
+        assert got[2] == (1, 9)      # -205: sign skipped, digit 2
+        assert got[9] == (3, 9)      # 905, 98, 9
+
+    def test_benford_shaped_fixture(self, spark):
+        from gol_tool_spark.operators import stats as ST
+
+        # geometric values 2^k are Benford-distributed; digit 1 must be
+        # the most frequent leading digit
+        rows = [("g", 1 << k) for k in range(60)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {r.digit: r.n for r in ST.digit_distribution(df, ["g"], "v").collect()}
+        assert got[1] == max(got.values())
+        assert sum(got.values()) == 60
