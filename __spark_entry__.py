@@ -1131,6 +1131,13 @@ def q_walk_counts(spark, sf_dir):
     return segments.crossing_walk_counts(segments.synth_segments(pts), k=3)
 
 
+def q_aspect(spark, sf_dir):
+    from gol_tool_spark.operators import geostats
+
+    # trig-free aspect map: Horn gradient classified into 45-deg octants
+    return geostats.aspect_octants(synth.points_df(spark, sf_dir), cell_shift=26)
+
+
 def q_benford(spark, sf_dir):
     from gol_tool_spark.operators import stats
 
@@ -2426,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curvature": q_curvature,  # Laplacian/second-derivative stencil (full oracle)
         "walk_counts": q_walk_counts,  # exact k-step walk centrality (full oracle)
         "benford": q_benford,  # leading-digit distribution screen (full oracle)
+        "aspect": q_aspect,  # trig-free aspect octants (full oracle)
         # ----- entry 50 boundary: everything below is r4 driver green and
         # ----- its code is untouched this round (rotate back in if touched;
         # ----- ann_cosine + embedding_neardup + minhash_sigs + simhash
@@ -4215,6 +4223,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(COALESCE(g.gx, 0) AS HUGEINT) * COALESCE(g.gx, 0) "
             "+ CAST(COALESCE(g.gy, 0) AS HUGEINT) * COALESCE(g.gy, 0) AS VARCHAR) AS g2 "
             "FROM cells c LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy"
+        ),
+        "aspect": _with_points(
+            # aspect twin: the slope gradient CTEs + the identical
+            # sign/magnitude CASE chain (axis starts a sector, diagonal
+            # goes to the counterclockwise-next one)
+            ", cells AS (SELECT (x + 2147483648) // 67108864 AS cx, "
+            "(y + 2147483648) // 67108864 AS cy, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM pts GROUP BY 1, 2), "
+            "pr AS (SELECT c AS c_j, cx - o.dx AS cx, cy - o.dy AS cy, o.wx, o.wy "
+            "FROM cells, (VALUES (1, 1, 1, 1), (1, 0, 2, 0), (1, -1, 1, -1), "
+            "(-1, 1, -1, 1), (-1, 0, -2, 0), (-1, -1, -1, -1), "
+            "(0, 1, 0, 2), (0, -1, 0, -2)) AS o(dx, dy, wx, wy)), "
+            "g AS (SELECT p.cx, p.cy, CAST(SUM(p.wx * p.c_j) AS BIGINT) AS gx, "
+            "CAST(SUM(p.wy * p.c_j) AS BIGINT) AS gy FROM pr p "
+            "JOIN cells t ON p.cx = t.cx AND p.cy = t.cy GROUP BY 1, 2), "
+            "s AS (SELECT c.cx, c.cy, c.c, COALESCE(g.gx, 0) AS gx, "
+            "COALESCE(g.gy, 0) AS gy FROM cells c "
+            "LEFT JOIN g ON g.cx = c.cx AND g.cy = c.cy) "
+            "SELECT cx, cy, c, gx, gy, CAST(CASE "
+            "WHEN gx = 0 AND gy = 0 THEN -1 "
+            "WHEN gx > 0 AND gy >= 0 AND abs(gy) < abs(gx) THEN 0 "
+            "WHEN gy > 0 AND gx > 0 THEN 1 "
+            "WHEN gy > 0 AND gx <= 0 AND abs(gx) < abs(gy) THEN 2 "
+            "WHEN gx < 0 AND gy > 0 THEN 3 "
+            "WHEN gx < 0 AND gy <= 0 AND abs(gy) < abs(gx) THEN 4 "
+            "WHEN gy < 0 AND gx < 0 THEN 5 "
+            "WHEN gy < 0 AND gx >= 0 AND abs(gx) < abs(gy) THEN 6 "
+            "ELSE 7 END AS INT) AS octant FROM s"
         ),
         "curvature": _with_points(
             # curvature twin: same lattice, 8 offsets with 3 weight slots,

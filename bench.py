@@ -414,6 +414,8 @@ def main():
     timed("slope", lambda: force(_gs.slope_components(_pxy, cell_shift=26)))
     # second-derivative stencil: same probe-join shape as slope
     timed("curvature", lambda: force(_gs.curvature_components(_pxy, cell_shift=26)))
+    # trig-free aspect octants: slope plan + one codegen CASE
+    timed("aspect", lambda: force(_gs.aspect_octants(_pxy, cell_shift=26)))
     _moved = points.select(
         F.when(F.col("id") % 13 == 0, F.col("x") + (1 << 26))
         .otherwise(F.col("x")).alias("x"), "y")

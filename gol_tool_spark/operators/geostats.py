@@ -1939,3 +1939,44 @@ def curvature_components(
         sxy.cast("bigint").alias("dxy4"),
         (dxx + dyy).cast("bigint").alias("lap"),
     )
+
+
+def aspect_octants(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_shift: int = 26,
+) -> DataFrame:
+    """Aspect (gradient direction) classified into the eight 45-degree
+    sectors — the terrain aspect map with ZERO trig: sector k covers
+    [k*45, (k+1)*45) degrees counterclockwise from +x (east), and the
+    classification is pure sign / magnitude comparisons on the exact
+    Horn gradient (gx, gy) from slope_components:
+
+        0: gx>0,  0<=gy<gx      (E..NE)     4: gx<0,  0>=gy>gx  (W..SW)
+        1: gy>0,  gx<=gy        ... etc — axis hits start a sector,
+        diagonal hits (|gx|=|gy|) belong to the counterclockwise-next
+        sector, so every nonzero gradient lands in exactly one octant.
+
+    Flat cells (gx = gy = 0) report octant -1.  The float aspect angle
+    is the caller's atan2; rankings/rollups by octant never touch a
+    float, so aspect histograms are bit-reproducible.
+
+    Plan: slope_components' plan plus one codegen CASE — no extra
+    shuffle.  Returns (cx, cy, c, gx, gy, octant).
+    """
+    g = slope_components(df, x=x, y=y, cell_shift=cell_shift)
+    gx, gy = F.col("gx"), F.col("gy")
+    agx, agy = F.abs(gx), F.abs(gy)
+    octant = (
+        F.when((gx == 0) & (gy == 0), -1)
+        .when((gx > 0) & (gy >= 0) & (agy < agx), 0)
+        .when((gy > 0) & (gx > 0), 1)          # remaining Q1 incl. diagonal
+        .when((gy > 0) & (gx <= 0) & (agx < agy), 2)
+        .when((gx < 0) & (gy > 0), 3)          # remaining Q2 incl. diagonal
+        .when((gx < 0) & (gy <= 0) & (agy < agx), 4)
+        .when((gy < 0) & (gx < 0), 5)          # remaining Q3 incl. diagonal
+        .when((gy < 0) & (gx >= 0) & (agx < agy), 6)
+        .otherwise(7)                          # remaining Q4 incl. diagonal
+    )
+    return g.select("cx", "cy", "c", "gx", "gy", octant.cast("int").alias("octant"))

@@ -444,3 +444,47 @@ class TestCurvatureComponents:
         assert out[(2, 2)].lap == -12        # peak: strictly concave
         # peak neighbor: only the axis toward the peak bumps (dyy = 6+3-6)
         assert (out[(2, 1)].dxx, out[(2, 1)].dyy, out[(2, 1)].lap) == (0, 3, 3)
+
+
+class TestAspectOctants:
+    def test_exhaustive_direction_twin(self, spark):
+        # drive the CASE chain directly through the operator by planting
+        # a single neighbor so the gradient points every which way
+        import math
+
+        def twin(gx, gy):
+            if gx == 0 and gy == 0:
+                return -1
+            ang = math.atan2(gy, gx) % (2 * math.pi)
+            return int(ang // (math.pi / 4)) % 8
+
+        SHIFT = 30
+        # center cell + one neighbor in each of the 8 directions, one at
+        # a time, checked against the angle twin
+        for dx, dy in [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
+                       (-1, -1), (0, -1), (1, -1)]:
+            pts = [(0, (5 << SHIFT) - HALF + 3, (5 << SHIFT) - HALF + 3)]
+            for k in range(4):
+                pts.append((k + 1, ((5 + dx) << SHIFT) - HALF + 3,
+                            ((5 + dy) << SHIFT) - HALF + 3))
+            df = spark.createDataFrame(pts, "id long, x long, y long")
+            out = {(r.cx, r.cy): r for r in
+                   geostats.aspect_octants(df, cell_shift=SHIFT).collect()}
+            r = out[(5, 5)]
+            assert r.octant == twin(r.gx, r.gy), (dx, dy, r.gx, r.gy, r.octant)
+            # gradient points toward the mass: same octant as (dx, dy)
+            assert r.octant == twin(dx, dy), (dx, dy)
+
+    def test_flat_is_minus_one_and_diagonal_tiebreak(self, spark):
+        SHIFT = 30
+        df = spark.createDataFrame(
+            [(1, (9 << SHIFT) - HALF, (9 << SHIFT) - HALF)], "id long, x long, y long")
+        assert geostats.aspect_octants(df, cell_shift=SHIFT).collect()[0].octant == -1
+        # exact diagonal gradient (gx == gy > 0) goes to sector 1, not 0
+        pts = [(0, (5 << SHIFT) - HALF, (5 << SHIFT) - HALF),
+               (1, (6 << SHIFT) - HALF, (6 << SHIFT) - HALF)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {(r.cx, r.cy): r for r in
+               geostats.aspect_octants(df, cell_shift=SHIFT).collect()}
+        r = out[(5, 5)]
+        assert r.gx == r.gy > 0 and r.octant == 1
