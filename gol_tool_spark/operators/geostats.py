@@ -556,6 +556,11 @@ def local_maxima(
     c = cells.select(
         F.col(x).alias("cx"), F.col(y).alias("cy"), F.col(w).alias("w")
     )
+    # `c` feeds three branches (probe, the beats join's left side, the
+    # final left join) — without pinning, the whole upstream surface
+    # (e.g. kde_raster's two groupBys) re-executes per branch; the
+    # lattice is occupied-cells-bounded, so materialize it once.
+    c = _pin(c)
     probe = c.select(
         F.col("w").alias("b_w"),
         F.col("cx").alias("b_cx"),

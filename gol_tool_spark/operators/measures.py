@@ -266,24 +266,30 @@ def simplify_ways(
 
     from ..kernels import geometry as G
 
-    def _dp_fn(coords, tol):
+    def _dp_fn(xs_col, ys_col, tol):
         import numpy as np
 
+        # xs/ys arrive as Arrow list<int64> -> numpy arrays per row: no
+        # per-vertex struct/dict access on the Python side (guide §4.2 —
+        # only the columns the kernel needs cross the boundary, already
+        # in vectorizable form)
         out = []
-        for ring, t in zip(coords, tol):
-            xs = np.fromiter((c["x"] for c in ring), dtype=np.int64, count=len(ring))
-            ys = np.fromiter((c["y"] for c in ring), dtype=np.int64, count=len(ring))
-            mask = G.dp_keep_mask(xs, ys, float(t))
+        for xs, ys, t in zip(xs_col, ys_col, tol):
+            mask = G.dp_keep_mask(np.asarray(xs, dtype=np.int64),
+                                  np.asarray(ys, dtype=np.int64), float(t))
             out.append((np.nonzero(mask)[0] + 1).astype("int32").tolist())
         return pd.Series(out)
 
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't infer — set real ones at runtime (tiling.py pattern)
-    _dp_fn.__annotations__ = {c: pd.Series for c in ("coords", "tol", "return")}
+    _dp_fn.__annotations__ = {c: pd.Series for c in ("xs_col", "ys_col", "tol", "return")}
     _dp_keep = F.pandas_udf(_dp_fn, "array<int>")
 
     coords = assemble_coords(membership, points)
-    kept = coords.withColumn("keep_idx", _dp_keep("coords", F.lit(tolerance)))
+    kept = coords.withColumn(
+        "keep_idx",
+        _dp_keep(F.col("coords.x"), F.col("coords.y"), F.lit(tolerance)),
+    )
     pos = F.transform("coords", lambda c, i: c.withField("pos", i + 1))
     return kept.select(
         "way_id",
@@ -314,19 +320,23 @@ def convex_hulls(membership: DataFrame, points: DataFrame) -> DataFrame:
 
     from ..kernels import geometry as G
 
-    def _hull_fn(coords):
+    def _hull_fn(xs_col, ys_col):
+        import numpy as np
+
         out = []
-        for ring in coords:
-            xs = [c["x"] for c in ring]
-            ys = [c["y"] for c in ring]
-            out.append(G.hull_positions(xs, ys))
+        for xs, ys in zip(xs_col, ys_col):
+            # .tolist() yields exact Python ints — the kernel's turn
+            # tests exceed int64 on full-plane coords, so numpy scalars
+            # (which would wrap silently) must not leak in
+            out.append(G.hull_positions(
+                np.asarray(xs).tolist(), np.asarray(ys).tolist()))
         return pd.Series(out)
 
-    _hull_fn.__annotations__ = {c: pd.Series for c in ("coords", "return")}
+    _hull_fn.__annotations__ = {c: pd.Series for c in ("xs_col", "ys_col", "return")}
     _hull = F.pandas_udf(_hull_fn, "array<int>")
 
     coords = assemble_coords(membership, points)
-    kept = coords.withColumn("hull_idx", _hull("coords"))
+    kept = coords.withColumn("hull_idx", _hull(F.col("coords.x"), F.col("coords.y")))
     return kept.select(
         "way_id",
         F.size("coords").alias("n_in"),

@@ -74,15 +74,32 @@ def _cover_cells(segs: DataFrame, shift: int) -> DataFrame:
     )
 
 
-def _cross(ax, ay, bx, by, px, py):
-    """Orientation cross product (b-a) x (p-a) in DECIMAL(38,0) — exact."""
-    d = lambda c: c.cast("decimal(38,0)")
+def _cross(ax, ay, bx, by, px, py, exact_int64: bool):
+    """Orientation cross product (b-a) x (p-a) — exact.
+
+    When both segments of a candidate pair touch the same cover cell and
+    extents are < the cell width W = 2^shift, every endpoint difference
+    here is bounded by 3W, so the products are < 3W * W and the result
+    fits int64 for shift <= 30: plain bigint arithmetic is bit-exact and
+    runs in whole-stage codegen an order of magnitude faster than the
+    interpreted DECIMAL(38,0) path, which stays as the wide-cell
+    fallback.  Only the SIGN is consumed, and both lanes compute the
+    identical exact integer."""
+    d = (lambda c: c) if exact_int64 else (lambda c: c.cast("decimal(38,0)"))
     return (d(bx) - d(ax)) * (d(py) - d(ay)) - (d(by) - d(ay)) * (d(px) - d(ax))
 
 
 def segment_intersections(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> DataFrame:
     """All pairs (seg_a < seg_b) that properly cross.  Returns
-    (seg_a, seg_b) exactly once per crossing pair."""
+    (seg_a, seg_b) exactly once per crossing pair.
+
+    Dedup is the reference-cell trick (no dropDuplicates shuffle on the
+    pair set): a pair sharing several cover cells is emitted only from
+    the lexicographically smallest COMMON cover cell — each side's cover
+    set is a contiguous <= 2x2 cell rectangle, so the common set is the
+    rectangle intersection and its lower corner is componentwise
+    max(min_a, min_b), computable in codegen from the endpoints already
+    on the row."""
     a = _cover_cells(segs, cell_shift).select(
         F.col("seg").alias("seg_a"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
@@ -96,15 +113,24 @@ def segment_intersections(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> Data
         "_cx", "_cy",
     )
     cand = a.join(b, ["_cx", "_cy"]).filter(F.col("seg_a") < F.col("seg_b"))
-    d1 = _cross(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"), F.col("bx1"), F.col("by1"))
-    d2 = _cross(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"), F.col("bx2"), F.col("by2"))
-    d3 = _cross(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"), F.col("ax1"), F.col("ay1"))
-    d4 = _cross(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"), F.col("ax2"), F.col("ay2"))
+    cell = lambda c: F.shiftright(F.col(c) + BIAS, cell_shift)
+    ref = (
+        F.col("_cx") == F.greatest(F.least(cell("ax1"), cell("ax2")),
+                                   F.least(cell("bx1"), cell("bx2")))
+    ) & (
+        F.col("_cy") == F.greatest(F.least(cell("ay1"), cell("ay2")),
+                                   F.least(cell("by1"), cell("by2")))
+    )
+    exact = cell_shift <= 30  # 3W*W products stay under 2^63 — see _cross
+    d1 = _cross(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"), F.col("bx1"), F.col("by1"), exact)
+    d2 = _cross(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"), F.col("bx2"), F.col("by2"), exact)
+    d3 = _cross(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"), F.col("ax1"), F.col("ay1"), exact)
+    d4 = _cross(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"), F.col("ax2"), F.col("ay2"), exact)
     proper = (
         (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
         & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
     )
-    return cand.filter(proper).select("seg_a", "seg_b").dropDuplicates(["seg_a", "seg_b"])
+    return cand.filter(ref & proper).select("seg_a", "seg_b")
 
 
 def snap_points(

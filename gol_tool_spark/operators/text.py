@@ -487,12 +487,18 @@ def fuzzy_pairs(vocab: DataFrame, word_col: str = "word") -> DataFrame:
     )
     a = keys.select(F.col("k"), F.col("w").alias("word_a"))
     b = keys.select(F.col("k"), F.col("w").alias("word_b"))
+    # verify BEFORE deduping (guide §2.3: shuffle fewer bytes): the
+    # levenshtein runs in codegen on each candidate copy (a pair shares
+    # only a handful of deletion keys, so the duplicate evals are cheap)
+    # and the dropDuplicates exchange then carries only qualifying
+    # pairs instead of the whole candidate set — same result, the two
+    # steps commute
     return (
         a.join(b, "k")
         .filter(F.col("word_a") < F.col("word_b"))
+        .filter(F.levenshtein("word_a", "word_b") <= 1)
         .select("word_a", "word_b")
         .dropDuplicates(["word_a", "word_b"])
-        .filter(F.levenshtein("word_a", "word_b") <= 1)
     )
 
 

@@ -212,8 +212,17 @@ def colocation(
     skew split.  No Python, no crossJoin, no driver collects.
     """
     cell_shift = max(int(max_d - 1).bit_length(), 1)
+    # HALF-SPACE probing (guide §2.3: shuffle fewer bytes): instead of all
+    # 27 offsets + a ua<ub orientation cut, probe only the 13 offsets
+    # lexicographically above (0,0,0) plus (0,0,0) itself — an unordered
+    # fix pair whose bucket/cell delta is nonzero meets on exactly one
+    # probe row (whichever side's delta is positive), and a same-cell
+    # pair meets twice and is cut by ea<eb below.  The exploded exchange
+    # carries 14/27 = ~half the rows for the identical pair set.
     probe_sets = [
-        (dt, dcx, dcy) for dt in (-1, 0, 1) for dcx in (-1, 0, 1) for dcy in (-1, 0, 1)
+        (dt, dcx, dcy)
+        for dt in (-1, 0, 1) for dcx in (-1, 0, 1) for dcy in (-1, 0, 1)
+        if (dt, dcx, dcy) >= (0, 0, 0)
     ]
     base = df.select(
         F.col(by).alias("_u"), F.col(id_col).alias("_e"),
@@ -245,14 +254,29 @@ def colocation(
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
     d2 = dx * dx + dy * dy
+    # offset==0 <=> the probe fix's own composite cell equals the join
+    # key (recomputed in codegen from the coords already on the row);
+    # only there can a pair meet twice, so only there the ea<eb cut
+    # applies.  Every unordered cross-user fix pair survives exactly
+    # once, in whichever orientation the probing happened — the
+    # least/greatest group key restores the user_a < user_b contract.
+    same_cell = (
+        (F.floor(F.col("wsa") / F.lit(int(max_dt_s))) == F.col("tb"))
+        & (F.shiftright(F.col("xa") + F.lit(HALF), cell_shift) == F.col("cx"))
+        & (F.shiftright(F.col("ya") + F.lit(HALF), cell_shift) == F.col("cy"))
+    )
     contacts = (
         probe.join(build, ["tb", "cx", "cy"])
-        .filter(F.col("ua") < F.col("ub"))
+        .filter(F.col("ua") != F.col("ub"))
+        .filter(~same_cell | (F.col("ea") < F.col("eb")))
         .filter(F.abs(F.col("wsa") - F.col("wsb")) <= F.lit(int(max_dt_s)))
         .filter(d2 <= F.lit(int(max_d) * int(max_d)))
     )
     return (
-        contacts.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        contacts.groupBy(
+            F.least("ua", "ub").alias("user_a"),
+            F.greatest("ua", "ub").alias("user_b"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_contacts"),
             F.min(d2).alias("min_d2"),
@@ -321,10 +345,20 @@ def resample_track(
         F.lit(None).cast("long").alias("_xb"), F.lit(None).cast("long").alias("_yb"),
     )
     both = f_rows.unionByName(g_rows)
+    # forward scan rewritten over the REVERSED sort: `first ignore nulls`
+    # over (currentRow, unboundedFollowing) makes Spark recompute the
+    # whole shrinking frame per row — O(rows^2) per entity; `last ignore
+    # nulls` over (unboundedPreceding, currentRow) on the exact reverse
+    # order (desc on every sort key, so ties reverse too) selects the
+    # same row and is evaluated incrementally in O(rows).  Both windows
+    # share the entity hash partitioning, so the flip costs one extra
+    # in-partition sort, no exchange.
     w_fwd = (
         Window.partitionBy(by)
-        .orderBy("_ws", "_kind", "_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col("_ws").desc(), F.col("_kind").desc(), F.col("_id").desc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_bwd = (
         Window.partitionBy(by)
@@ -332,9 +366,9 @@ def resample_track(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scanned = (
-        both.withColumn("_nws", F.first(F.when(F.col("_kind") == 1, F.col("_ws")), True).over(w_fwd))
-        .withColumn("_nx", F.first("_xb", True).over(w_fwd))
-        .withColumn("_ny", F.first("_yb", True).over(w_fwd))
+        both.withColumn("_nws", F.last(F.when(F.col("_kind") == 1, F.col("_ws")), True).over(w_fwd))
+        .withColumn("_nx", F.last("_xb", True).over(w_fwd))
+        .withColumn("_ny", F.last("_yb", True).over(w_fwd))
         .withColumn("_pws", F.last(F.when(F.col("_kind") == 1, F.col("_ws")), True).over(w_bwd))
         .withColumn("_px", F.last("_xb", True).over(w_bwd))
         .withColumn("_py", F.last("_yb", True).over(w_bwd))
