@@ -114,6 +114,12 @@ def dbscan(
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    # sym feeds FOUR consumers (degree count, both core_edges semi-join
+    # sides' source, the border candidate join) and dup_clusters
+    # materializes its own copy — without pinning, the eps-neighbor
+    # join subtree re-executes once per consumer.  The edge list is the
+    # smallest representation of that work; materialize it once.
+    sym = sym.localCheckpoint(eager=False)
 
     deg = sym.groupBy("u").agg((F.count(F.lit(1)) + 1).alias("_cnt"))
     core = deg.filter(F.col("_cnt") >= int(min_pts)).select(F.col("u").alias("cid"))

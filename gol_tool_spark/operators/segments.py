@@ -182,6 +182,20 @@ def snap_points(
     )
     s = _cover_cells(segs, cell_shift).select("seg", "x1", "y1", "x2", "y2", "_cx", "_cy")
     cand = p.join(s, ["_cx", "_cy"])
+    # reference-cell dedup BEFORE the distance math: a (point, segment)
+    # pair meets once per cell of ring(p) ∩ cover(s) (both contiguous
+    # cell rectangles, so the intersection is a rectangle) — keep only
+    # the min-corner cell's row.  Candidates drop ~2.2x and only unique
+    # pairs pay the projection arithmetic; the struct-min then sees one
+    # row per pair (duplicates carried identical d2, so the result is
+    # unchanged).
+    cell = lambda c: F.shiftright(F.col(c) + BIAS, cell_shift)
+    cand = cand.filter(
+        (F.col("_cx") == F.greatest(F.shiftright(F.col("px") + BIAS, cell_shift) - 1,
+                                    F.least(cell("x1"), cell("x2"))))
+        & (F.col("_cy") == F.greatest(F.shiftright(F.col("py") + BIAS, cell_shift) - 1,
+                                      F.least(cell("y1"), cell("y2"))))
+    )
     dxs = F.col("x2") - F.col("x1")
     dys = F.col("y2") - F.col("y1")
     rx = F.col("px") - F.col("x1")

@@ -757,6 +757,18 @@ def hmm_match(
         "seg", "x1", "y1", "x2", "y2", "_cx", "_cy"
     )
     cand = p.join(s, ["_cx", "_cy"])
+    # reference-cell dedup (the snap_points trick): a (fix, segment)
+    # pair meets once per cell of ring(fix) ∩ cover(seg) — keep only the
+    # min-corner cell's row, so duplicates never pay the distance math,
+    # never cross the Arrow boundary, and the Python-side dict dedup
+    # becomes a no-op safety net.  Same pairs, same d2 per pair.
+    _cell = lambda c: F.shiftright(F.col(c) + BIAS, cell_shift)
+    cand = cand.filter(
+        (F.col("_cx") == F.greatest(F.shiftright(F.col("px") + BIAS, cell_shift) - 1,
+                                    F.least(_cell("x1"), _cell("x2"))))
+        & (F.col("_cy") == F.greatest(F.shiftright(F.col("py") + BIAS, cell_shift) - 1,
+                                      F.least(_cell("y1"), _cell("y2"))))
+    )
     dxs = F.col("x2") - F.col("x1")
     dys = F.col("y2") - F.col("y1")
     rx = F.col("px") - F.col("x1")
