@@ -547,11 +547,12 @@ def local_maxima(
     with kde_raster this is the standard "hotspot centers" product
     (GIS focal-maximum / peak extraction).
 
-    Plan: one 8-direction probe explode + ONE equi-join on the cell key
-    (the getis_ord/join_counts shape — never all-pairs), one groupBy
-    counting beating neighbors, one left join back.  Isolated cells
-    (no occupied neighbor) are peaks by definition and survive the left
-    join with a 0-beat coalesce.  All integer arithmetic.
+    Plan: one 4-direction half-space probe explode + ONE equi-join on
+    the cell key (each unordered adjacent pair compared exactly once —
+    "beats" is a strict total order, so one comparison decides both
+    directions), then an anti-join of the lattice against the beaten
+    set.  Isolated cells (no occupied neighbor) are peaks by definition
+    and survive the anti-join untouched.  All integer arithmetic.
     """
     c = cells.select(
         F.col(x).alias("cx"), F.col(y).alias("cy"), F.col(w).alias("w")
@@ -561,6 +562,13 @@ def local_maxima(
     # (e.g. kde_raster's two groupBys) re-executes per branch; the
     # lattice is occupied-cells-bounded, so materialize it once.
     c = _pin(c)
+    # "beats" is a strict total order on (w desc, key asc): of ANY two
+    # adjacent cells exactly one beats the other.  So each unordered
+    # neighbor pair needs ONE comparison: probe with the 4 half-space
+    # offsets (not 8), join once per adjacent pair, and emit the BEATEN
+    # cell's key; peaks = cells never emitted.  Half the exploded
+    # exchange, and the anti-join absorbs duplicates for free — same
+    # peak set as the 8-offset count-of-beating-neighbors form.
     probe = c.select(
         F.col("w").alias("b_w"),
         F.col("cx").alias("b_cx"),
@@ -570,33 +578,34 @@ def local_maxima(
                 F.struct(
                     (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
                 )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-                if (dx, dy) != (0, 0)
+                for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1))
             ])
         ).alias("_nb"),
     ).select("b_w", "b_cx", "b_cy", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
-    beats = (
+    b_beats_c = (
+        (F.col("b_w") > F.col("w"))
+        | (
+            (F.col("b_w") == F.col("w"))
+            & (
+                (F.col("b_cx") < F.col("cx"))
+                | ((F.col("b_cx") == F.col("cx")) & (F.col("b_cy") < F.col("cy")))
+            )
+        )
+    )
+    beaten = (
         c.join(probe, ["cx", "cy"])
-        .groupBy("cx", "cy")
-        .agg(
-            F.sum(
-                (
-                    (F.col("b_w") > F.col("w"))
-                    | (
-                        (F.col("b_w") == F.col("w"))
-                        & (
-                            (F.col("b_cx") < F.col("cx"))
-                            | ((F.col("b_cx") == F.col("cx")) & (F.col("b_cy") < F.col("cy")))
-                        )
-                    )
-                ).cast("int")
-            ).alias("_nb")
+        .select(
+            F.when(b_beats_c, F.col("cx")).otherwise(F.col("b_cx")).alias("bx"),
+            F.when(b_beats_c, F.col("cy")).otherwise(F.col("b_cy")).alias("by"),
         )
     )
     return (
-        c.join(beats, ["cx", "cy"], "left")
-        .filter((F.coalesce(F.col("_nb"), F.lit(0)) == 0) & (F.col("w") >= min_weight))
+        c.filter(F.col("w") >= min_weight)
+        .join(
+            beaten.select(F.col("bx").alias("cx"), F.col("by").alias("cy")),
+            ["cx", "cy"],
+            "left_anti",
+        )
         .select("cx", "cy", "w")
     )
 

@@ -100,13 +100,20 @@ def segment_intersections(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> Data
     rectangle intersection and its lower corner is componentwise
     max(min_a, min_b), computable in codegen from the endpoints already
     on the row."""
-    a = _cover_cells(segs, cell_shift).select(
+    # both self-join sides are the SAME cover relation — materialize it
+    # once (lazy localCheckpoint) instead of re-running the upstream
+    # scan/aggregate/explode per side; the cover set is |segs| * <=4
+    # slim rows, far cheaper to hold than to recompute
+    cov = _cover_cells(segs, cell_shift).select(
+        "seg", "x1", "y1", "x2", "y2", "_cx", "_cy"
+    ).localCheckpoint(eager=False)
+    a = cov.select(
         F.col("seg").alias("seg_a"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
         F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
         "_cx", "_cy",
     )
-    b = _cover_cells(segs, cell_shift).select(
+    b = cov.select(
         F.col("seg").alias("seg_b"),
         F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
         F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
