@@ -64,11 +64,17 @@ def eps_pairs(
         _cell(x_col, eps).alias("_cx"),
         _cell(y_col, eps).alias("_cy"),
     )
+    # half-space probing (the colocation/ripley/knox trick): (0,0) plus
+    # the 4 offsets lexicographically above it — a cross-cell unordered
+    # pair meets on exactly one probe row with no id cut, a same-cell
+    # pair keeps the _id < _ib cut; least/greatest restores the
+    # id_a < id_b contract.  Identical pair set, 5/9 the exploded rows.
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)
+            if (dx, dy) >= (0, 0)
         ]
     )
     probe = base.withColumn("_o", F.explode(offs)).select(
@@ -77,20 +83,22 @@ def eps_pairs(
         F.col("_y").alias("_yb"),
         (F.col("_cx") + F.col("_o.dx")).alias("_ncx"),
         (F.col("_cy") + F.col("_o.dy")).alias("_ncy"),
+        ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_same"),
     )
     dx = F.col("_x") - F.col("_xb")
     dy = F.col("_y") - F.col("_yb")
-    # no dedup pass needed below: the offset matching a pair is uniquely
-    # determined by the two cells, so each (a, b) appears exactly once
     return (
         base.join(
             probe,
             (F.col("_cx") == F.col("_ncx"))
             & (F.col("_cy") == F.col("_ncy"))
-            & (F.col("_id") < F.col("_ib")),
+            & (~F.col("_same") | (F.col("_id") < F.col("_ib"))),
         )
         .filter(dx * dx + dy * dy <= F.lit(eps * eps))
-        .select(F.col("_id").alias("id_a"), F.col("_ib").alias("id_b"))
+        .select(
+            F.least("_id", "_ib").alias("id_a"),
+            F.greatest("_id", "_ib").alias("id_b"),
+        )
     )
 
 

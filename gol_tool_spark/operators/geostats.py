@@ -310,6 +310,13 @@ def ripley_k(
         F.col(y).cast("bigint").alias("_y"),
         cx.alias("cx"), cy.alias("cy"),
     )
+    # HALF-SPACE probing (the colocation trick): probe only (0,0) plus
+    # the 4 offsets lexicographically above it.  A cross-cell unordered
+    # pair then meets on exactly one probe row and stands for BOTH
+    # ordered pairs (weight 2); a same-cell pair still meets in both
+    # orders at (0,0) (weight 1 each).  Ordered-pair totals are
+    # identical, the exploded exchange carries 5/9 of the rows and the
+    # join emits about half the candidates.
     offsets = F.array(*[
         F.struct(
             (F.col("cx") + F.lit(dx)).alias("cx"),
@@ -317,24 +324,32 @@ def ripley_k(
         )
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
+        if (dx, dy) >= (0, 0)
     ])
     probe = base.select(
         F.col("_id").alias("ia"), F.col("_x").alias("xa"), F.col("_y").alias("ya"),
+        F.col("cx").alias("pbx"), F.col("cy").alias("pby"),
         F.explode(offsets).alias("_nb"),
-    ).select("ia", "xa", "ya", F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"))
+    ).select(
+        "ia", "xa", "ya", "pbx", "pby",
+        F.col("_nb.cx").alias("cx"), F.col("_nb.cy").alias("cy"),
+    )
     d2 = (
         (F.col("xa") - F.col("_x")) * (F.col("xa") - F.col("_x"))
         + (F.col("ya") - F.col("_y")) * (F.col("ya") - F.col("_y"))
     )
+    w = F.when(
+        (F.col("pbx") == F.col("cx")) & (F.col("pby") == F.col("cy")), F.lit(1)
+    ).otherwise(F.lit(2))
     cand = (
         probe.join(base.select("_id", "_x", "_y", "cx", "cy"), ["cx", "cy"])
         .filter(F.col("ia") != F.col("_id"))
-        .select(d2.alias("d2"))
+        .select(d2.alias("d2"), w.alias("w"))
     )
     n_row = df.agg(F.count(F.lit(1)).alias("n_pts"))
     agg = cand.agg(*[
         F.coalesce(
-            F.sum(F.when(F.col("d2") <= F.lit(int(r) * int(r)), F.lit(1)).otherwise(F.lit(0))),
+            F.sum(F.when(F.col("d2") <= F.lit(int(r) * int(r)), F.col("w")).otherwise(F.lit(0))),
             F.lit(0),
         ).cast("bigint").alias(f"_p{i}")
         for i, r in enumerate(radii)
@@ -820,11 +835,17 @@ def knox_stat(
         "_id", "_x", "_y", "_t",
         _cell("_x", eps).alias("_cx"), _cell("_y", eps).alias("_cy"),
     )
+    # half-space probing (the colocation/ripley trick): only the 4
+    # offsets lexicographically above (0,0) plus (0,0); a cross-cell
+    # unordered pair meets on exactly one probe row (no id cut needed),
+    # a same-cell pair meets in both orders and keeps the _id < _ib cut.
+    # Unordered pair counts are identical with 5/9 of the exploded rows.
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)
+            if (dx, dy) >= (0, 0)
         ]
     )
     probe = base.withColumn("_o", F.explode(offs)).select(
@@ -834,6 +855,7 @@ def knox_stat(
         F.col("_t").alias("_tb"),
         (F.col("_cx") + F.col("_o.dx")).alias("_ncx"),
         (F.col("_cy") + F.col("_o.dy")).alias("_ncy"),
+        ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_same"),
     )
     dx = F.col("_x") - F.col("_xb")
     dy = F.col("_y") - F.col("_yb")
@@ -843,7 +865,7 @@ def knox_stat(
             probe,
             (F.col("_cx") == F.col("_ncx"))
             & (F.col("_cy") == F.col("_ncy"))
-            & (F.col("_id") < F.col("_ib")),
+            & (~F.col("_same") | (F.col("_id") < F.col("_ib"))),
         )
         .filter(dx * dx + dy * dy <= F.lit(eps * eps))
         .agg(
@@ -857,15 +879,21 @@ def knox_stat(
     # negative t; epoch seconds here are non-negative by data contract,
     # and integer DIV on non-negatives == floor in every engine
     tb = ev.select("_id", "_t", F.expr(f"_t DIV {tau}").alias("_b"))
+    # 1-D half-space: offsets {0, 1} instead of {-1, 0, 1}; the id cut
+    # applies only in the shared bucket (same unordered pair counts)
     probe_t = tb.select(
         F.col("_id").alias("_ib"),
         F.col("_t").alias("_tb"),
-        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_o"),
-    ).select("_ib", "_tb", (F.col("_o") + F.expr(f"_tb DIV {tau}")).alias("_b"))
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_o"),
+    ).select(
+        "_ib", "_tb",
+        (F.col("_o") + F.expr(f"_tb DIV {tau}")).alias("_b"),
+        (F.col("_o") == 0).alias("_same"),
+    )
     time_pairs = (
         tb.join(probe_t, "_b")
         .filter(
-            (F.col("_id") < F.col("_ib"))
+            (~F.col("_same") | (F.col("_id") < F.col("_ib")))
             & (F.abs(F.col("_t") - F.col("_tb")) <= F.lit(tau))
         )
         .agg(F.count(F.lit(1)).alias("pairs_time"))

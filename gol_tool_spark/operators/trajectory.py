@@ -588,9 +588,15 @@ def traj_similarity(
     """
     cx = F.shiftright(F.col(x).cast("bigint") + F.lit(HALF), cell_shift)
     cy = F.shiftright(F.col(y).cast("bigint") + F.lit(HALF), cell_shift)
-    cells = df.select(F.col(by), cx.alias("cx"), cy.alias("cy")).distinct()
+    # the distinct signature relation feeds pop AND the pop join's other
+    # side (and sizes/pairable downstream reference that join twice
+    # more) — materialize the distinct once; it is already the fully
+    # collapsed (entity, cell) set, far smaller than the fix log
+    cells = df.select(F.col(by), cx.alias("cx"), cy.alias("cy")).distinct() \
+        .localCheckpoint(eager=False)
     pop = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("_nu"))
-    sig = cells.join(pop, ["cx", "cy"]).filter(F.col("_nu") <= max_users_per_cell)
+    sig = cells.join(pop, ["cx", "cy"]).filter(F.col("_nu") <= max_users_per_cell) \
+        .localCheckpoint(eager=False)
     sizes = sig.groupBy(by).agg(F.count(F.lit(1)).alias("n_cells"))
     # single-user cells can't produce a pair — drop them before the
     # self-join so the shuffle carries only pairable cells
