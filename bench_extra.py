@@ -229,6 +229,13 @@ def main():
         force(hexgrid.hex_density(points, res=8))
 
     # plan-capture targets: DataFrame factories (no execution) for explain
+    knox_ev = spark.range(500_000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 2654435761) % (1 << 32) - (1 << 31)).alias("x"),
+        ((F.col("id") * 2246822519 + 1013904223) % (1 << 32) - (1 << 31)).alias("y"),
+        (F.lit(1_700_000_000) + (F.col("id") / 1000).cast("bigint") * 60
+         + F.col("id") % 7).alias("t"),
+    )
     PLANS = {
         "seg_intersect": lambda: _sg.segment_intersections(
             _sg.synth_segments(points.select("id", "x", "y"))),
@@ -243,7 +250,27 @@ def main():
             .select("way_id", "n_in", "n_kept"),
         "kde_peaks": lambda: _gs.local_maxima(
             _gs.kde_raster(_pxy, cell_shift=22, radius=2), min_weight=5),
+        "ripley_k": lambda: _gs.ripley_k(_pxy, [8192, 16384, 32768]),
+        "knox_500k": lambda: _gs.knox_stat(knox_ev, eps=1 << 16, tau=1),
+        "dbscan": lambda: geocluster.dbscan(
+            points.filter(F.col("id") % 7 < 2).select("id", "x", "y"),
+            eps=60000, min_pts=10),
+        "traj_similarity_2m": lambda: trajectory.traj_similarity(
+            fixes, cell_shift=22, max_users_per_cell=64, min_shared=2),
+        "fuzzy_vocab": lambda: _fuzzy_df(),
+        "seg_components": lambda: _sg.crossing_components(
+            _sg.synth_segments(points)),
     }
+
+    def _fuzzy_df():
+        from gol_tool_spark.operators import text as _tx
+        _vocab = (
+            spark.read.parquet(f"{SF_DIR}/part.parquet")
+            .select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+            .unionAll(spark.read.parquet(f"{SF_DIR}/customer.parquet")
+                      .select(F.lower("c_name").alias("word")))
+        )
+        return _tx.fuzzy_pairs(_vocab)
 
     if "--list" in args:
         print(" ".join(sorted(LANES)))

@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long-lived sessions running many queries accumulate orphaned
+        # cache/localCheckpoint blocks that ContextCleaner only frees
+        # after a driver GC; the default periodic-GC interval (30 min)
+        # never fires inside a multi-minute batch session, so dead
+        # blocks pile up in the block manager and later queries pay the
+        # memory pressure.  A few minutes keeps cleanup ahead of
+        # accumulation at any session length (env-overridable).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
