@@ -365,12 +365,57 @@ def dup_clusters(
         count per round, no collect of data rows.
     Singletons (docs never appearing in `pairs`) are not emitted — a
     caller wanting them left-joins the corpus against this output.
+
+    Size-gated local finish (the GraphFrames/GraphX design): star rounds
+    CONTRACT the edge set; once it fits comfortably on the driver
+    (<= SPARK_GRAFT_CC_LOCAL_EDGES rows, default 2M ~= 32 MB of long
+    pairs; 0 disables), the remaining O(log n) distributed rounds —
+    each a fixed 4-exchange cost — are replaced by one Arrow collect
+    and a vectorized numpy min-label hook + pointer-jump loop.  The
+    alternating rounds preserve both the component structure and the
+    non-singleton node set at every step (Kiveris et al. invariant), so
+    the local labels are bit-identical to the distributed fixed point;
+    the switch only fires for integral id types (numpy min == Spark min
+    there; strings could diverge on collation).
     """
+    import os
+
     spark = pairs.sparkSession
     id_type = pairs.schema[a_col].dataType
     out_schema = Ty.StructType(
         [Ty.StructField("doc_id", id_type), Ty.StructField("comp", id_type)]
     )
+    local_cap = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "2000000"))
+    integral = isinstance(
+        id_type, (Ty.LongType, Ty.IntegerType, Ty.ShortType, Ty.ByteType)
+    )
+
+    def _local_finish(e: DataFrame) -> DataFrame:
+        pdf = e.toPandas()
+        ea_raw = pdf["a"].to_numpy()
+        eb_raw = pdf["b"].to_numpy()
+        nodes, inv = np.unique(
+            np.concatenate([ea_raw, eb_raw]), return_inverse=True
+        )
+        ea, eb = inv[: len(ea_raw)], inv[len(ea_raw):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            lu, lv = label[ea], label[eb]
+            lo = np.minimum(lu, lv)
+            hi = np.maximum(lu, lv)
+            before = label
+            label = label.copy()
+            np.minimum.at(label, hi, lo)
+            while True:
+                nl = label[label]
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            if np.array_equal(before, label):
+                break
+        out = pd.DataFrame({"doc_id": nodes, "comp": nodes[label]})
+        return spark.createDataFrame(out, schema=out_schema)
+
     edges = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
@@ -384,8 +429,11 @@ def dup_clusters(
     # once for the probe and then AGAIN for the eager checkpoint — on
     # crossing graphs that chain is the dominant cost of the call
     edges = edges.localCheckpoint(eager=True)
-    if not edges.take(1):
+    n_edges = edges.count()
+    if n_edges == 0:
         return spark.createDataFrame([], out_schema)
+    if integral and 0 < n_edges <= local_cap:
+        return _local_finish(edges)
 
     def large_star(e: DataFrame) -> DataFrame:
         # symmetric directed view; for each u emit (v, m(u)) to strictly
@@ -422,13 +470,21 @@ def dup_clusters(
 
     for _ in range(max_rounds):
         nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        # star rounds contract the edge set while preserving components
+        # and the non-singleton node set — switch to the local finisher
+        # as soon as it fits (saves the long tail of near-converged
+        # rounds, each a fixed multi-exchange cost)
+        if integral and n_nxt <= local_cap:
+            return _local_finish(nxt)
         # fixed point: equal sets <=> equal counts AND nxt ⊆ edges (both deduped)
-        if nxt.count() == edges.count() and not nxt.join(
+        if n_nxt == n_edges and not nxt.join(
             edges, ["a", "b"], "left_anti"
         ).take(1):
             edges = nxt
             break
         edges = nxt
+        n_edges = n_nxt
     else:
         import warnings
 

@@ -245,3 +245,58 @@ class TestMixSample:
         k1 = {x.doc_id for x in T.mix_sample(df1, r).collect()}
         k2 = {x.doc_id for x in T.mix_sample(df2, r).collect()}
         assert k1 == k2 and 100 <= len(k1) <= 300
+
+
+class TestLocalFinishEquivalence:
+    """The size-gated numpy finisher must be bit-identical to the pure
+    distributed star rounds — on path graphs (worst case for min-label
+    propagation), random graphs, and a mid-loop switch (cap between the
+    initial and round-1 edge counts)."""
+
+    def _both(self, spark, pairs_rows, cap_for_mid=None):
+        import os
+
+        from gol_tool_spark.operators import dedup as D
+
+        df = spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+        old = os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES")
+        try:
+            os.environ["SPARK_GRAFT_CC_LOCAL_EDGES"] = "0"
+            dist = sorted((r.doc_id, r.comp) for r in D.dup_clusters(df).collect())
+            os.environ["SPARK_GRAFT_CC_LOCAL_EDGES"] = "2000000"
+            loc = sorted((r.doc_id, r.comp) for r in D.dup_clusters(df).collect())
+            mid = None
+            if cap_for_mid is not None:
+                os.environ["SPARK_GRAFT_CC_LOCAL_EDGES"] = str(cap_for_mid)
+                mid = sorted((r.doc_id, r.comp) for r in D.dup_clusters(df).collect())
+        finally:
+            if old is None:
+                os.environ.pop("SPARK_GRAFT_CC_LOCAL_EDGES", None)
+            else:
+                os.environ["SPARK_GRAFT_CC_LOCAL_EDGES"] = old
+        return dist, loc, mid
+
+    def test_path_graph(self, spark):
+        rows = [(i, i + 1) for i in range(200)]
+        dist, loc, mid = self._both(spark, rows, cap_for_mid=150)
+        assert dist == loc
+        assert mid == dist
+        assert all(c == 0 for _, c in dist)
+
+    def test_random_graph_and_mid_switch(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+        rows = [(a, b) for a, b in rows if a != b]
+        dist, loc, mid = self._both(spark, rows, cap_for_mid=len(rows) // 2)
+        assert dist == loc
+        assert mid == dist
+
+    def test_two_components_min_labels(self, spark):
+        rows = [(10, 11), (11, 12), (20, 21), (22, 21), (12, 10)]
+        dist, loc, _ = self._both(spark, rows)
+        assert dist == loc
+        comp = dict(loc)
+        assert comp[10] == comp[11] == comp[12] == 10
+        assert comp[20] == comp[21] == comp[22] == 20
