@@ -88,7 +88,10 @@ def eps_pairs(
     dx = F.col("_x") - F.col("_xb")
     dy = F.col("_y") - F.col("_yb")
     return (
-        base.join(
+        # shuffle join on the cell key (not broadcast): dense eps-cells
+        # are the skew AQE must be able to split — see
+        # segments.segment_intersections
+        base.hint("shuffle_merge").join(
             probe,
             (F.col("_cx") == F.col("_ncx"))
             & (F.col("_cy") == F.col("_ncy"))

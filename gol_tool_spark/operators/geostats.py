@@ -342,7 +342,11 @@ def ripley_k(
         (F.col("pbx") == F.col("cx")) & (F.col("pby") == F.col("cy")), F.lit(1)
     ).otherwise(F.lit(2))
     cand = (
-        probe.join(base.select("_id", "_x", "_y", "cx", "cy"), ["cx", "cy"])
+        # shuffle join on the cell key (not broadcast): dense cells are
+        # the skew AQE must be able to split — see
+        # segments.segment_intersections
+        probe.hint("shuffle_merge")
+        .join(base.select("_id", "_x", "_y", "cx", "cy"), ["cx", "cy"])
         .filter(F.col("ia") != F.col("_id"))
         .select(d2.alias("d2"), w.alias("w"))
     )
@@ -861,7 +865,9 @@ def knox_stat(
     dy = F.col("_y") - F.col("_yb")
     dt_ok = F.abs(F.col("_t") - F.col("_tb")) <= F.lit(int(tau))
     space_both = (
-        base.join(
+        # shuffle join (not broadcast): dense eps-cells are the skew AQE
+        # must be able to split — see segments.segment_intersections
+        base.hint("shuffle_merge").join(
             probe,
             (F.col("_cx") == F.col("_ncx"))
             & (F.col("_cy") == F.col("_ncy"))

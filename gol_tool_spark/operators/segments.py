@@ -119,7 +119,14 @@ def segment_intersections(segs: DataFrame, cell_shift: int = CELL_SHIFT) -> Data
         F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
         "_cx", "_cy",
     )
-    cand = a.join(b, ["_cx", "_cy"]).filter(F.col("seg_a") < F.col("seg_b"))
+    # force a SHUFFLE join on the cell key: the planner's broadcast pick
+    # funnels every dense hot cell's candidate explosion into whichever
+    # few tasks scan those cells, and a broadcast join is invisible to
+    # AQE skew-splitting; the shuffle join spreads cells across
+    # partitions and lets AQE split the hot ones (measured 3.7x on the
+    # clustered fixture) — and it IS the plan shape a planet-scale
+    # input gets, where neither side fits a broadcast anyway.
+    cand = a.hint("shuffle_merge").join(b, ["_cx", "_cy"]).filter(F.col("seg_a") < F.col("seg_b"))
     cell = lambda c: F.shiftright(F.col(c) + BIAS, cell_shift)
     ref = (
         F.col("_cx") == F.greatest(F.least(cell("ax1"), cell("ax2")),
@@ -188,7 +195,9 @@ def snap_points(
         )
     )
     s = _cover_cells(segs, cell_shift).select("seg", "x1", "y1", "x2", "y2", "_cx", "_cy")
-    cand = p.join(s, ["_cx", "_cy"])
+    # shuffle join on the cell key (not broadcast): dense cells are the
+    # skew AQE must be able to split — see segment_intersections
+    cand = p.hint("shuffle_merge").join(s, ["_cx", "_cy"])
     # reference-cell dedup BEFORE the distance math: a (point, segment)
     # pair meets once per cell of ring(p) ∩ cover(s) (both contiguous
     # cell rectangles, so the intersection is a rectangle) — keep only

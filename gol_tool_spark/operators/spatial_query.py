@@ -380,7 +380,9 @@ def box_overlap_join(
         )
     a = cover(boxes, "a")
     b = cover(boxes if other is None else other, "b")
-    j = a.join(b, ["_cx", "_cy"])
+    # shuffle join on the cell key (not broadcast): dense cells are the
+    # skew AQE must be able to split — see segments.segment_intersections
+    j = a.hint("shuffle_merge").join(b, ["_cx", "_cy"])
     if other is None:
         j = j.filter(F.col("id_a") < F.col("id_b"))
     rx = F.greatest("_nx_a", "_nx_b") + S.HALF

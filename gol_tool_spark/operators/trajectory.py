@@ -762,7 +762,9 @@ def hmm_match(
     s = _cover_cells(segs, cell_shift).select(
         "seg", "x1", "y1", "x2", "y2", "_cx", "_cy"
     )
-    cand = p.join(s, ["_cx", "_cy"])
+    # shuffle join on the cell key (not broadcast): dense cells are the
+    # skew AQE must be able to split — see segments.segment_intersections
+    cand = p.hint("shuffle_merge").join(s, ["_cx", "_cy"])
     # reference-cell dedup (the snap_points trick): a (fix, segment)
     # pair meets once per cell of ring(fix) ∩ cover(seg) — keep only the
     # min-corner cell's row, so duplicates never pay the distance math,
