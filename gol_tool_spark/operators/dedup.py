@@ -47,7 +47,14 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
     """Word n-gram shingles, distinct per doc: (doc_id, shingle).
     Docs shorter than n words produce no shingles (guarded: F.sequence
-    with start > stop yields a DESCENDING range, not an empty one)."""
+    with start > stop yields a DESCENDING range, not an empty one).
+
+    Per-doc dedup happens BEFORE the explode (array_distinct on the
+    per-row shingle array) instead of a corpus-wide
+    dropDuplicates(doc_id, shingle) — same rows for the one-row-per-doc
+    inputs every caller passes, but zero shuffle: the explode feeds the
+    downstream aggregate/join directly (guide §2.4, remove shuffles
+    outright)."""
     words = F.split(normalized(text_col), " ")
     sh = F.when(
         F.size(words) >= n,
@@ -56,10 +63,7 @@ def shingles(df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select("doc_id", F.explode(sh).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -67,10 +71,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard >= threshold."""
     sh = shingles(df, n, text_col)
-    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    # hot-shingle cap WITHOUT the document-frequency window (which
+    # exchanges + sorts EVERY posting row): aggregate the distinct
+    # over-cap shingles (map-side combined, output bounded by
+    # n_postings/max_df — stopword-like shingles only) and broadcast
+    # anti-join them away, so the posting rows never shuffle for the cap
+    # (guide §3.2's semi-join shape, inverted)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
     # referenced by both join sides AND the size aggregate — cache so the
-    # shingle explode + document-frequency window computes once
-    sh = sh.filter(F.col("df") <= max_df).select("doc_id", "shingle").cache()
+    # shingle explode + hot-shingle anti-join computes once
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -613,8 +628,16 @@ def containment_pairs(
     join, no all-pairs.
     """
     sh = shingles(df, n, text_col)
-    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-    sh = sh.filter(F.col("df") <= max_df).select("doc_id", "shingle").cache()
+    # same hot-shingle broadcast anti-join as ngram_jaccard_pairs: the cap
+    # filter costs one map-combined aggregate + a broadcast, never a
+    # window exchange of the full posting set
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -478,12 +478,15 @@ def fuzzy_pairs(vocab: DataFrame, word_col: str = "word") -> DataFrame:
             w.substr(i + 1, F.length(w)),
         ),
     )
+    # array_union already dedups the per-word key set (set semantics), and
+    # w is distinct — (w, k) is unique by construction, so no
+    # dropDuplicates exchange after the explode (guide §2.4: a `distinct`
+    # on data that is already unique is an accidental shuffle)
     keys = (
         vocab.select(F.col(word_col).alias("w"))
         .where(F.length("w") > 0)
         .distinct()
         .select("w", F.explode(F.array_union(F.array(w), variants)).alias("k"))
-        .dropDuplicates(["w", "k"])
     )
     a = keys.select(F.col("k"), F.col("w").alias("word_a"))
     b = keys.select(F.col("k"), F.col("w").alias("word_b"))
