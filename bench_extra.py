@@ -272,8 +272,51 @@ def main():
         )
         return _tx.fuzzy_pairs(_vocab)
 
+    def _pq_df():
+        emb_syn = synth.embeddings_synth(spark, n_corpus, dim=64)
+        pq_books = ann.pq_train(emb_syn, m=8, dim=64, k=16, sample=1024)
+        return ann.pq_search(ann.pq_encode(emb_syn, pq_books), [0, 1, 2, 3, 4],
+                             pq_books, k=10, shortlist=200)
+
+    PLANS.update({
+        "minhash_lsh_syn": lambda: dedup.minhash_lsh_pairs(docs_syn(), n=3, threshold=0.3),
+        "containment_syn": lambda: dedup.containment_pairs(
+            docs_syn(), n=3, threshold=0.5, max_df=100000),
+        "kde_raster": lambda: _gs.kde_raster(_pxy, cell_shift=22, radius=2),
+        "seg_raster": lambda: _sg.raster_cover(_sg.synth_segments(points), cell_shift=12),
+        "pq_adc_syn": _pq_df,
+        "box_overlap": lambda: spatial_query.box_overlap_join(
+            points.filter(F.col("id") % 7 < 2).select(
+                "id", F.col("x").alias("minx"), F.col("y").alias("miny"),
+                (F.col("x") + 1 + (F.col("id") % 97) * 512).alias("maxx"),
+                (F.col("y") + 1 + (F.col("id") % 89) * 512).alias("maxy")), zoom=13),
+        "cell_components": lambda: _gs.cell_components(_pxy, cell_shift=26),
+        "heavy_hitters_syn": lambda: stats_lane_df(),
+    })
+
+    def stats_lane_df():
+        from gol_tool_spark.operators import stats as stats_ops
+        return stats_ops.heavy_hitters(
+            docs_syn().select(F.explode(F.split(F.col("text"), " ")).alias("tok")),
+            "tok", frac=0.001)
+
     if "--list" in args:
         print(" ".join(sorted(LANES)))
+        return
+
+    plans_only = "--plans-only" in args
+    if plans_only:
+        args.remove("--plans-only")
+        assert explain_dir, "--plans-only needs --explain-dir"
+        for name in (args or sorted(PLANS)):
+            if name not in PLANS:
+                continue
+            os.makedirs(explain_dir, exist_ok=True)
+            df = PLANS[name]()
+            with open(os.path.join(explain_dir, f"{name}.txt"), "w") as f:
+                f.write(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            print(f"## plan: {name}", file=sys.stderr)
         return
 
     names = args or sorted(LANES)

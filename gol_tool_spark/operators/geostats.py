@@ -386,10 +386,14 @@ def kde_raster(
     turns weights into a density is the renderer's one step).
 
     Plan: ONE map-combined groupBy collapses points to occupied-cell
-    counts FIRST (the explode then costs (2r+1)^2 per occupied CELL,
-    not per point — at planet scale that is the entire difference),
-    then a literal-weight offset explode and a second map-combined
-    groupBy on the target cell.  No joins at all.
+    counts FIRST (the explode then costs per occupied CELL, not per
+    point — at planet scale that is the entire difference), then the
+    SEPARABLE kernel runs as two 1-D passes — (r+1-|dx|)*(r+1-|dy|)
+    factors, so convolving x then y shuffles 2*(2r+1) rows per cell
+    instead of (2r+1)^2 (guide §2.3: shuffle fewer bytes; 10 vs 25 at
+    r=2) — each pass a literal-weight offset explode + a map-combined
+    integer-sum groupBy.  Integer sums in any order are exact, so the
+    surface is bit-identical to the 2-D explode's.  No joins at all.
     """
     if radius < 1:
         raise ValueError("radius must be >= 1")
@@ -401,18 +405,29 @@ def kde_raster(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     r = int(radius)
-    spread = F.array(*[
+    spread_x = F.array(*[
         F.struct(
             (F.col("cx") + F.lit(dx)).alias("cx"),
-            (F.col("cy") + F.lit(dy)).alias("cy"),
-            (F.col("c") * F.lit((r + 1 - abs(dx)) * (r + 1 - abs(dy)))).alias("w"),
+            (F.col("c") * F.lit(r + 1 - abs(dx))).alias("w"),
         )
         for dx in range(-r, r + 1)
+    ])
+    xpass = (
+        cells.select(F.col("cy"), F.explode(spread_x).alias("_s"))
+        .select(F.col("_s.cx").alias("cx"), "cy", F.col("_s.w").alias("w"))
+        .groupBy("cx", "cy")
+        .agg(F.sum("w").alias("w"))
+    )
+    spread_y = F.array(*[
+        F.struct(
+            (F.col("cy") + F.lit(dy)).alias("cy"),
+            (F.col("w") * F.lit(r + 1 - abs(dy))).alias("w"),
+        )
         for dy in range(-r, r + 1)
     ])
     return (
-        cells.select(F.explode(spread).alias("_s"))
-        .select("_s.cx", "_s.cy", "_s.w")
+        xpass.select(F.col("cx"), F.explode(spread_y).alias("_s"))
+        .select("cx", F.col("_s.cy").alias("cy"), F.col("_s.w").alias("w"))
         .groupBy("cx", "cy")
         .agg(F.sum("w").alias("w_sum"))
     )

@@ -278,26 +278,28 @@ def raster_cover(segs: DataFrame, cell_shift: int = 12) -> DataFrame:
     )
     # Spark `a DIV b` = exact 64-bit integer division (truncating; both
     # operands non-negative here, so == floor == DuckDB //).
-    # The whole trace is PER-SEGMENT work, so it runs as array expressions
-    # on the row — build the sampled cell chain with transform, dedup with
-    # array_distinct, fold the sums — instead of an explode +
-    # dropDuplicates + groupBy (two exchanges for data that never needed
-    # to leave its row; guide §2.4).  Chains are bounded by the segment's
-    # own cell span, so the arrays are small; the distinct set, counts and
-    # sums are identical to the exploded plan's.
-    chain = F.expr(
-        "array_distinct(transform(sequence(0L, _n), t -> struct("
-        f"shiftright(((_n - t) * _X1 + t * _X2) DIV _n, {int(cell_shift)}) AS cx, "
-        f"shiftright(((_n - t) * _Y1 + t * _Y2) DIV _n, {int(cell_shift)}) AS cy)))"
+    # Two zero-/one-exchange variants were measured SLOWER than this
+    # two-exchange plan at sf0.1 (r6 notes: per-row array_distinct+folds
+    # 2.6s, packed-bigint collect_set 4.2s, vs 2.0s here — higher-order
+    # array functions are CodegenFallback, so their per-row interpreted
+    # cost exceeds the exchanges they save at this density; the exploded
+    # dedup + groupBy stay whole-stage-codegen end to end).
+    lerp = lambda a, b: F.expr(f"((_n - _t) * {a} + _t * {b}) DIV _n")
+    cells = (
+        base.withColumn("_t", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n"))))
+        .select(
+            "seg",
+            "_n",
+            cell(lerp("_X1", "_X2")).alias("cx"),
+            cell(lerp("_Y1", "_Y2")).alias("cy"),
+        )
+        .dropDuplicates(["seg", "cx", "cy"])
     )
-    zero = F.lit(0).cast("bigint")
-    d = base.withColumn("_cells", chain)
-    return d.select(
-        "seg",
-        F.col("_n").alias("n_steps"),
-        F.size("_cells").cast("bigint").alias("n_cells"),
-        F.aggregate("_cells", zero, lambda a, c: a + c["cx"]).alias("sum_cx"),
-        F.aggregate("_cells", zero, lambda a, c: a + c["cy"]).alias("sum_cy"),
+    return cells.groupBy("seg").agg(
+        F.max("_n").alias("n_steps"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cx").alias("sum_cx"),
+        F.sum("cy").alias("sum_cy"),
     )
 
 
