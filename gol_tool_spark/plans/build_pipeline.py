@@ -190,11 +190,52 @@ def _stage_sort(spark, cfg: BuildConfig, t0):
 def _stage_validate(spark, cfg: BuildConfig, t0):
     pts = spark.read.parquet(os.path.join(cfg.out_dir, "sort"))
     mem = synth.membership_df(spark, cfg.sf_dir)
-    ways = tiling.way_assembly(mem, pts)
-    purg = tiling.purgatory(mem, pts).withColumn("pile", F.lit(1))
+    # ONE left join serves both consumers: way_assembly is the matched
+    # half, purgatory the unmatched half (node ids are unique, so a
+    # matched membership row keeps multiplicity 1 and an unmatched one
+    # survives as exactly one null-extended row — bit-identical to the
+    # separate inner + anti joins the operators run standalone).  The
+    # pinned join materializes once instead of shuffling membership and
+    # points twice (guide §2.4: two operations keyed the same way share
+    # one exchange).
+    nodes = pts.select(F.col("id").alias("node_ref"), "x", "y", "tile")
+    resolved = (
+        mem.select("way_id", "node_ref")
+        .join(nodes, "node_ref", "left")
+        .select("way_id", "x", "y", "tile")
+        .localCheckpoint(eager=True)
+    )
+    ways = (
+        resolved.filter(F.col("tile").isNotNull())
+        .groupBy("way_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("x").alias("minx"),
+            F.min("y").alias("miny"),
+            F.max("x").alias("maxx"),
+            F.max("y").alias("maxy"),
+            F.countDistinct("tile").alias("n_tiles"),
+        )
+    )
+    purg = (
+        resolved.filter(F.col("tile").isNull())
+        .groupBy("way_id")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+        .withColumn("pile", F.lit(1))
+    )
     ways.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "validate"))
     purg.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "validate_purgatory"))
-    _write_manifest(cfg, "validate", ways, t0, extra={"purgatory_ways": purg.count()})
+    # purgatory row count from the just-written footers (driver-side
+    # metadata read) — a .count() here re-executed the whole anti-join
+    # chain a second time for a number the write already knows
+    import pyarrow.parquet as pq
+
+    purg_rows = 0
+    for dp, _, fs in os.walk(os.path.join(cfg.out_dir, "validate_purgatory")):
+        for f in fs:
+            if f.endswith(".parquet"):
+                purg_rows += pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+    _write_manifest(cfg, "validate", ways, t0, extra={"purgatory_ways": int(purg_rows)})
 
 
 def _synth_tags(returnflag, qty):
