@@ -1241,6 +1241,73 @@ class TestContainment:
         assert got == _containment_twin(rows, 2, 0.5)
         assert got  # non-vacuous
 
+    def test_max_df_cap_fires(self, spark):
+        """The hot-shingle cap with the cap actually BINDING (no other
+        test reaches it): a boilerplate shingle shared by every doc must
+        be excluded from pairing AND from the filtered-set sizes (the
+        documented denominator semantics), for both the containment and
+        the jaccard operator — pins the r6 broadcast-anti-join rewrite
+        of the df filter against a python twin."""
+        from gol_tool_spark.operators import dedup
+
+        boiler = "hot stop"          # one n=2 shingle, in all 6 docs -> df=6
+        rows = [
+            (i, f"{boiler} s{i} s{i + 1} s{i + 2}") for i in range(5)
+        ] + [(5, f"{boiler} zz zz2 zz3")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def twin(max_df, threshold):
+            import re
+
+            def sh(t):
+                w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                return {" ".join(w[i: i + 2]) for i in range(len(w) - 1)}
+
+            shs = {d: sh(t) for d, t in rows}
+            dfreq = {}
+            for s in shs.values():
+                for g in s:
+                    dfreq[g] = dfreq.get(g, 0) + 1
+            kept = {d: {g for g in s if dfreq[g] <= max_df} for d, s in shs.items()}
+            out = {}
+            for da, sa in kept.items():
+                for db, sb in kept.items():
+                    if da >= db:
+                        continue
+                    inter = len(sa & sb)
+                    if not inter:
+                        continue
+                    j = inter / len(sa | sb)
+                    if j >= threshold:
+                        out[(da, db)] = (inter, len(sa), len(sb))
+            return out
+
+        for max_df in (3, 100):  # binding and non-binding
+            got = {
+                (r.doc_a, r.doc_b): (r.inter, r.sz_a, r.sz_b)
+                for r in dedup.ngram_jaccard_pairs(
+                    df, n=2, threshold=0.01, max_df=max_df
+                ).collect()
+            }
+            assert got == twin(max_df, 0.01), max_df
+        # binding cap: the boiler-only overlap between doc 0 and doc 5
+        # disappears; non-binding cap keeps it
+        assert (0, 5) not in {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.01, max_df=3).collect()
+        }
+        assert (0, 5) in {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.01, max_df=100).collect()
+        }
+        # containment: sizes use the FILTERED sets when the cap binds
+        cont = {
+            (r.doc_inner, r.doc_outer): (r.inter, r.sz_inner, r.sz_outer)
+            for r in dedup.containment_pairs(df, n=2, threshold=0.2, max_df=3).collect()
+        }
+        for (di, do), (inter, szi, szo) in cont.items():
+            assert szi <= 4 and szo <= 4  # boiler shingle excluded from sizes
+
 
 def _pip_exact_twin(px, py, ring):
     # exact integer even-odd crossing rule (python big ints)
